@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (Q1 top-addresses over the full DNS
+pipeline) at sf0.001. ``queries()`` — one entry per implemented operator
+(SURVEY.md section 2). ``oracle_sql()`` — DuckDB-equivalent SQL per query;
+omitted only for genuinely non-SQL-expressible ops.
 """
 
 from __future__ import annotations
@@ -13,26 +12,99 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dnstap2clickhouse_spark.config import AggregatorConfig
+from dnstap2clickhouse_spark.sources.events import (
+    QUERY_STREAM_SQL,
+    RESPONSE_STREAM_SQL,
+    PAIR_QUERY_SQL,
+    dns_query_stream,
+    dns_response_stream,
+    dns_pair_streams,
+)
+from dnstap2clickhouse_spark.operators import dns_pipeline as dp
+from dnstap2clickhouse_spark.operators import analytics as an
+from dnstap2clickhouse_spark.operators.columns import (
+    apply_column_config,
+    apply_column_config_sql,
+)
+from dnstap2clickhouse_spark.operators.sampling import (
+    sample_by_dns_id,
+    sample_by_dns_id_sql,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+# static sampler setting used by the sampling query (section 2.7: the
+# adaptive controller is deliberately replaced by a static mask)
+_SAMPLE_MASK = 0x0F
+_SAMPLE_MATCH = 0x06
+
+_PRUNE_CFG = {
+    "queryTime": "ts",
+    "identity": "",  # pruned (clickhouse.go:124-137 empty-name semantics)
+    "queryAddress": "addr",
+    "questionName": "qname",
+    "questionType": "",  # pruned
+    "counter": "hits",
+}
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
-
+    """Flagship: full ingest pipeline + Q1 top query addresses, sf0.001."""
+    return an.top_query_addresses(dp.client_query_table(spark, SF0001))
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    no_agg = AggregatorConfig(aggregate=False)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
-
+    return {
+        # --- sources / projections (P1-P7 over the canonical mapping) ---
+        "dns_query_stream": lambda s, d: dns_query_stream(s, d),
+        "dns_response_stream": lambda s, d: dns_response_stream(s, d),
+        # --- aggregation core (A1-A7, grouping sets, windows) ---
+        "dns_client_query_agg": lambda s, d: dp.client_query_table(s, d),
+        "dns_client_response_agg": lambda s, d: dp.client_response_table(s, d),
+        # pass-through mode A8 (aggregator.go:556-565)
+        "dns_passthrough": lambda s, d: dp.client_response_table(s, d, no_agg),
+        # --- J1 join + A9 int-div average ---
+        "dns_response_time_join": lambda s, d: dp.response_time_table(s, d),
+        # --- F6 bitmask sampling ---
+        "dns_sampling": lambda s, d: sample_by_dns_id(
+            dns_pair_streams(s, d)[0], _SAMPLE_MASK, _SAMPLE_MATCH
+        ),
+        # --- K1 column mapping / pruning ---
+        "dns_column_pruning": lambda s, d: apply_column_config(
+            dns_query_stream(s, d), _PRUNE_CFG
+        ),
+        # --- Q1-Q4 downstream analytics (quickstart.md:99-154) ---
+        "dns_q1_top_addresses": lambda s, d: an.top_query_addresses(
+            dp.client_query_table(s, d)
+        ),
+        "dns_q2_top_nxdomain": lambda s, d: an.top_nxdomain_names(
+            dp.client_response_table(s, d)
+        ),
+        "dns_q3_nonok_series": lambda s, d: an.non_ok_time_series(
+            dp.client_response_table(s, d)
+        ),
+        "dns_q4_latency_series": lambda s, d: an.response_time_series(
+            dp.response_time_table(s, d)
+        ),
+    }
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    no_agg = AggregatorConfig(aggregate=False)
+    cq = dp.client_query_table_sql()
+    cr = dp.client_response_table_sql()
+    rt = dp.response_time_table_sql()
+    return {
+        "dns_query_stream": QUERY_STREAM_SQL,
+        "dns_response_stream": RESPONSE_STREAM_SQL,
+        "dns_client_query_agg": cq,
+        "dns_client_response_agg": cr,
+        "dns_passthrough": dp.client_response_table_sql(no_agg),
+        "dns_response_time_join": rt,
+        "dns_sampling": sample_by_dns_id_sql(PAIR_QUERY_SQL, _SAMPLE_MASK, _SAMPLE_MATCH),
+        "dns_column_pruning": apply_column_config_sql(QUERY_STREAM_SQL, _PRUNE_CFG),
+        "dns_q1_top_addresses": an.top_query_addresses_sql(cq),
+        "dns_q2_top_nxdomain": an.top_nxdomain_names_sql(cr),
+        "dns_q3_nonok_series": an.non_ok_time_series_sql(cr),
+        "dns_q4_latency_series": an.response_time_series_sql(rt),
+    }

@@ -1,0 +1,108 @@
+"""J1: the stream-stream query<->response match + A9 average.
+
+Reference semantics (``AggregateResponseTimeSample``, aggregator.go:352-409):
+symmetric hash match on ``{identity, queryAddress, queryPort, id}``
+(aggregator.go:179-184); first arrival of either side stores its timestamp,
+the other side's arrival emits ``responseTime - queryTime`` in microseconds;
+order-agnostic (aggregator.go:375-381); negative delta => id collision =>
+discard (382-388); unmatched state expires after a TTL (510-515).
+
+Spark-first port: an **inner equi-join with a time-interval bound**. The
+join buffers both sides, so out-of-order arrival is free; the
+``responseTime >= queryTime`` bound is the structural form of the
+negative-delta guard; the upper bound (= watermark delay in streaming)
+replaces the TTL eviction. The reference's 8-entry state cap
+(aggregator.go:37) is load shedding, not semantics — watermark-bounded
+state makes it unnecessary (SURVEY.md section 2.5).
+
+A9 (aggregator.go:396-408, 495-507): per-identity running {sum us, count},
+finalized as an **integer-division** average (``uint64 / uint64``,
+aggregator.go:496) — reproduced with SQL ``div``.
+
+Scale note: the join shuffles both sides on the 4-part key — high
+cardinality, naturally well-distributed (DNS id is uniform). No broadcast:
+both sides are event-scale. AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+JOIN_KEYS = ["identity", "queryAddress", "queryPort", "id"]
+
+def match_response_times(
+    queries: DataFrame,
+    responses: DataFrame,
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """One row per matched (query, response) pair with the latency delta.
+
+    Returns: responseTime, identity, delta_us (>= 0 by construction).
+    """
+    q = queries.alias("q")
+    r = responses.alias("r")
+    cond = F.lit(True)
+    for k in JOIN_KEYS:
+        cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col("r.responseTime") >= F.col("q.queryTime"))
+        & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{max_delay}'"))
+    )
+    return q.join(r, cond, "inner").select(
+        F.col("r.responseTime").alias("responseTime"),
+        F.col("q.identity").alias("identity"),
+        (F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime")).alias("delta_us"),
+    )
+
+def avg_response_time_samples(
+    matched: DataFrame,
+    interval: str = "10 seconds",
+) -> DataFrame:
+    """A9/A10: per-(window, identity) integer-division average of deltas.
+
+    Output schema mirrors the ``clientQueryResponseTime`` table
+    (quickstart.md:86-93) plus the window start and sample count.
+    """
+    return (
+        matched.groupBy(F.window("responseTime", interval).alias("__w"), "identity")
+        .agg(
+            F.expr("sum(delta_us) div count(*)").alias("responseTimeDelta"),
+            F.count(F.lit(1)).alias("nSamples"),
+        )
+        .select(
+            F.col("__w.start").alias("windowStart"),
+            "identity",
+            "responseTimeDelta",
+            "nSamples",
+        )
+    )
+
+def match_response_times_sql(
+    query_sql: str,
+    response_sql: str,
+    max_delay_sql: str = "INTERVAL '10 minutes'",
+) -> str:
+    """DuckDB-oracle counterpart of :func:`match_response_times`."""
+    on = " AND ".join(f"q.{k} = r.{k}" for k in JOIN_KEYS)
+    return (
+        f"SELECT r.responseTime AS responseTime, q.identity AS identity,\n"
+        f"       epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us\n"
+        f"FROM ({query_sql}) q JOIN ({response_sql}) r\n"
+        f"  ON {on}\n"
+        f" AND r.responseTime >= q.queryTime\n"
+        f" AND r.responseTime <= q.queryTime + {max_delay_sql}"
+    )
+
+def avg_response_time_samples_sql(matched_sql: str, interval_s: int = 10) -> str:
+    return (
+        f"SELECT time_bucket(INTERVAL '{interval_s} seconds', responseTime) AS windowStart,\n"
+        f"       identity,\n"
+        # // is DuckDB integer division, matching Spark's `div` and the
+        # reference's uint64/uint64 (aggregator.go:496)
+        f"       CAST(CAST(sum(delta_us) AS BIGINT) // count(*) AS BIGINT) AS responseTimeDelta,\n"
+        f"       count(*) AS nSamples\n"
+        f"FROM ({matched_sql})\n"
+        f"GROUP BY ALL"
+    )
