@@ -23,6 +23,8 @@ from dnstap2clickhouse_spark.sources.events import (
 )
 from dnstap2clickhouse_spark.operators import dns_pipeline as dp
 from dnstap2clickhouse_spark.operators import analytics as an
+from dnstap2clickhouse_spark.operators import prep
+from dnstap2clickhouse_spark.plans import tpch, events_analytics as evan
 from dnstap2clickhouse_spark.operators.columns import (
     apply_column_config,
     apply_column_config_sql,
@@ -59,6 +61,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sources / projections (P1-P7 over the canonical mapping) ---
         "dns_query_stream": lambda s, d: dns_query_stream(s, d),
         "dns_response_stream": lambda s, d: dns_response_stream(s, d),
+        # --- decode chain: F1-F4 filters + P1/P3-P7 incl. explode (P6) ---
+        "dns_decode_queries": lambda s, d: prep.decode_frames(
+            prep.raw_frames(s, d), "CLIENT_QUERY"
+        ),
+        "dns_decode_responses": lambda s, d: prep.decode_frames(
+            prep.raw_frames(s, d), "CLIENT_RESPONSE"
+        ),
+        # --- end-to-end: decode -> grouping sets -> window agg -> Q1 ---
+        "dns_pipeline_e2e": lambda s, d: an.top_query_addresses(
+            dp.client_query_table(
+                s, d, queries=prep.decode_frames(prep.raw_frames(s, d), "CLIENT_QUERY")
+            )
+        ),
         # --- aggregation core (A1-A7, grouping sets, windows) ---
         "dns_client_query_agg": lambda s, d: dp.client_query_table(s, d),
         "dns_client_response_agg": lambda s, d: dp.client_response_table(s, d),
@@ -87,6 +102,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_q4_latency_series": lambda s, d: an.response_time_series(
             dp.response_time_table(s, d)
         ),
+        # --- generic relational layer (TPC-H-style) ---
+        "tpch_pricing_summary": tpch.pricing_summary,
+        "tpch_top_orders": tpch.top_orders,
+        "tpch_region_revenue": tpch.region_revenue,
+        "tpch_topk_parts_per_brand": tpch.topk_parts_per_brand,
+        "tpch_distinct_aggregates": tpch.distinct_aggregates,
+        "tpch_segment_semi_anti": tpch.segment_semi_anti,
+        # --- event-stream analytics patterns ---
+        "events_sessionize": evan.sessionize,
+        "events_pivot_counts": evan.pivot_event_counts,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -97,6 +122,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dns_query_stream": QUERY_STREAM_SQL,
         "dns_response_stream": RESPONSE_STREAM_SQL,
+        "dns_decode_queries": prep.decode_frames_sql("CLIENT_QUERY"),
+        "dns_decode_responses": prep.decode_frames_sql("CLIENT_RESPONSE"),
+        "dns_pipeline_e2e": an.top_query_addresses_sql(
+            dp.client_query_table_sql(stream_sql=prep.decode_frames_sql("CLIENT_QUERY"))
+        ),
         "dns_client_query_agg": cq,
         "dns_client_response_agg": cr,
         "dns_passthrough": dp.client_response_table_sql(no_agg),
@@ -107,4 +137,12 @@ def oracle_sql() -> dict[str, str]:
         "dns_q2_top_nxdomain": an.top_nxdomain_names_sql(cr),
         "dns_q3_nonok_series": an.non_ok_time_series_sql(cr),
         "dns_q4_latency_series": an.response_time_series_sql(rt),
+        "tpch_pricing_summary": tpch.pricing_summary_sql(),
+        "tpch_top_orders": tpch.top_orders_sql(),
+        "tpch_region_revenue": tpch.region_revenue_sql(),
+        "tpch_topk_parts_per_brand": tpch.topk_parts_per_brand_sql(),
+        "tpch_distinct_aggregates": tpch.distinct_aggregates_sql(),
+        "tpch_segment_semi_anti": tpch.segment_semi_anti_sql(),
+        "events_sessionize": evan.sessionize_sql(),
+        "events_pivot_counts": evan.pivot_event_counts_sql(),
     }

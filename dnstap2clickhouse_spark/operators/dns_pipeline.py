@@ -54,9 +54,12 @@ def client_query_table(
     expanded = expand_grouping_sets(q, cfg)
     return window_dedup_count(expanded, "queryTime", QUERY_KEYS, f"{cfg.write_interval_s} seconds")
 
-def client_query_table_sql(cfg: AggregatorConfig | None = None) -> str:
+def client_query_table_sql(
+    cfg: AggregatorConfig | None = None, stream_sql: str | None = None
+) -> str:
     cfg = cfg or AggregatorConfig()
-    inner = f"SELECT queryTime, {', '.join(QUERY_KEYS)}, counter FROM ({QUERY_STREAM_SQL})"
+    src = stream_sql or QUERY_STREAM_SQL
+    inner = f"SELECT queryTime, {', '.join(QUERY_KEYS)}, counter FROM ({src})"
     if not cfg.aggregate:
         return inner
     expanded = grouping_sets_sql_union(inner, cfg)

@@ -1,0 +1,73 @@
+"""Event-stream analytics patterns over the ``events`` table.
+
+Sessionization and pivot — the batch shapes of the streaming patterns the
+reference's downstream dashboards imply (time-bucketed series are covered
+by operators.analytics). Sessionization uses the classic lag+cumsum gap
+method; in streaming the same semantic is ``session_window`` (see
+streaming.pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SESSION_GAP_S = 1800  # 30 minutes
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session stats: lag(ts) gap > 30 min starts a new session.
+
+    One shuffle (partition by user), window functions run within
+    partitions. Output: user_id, n_sessions, n_events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("prev_ts") > SESSION_GAP_S * 1_000_000)
+            ).cast("bigint"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+def sessionize_sql() -> str:
+    return f"""
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CAST(prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_S} * 1000000 AS BIGINT) AS new_session
+  FROM (
+    SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events))
+GROUP BY user_id ORDER BY user_id
+"""
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (values list pinned so
+    the plan is static — required for large-scale pivot)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    ).orderBy("user_id")
+
+def pivot_event_counts_sql() -> str:
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+    )
+    return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id ORDER BY user_id"
