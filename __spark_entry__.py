@@ -25,6 +25,10 @@ from dnstap2clickhouse_spark.operators import dns_pipeline as dp
 from dnstap2clickhouse_spark.operators import analytics as an
 from dnstap2clickhouse_spark.operators import prep
 from dnstap2clickhouse_spark.plans import tpch, events_analytics as evan
+from dnstap2clickhouse_spark.functions import text as ftext
+from dnstap2clickhouse_spark.functions import dedup as fdedup
+from dnstap2clickhouse_spark.functions import similarity as fsim
+from dnstap2clickhouse_spark.functions import multimodal as fmm
 from dnstap2clickhouse_spark.operators.columns import (
     apply_column_config,
     apply_column_config_sql,
@@ -112,6 +116,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event-stream analytics patterns ---
         "events_sessionize": evan.sessionize,
         "events_pivot_counts": evan.pivot_event_counts,
+        # --- training-data ops: text analysis ---
+        "text_stats": ftext.text_stats,
+        "text_quality": ftext.quality_scores,
+        "text_lang_id": ftext.lang_id,
+        "text_fingerprints": ftext.fingerprints,
+        # --- training-data ops: deduplication ---
+        "dedup_exact": fdedup.exact_dedup,
+        "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs,
+        "dedup_minhash_signatures": fdedup.minhash_signatures,
+        "dedup_minhash_lsh": fdedup.minhash_lsh_pairs,
+        "dedup_simhash": fdedup.simhash_signatures,
+        # --- training-data ops: similarity search ---
+        "sim_cosine_topk": fsim.cosine_topk,
+        "sim_lsh_ann": fsim.lsh_bucketed_ann,
+        "sim_label_centroids": fsim.label_centroids,
+        # --- training-data ops: multimodal columns ---
+        "mm_media_metadata": fmm.media_metadata,
+        "mm_media_features": fmm.media_features,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -145,4 +167,18 @@ def oracle_sql() -> dict[str, str]:
         "tpch_segment_semi_anti": tpch.segment_semi_anti_sql(),
         "events_sessionize": evan.sessionize_sql(),
         "events_pivot_counts": evan.pivot_event_counts_sql(),
+        "text_stats": ftext.text_stats_sql(),
+        "text_quality": ftext.quality_scores_sql(),
+        "text_lang_id": ftext.lang_id_sql(),
+        "text_fingerprints": ftext.fingerprints_sql(),
+        "dedup_exact": fdedup.exact_dedup_sql(),
+        "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs_sql(),
+        "dedup_minhash_signatures": fdedup.minhash_signatures_sql(),
+        "dedup_minhash_lsh": fdedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": fdedup.simhash_signatures_sql(),
+        "sim_cosine_topk": fsim.cosine_topk_sql(),
+        "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),
+        "sim_label_centroids": fsim.label_centroids_sql(),
+        "mm_media_metadata": fmm.media_metadata_sql(),
+        "mm_media_features": fmm.media_features_sql(),
     }

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf"}.
+
+Each query executes end-to-end via the `noop` sink — the full physical
+plan runs (scan -> shuffle -> agg/join) without driver-side collection,
+so the numbers measure the engine, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dnstap2clickhouse_spark.session import get_spark
+import __spark_entry__ as entry
+
+#: headline set: the flagship DNS pipeline + joins + the scale-relevant
+#: training-data ops. (The full inventory runs in the correctness gate;
+#: bench tracks the expensive representative plans.)
+HEADLINE = [
+    "dns_client_query_agg",
+    "dns_client_response_agg",
+    "dns_response_time_join",
+    "dns_pipeline_e2e",
+    "dns_q1_top_addresses",
+    "dns_q4_latency_series",
+    "tpch_pricing_summary",
+    "tpch_top_orders",
+    "tpch_region_revenue",
+    "events_sessionize",
+    "text_fingerprints",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+]
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    queries = entry.queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = queries[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Deduplication for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash — all over ``documents``.
+
+All hashing is md5-derived so Spark and the DuckDB oracle compute
+bit-identical signatures (Spark ``conv(substring(md5 ...), 16, 10)`` ==
+DuckDB ``('0x' || substr(md5 ...))::BIGINT``), and every scoring division
+is exact-int / exact-int. Each builder emits the SAME logical SQL in both
+dialects (tiny lexical differences: explode/unnest, shift operators).
+
+Scale design (the part that matters at 100 TB):
+
+- exact/bag dedup: one hash-groupBy — minimal shuffle, AQE-coalesced.
+- n-gram Jaccard is the *exact* quadratic path — the shingle self-join
+  explodes at scale; it exists as the small-data ground truth and the
+  verifier for LSH candidates, not as the scale path.
+- MinHash+LSH is the scale path: per-doc signatures (narrow transforms),
+  band keys, then a join keyed on (band, signature) whose output is only
+  same-bucket pairs — candidate count ~ O(near-dup pairs), not O(n^2).
+  8 bands x 2 rows over 16 hashes => ~90% recall at Jaccard 0.5, ~100%
+  at 0.8+.
+- SimHash: 60-bit signature per doc via bitwise vote over token hashes —
+  narrow transform; pair finding joins on signature (or banded prefix).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .text import _hash_tok, _toks
+
+N_HASHES = 16
+BANDS = 8  # => 2 rows per band
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+
+def _shingle_expr(dialect: str) -> str:
+    """Distinct word 3-gram shingle ARRAY per document.
+
+    Spark flavor builds shingles with slice+zip_with so the ``split``
+    tokenization is evaluated O(1) times per row — an index lambda
+    (``element_at(split(text), i)``) would re-tokenize the document for
+    every shingle position (~300x per doc; measured 10x slowdown at
+    sf0.1, and higher-order functions don't get codegen CSE).
+    DuckDB flavor keeps the index form: same result, and the oracle only
+    runs at sf<=0.01.
+    """
+    toks = _toks(dialect)
+    if dialect == "spark":
+        n2 = f"size({toks}) - {SHINGLE_K - 1}"
+        pair = f"zip_with(slice({toks}, 1, {n2}), slice({toks}, 2, {n2}), (x, y) -> concat(x, ' ', y))"
+        tri = f"zip_with({pair}, slice({toks}, 3, {n2}), (x, y) -> concat(x, ' ', y))"
+        return (
+            f"CASE WHEN size({toks}) < {SHINGLE_K} THEN array_distinct({toks}) "
+            f"ELSE array_distinct({tri}) END"
+        )
+    gram = f"({toks})[i] || ' ' || ({toks})[i+1] || ' ' || ({toks})[i+2]"
+    return (
+        f"CASE WHEN len({toks}) < {SHINGLE_K} THEN list_distinct({toks}) "
+        f"ELSE list_distinct(list_transform(generate_series(1, len({toks}) - {SHINGLE_K - 1}), i -> {gram})) END"
+    )
+
+def _shingle_rows(dialect: str) -> str:
+    """(doc_id, sh): exploded distinct shingle rows per document."""
+    flat = "explode" if dialect == "spark" else "unnest"
+    return f"SELECT doc_id, {flat}({_shingle_expr(dialect)}) AS sh FROM documents"
+
+# ------------------------------------------------------------- exact dedup
+
+def _exact_dedup_sql(dialect: str) -> str:
+    toks = _toks(dialect)
+    if dialect == "spark":
+        bag = f"md5(concat_ws(' ', array_sort({toks})))"
+    else:
+        bag = f"md5(array_to_string(list_sort({toks}), ' '))"
+    return f"""
+SELECT bag_key, min(doc_id) AS canonical_id, count(*) AS n_members
+FROM (SELECT doc_id, {bag} AS bag_key FROM documents)
+GROUP BY bag_key ORDER BY bag_key
+"""
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the bag-of-words key (md5 of the sorted token list):
+    catches byte-identical texts AND word-order shuffles; one shuffle."""
+    _register(spark, sf_dir)
+    return spark.sql(_exact_dedup_sql("spark"))
+
+def exact_dedup_sql() -> str:
+    return _exact_dedup_sql("duckdb")
+
+# --------------------------------------------------- n-gram Jaccard (exact)
+
+def _jaccard_sql(dialect: str) -> str:
+    sh = _shingle_rows(dialect)
+    return f"""
+WITH s AS ({sh}),
+n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(common AS DOUBLE) / (x.ns + y.ns - common) AS jaccard
+FROM pair JOIN n x ON doc_a = x.doc_id JOIN n y ON doc_b = y.doc_id
+WHERE CAST(common AS DOUBLE) / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by 3-gram Jaccard — ground truth / verifier.
+    Shuffle key is the shingle; hot shingles are the skew risk the LSH
+    path avoids."""
+    _register(spark, sf_dir)
+    return spark.sql(_jaccard_sql("spark"))
+
+def ngram_jaccard_pairs_sql() -> str:
+    return _jaccard_sql("duckdb")
+
+# ----------------------------------------------------------- MinHash + LSH
+
+_MINHASH_P = 2_147_483_647  # 2^31-1; base hash is 28-bit so no overflow
+
+def _shingle_arrays(dialect: str) -> str:
+    """(doc_id, shingle-array) — the arrays stay per-row; no explode."""
+    return f"SELECT doc_id, {_shingle_expr(dialect)} AS sh FROM documents"
+
+def _minhash_sql(dialect: str) -> str:
+    """(doc_id, hidx, minhash): N_HASHES min-hashes per doc.
+
+    Scale design: ONE md5 per distinct shingle (28-bit base hash), then an
+    affine family h_i(x) = ((2i+1)*x + 7919*i) mod 2^31-1 evaluated with
+    array transforms — the whole signature computation is a narrow per-row
+    map, no shuffle and no row explosion (the naive explode(shingles x 16
+    hashes) was 16x the md5 cost plus an 8M-row shuffle at sf0.1).
+    """
+    sh = _shingle_arrays(dialect)
+    if dialect == "spark":
+        base = "transform(sh, s -> " + _hash_tok("spark", "s") + ")"
+        series = f"SELECT explode(sequence(0, {N_HASHES - 1})) AS hidx"
+        amin, transform = "array_min", "transform"
+    else:
+        base = "list_transform(sh, s -> " + _hash_tok("duckdb", "s") + ")"
+        series = f"SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hidx"
+        amin, transform = "list_min", "list_transform"
+    return f"""
+WITH s AS ({sh}),
+hb AS (SELECT doc_id, {base} AS hs FROM s),
+idx AS ({series})
+SELECT doc_id, hidx,
+       {amin}({transform}(hs, h -> ((2 * hidx + 1) * h + 7919 * hidx) % {_MINHASH_P})) AS minhash
+FROM hb CROSS JOIN idx
+"""
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature rows (doc_id, hidx, minhash) — bit-identical to
+    the oracle's md5-derived hash family."""
+    _register(spark, sf_dir)
+    return spark.sql(_minhash_sql("spark") + " ORDER BY doc_id, hidx")
+
+def minhash_signatures_sql() -> str:
+    return _minhash_sql("duckdb") + " ORDER BY doc_id, hidx"
+
+def _lsh_pairs_sql(dialect: str) -> str:
+    mh = _minhash_sql(dialect)
+    rows_per_band = N_HASHES // BANDS
+    if dialect == "spark":
+        agg = (
+            "concat_ws(',', sort_array(collect_list("
+            "concat(CAST(hidx AS STRING), '=', CAST(minhash AS STRING)))))"
+        )
+        band = f"hidx div {rows_per_band}"
+    else:
+        agg = "string_agg(CAST(hidx AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ',' ORDER BY hidx)"
+        band = f"hidx // {rows_per_band}"
+    return f"""
+WITH mh AS ({mh}),
+bands AS (
+  SELECT doc_id, {band} AS band, {agg} AS sig
+  FROM mh GROUP BY doc_id, {band})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH (the scale path)."""
+    _register(spark, sf_dir)
+    return spark.sql(_lsh_pairs_sql("spark") + " ORDER BY doc_a, doc_b")
+
+def minhash_lsh_pairs_sql() -> str:
+    return _lsh_pairs_sql("duckdb") + " ORDER BY doc_a, doc_b"
+
+# ----------------------------------------------------------------- SimHash
+
+def _simhash_sql(dialect: str) -> str:
+    toks = _toks(dialect)
+    h = _hash_tok(dialect, "tok")
+    if dialect == "spark":
+        tok_rows = f"SELECT doc_id, explode(array_distinct({toks})) AS tok FROM documents"
+        series = f"explode(sequence(0, {SIMHASH_BITS - 1}))"
+        bit_test = f"shiftright({h}, bit) & 1 = 1"
+        bit_val = "shiftleft(CAST(1 AS BIGINT), bit)"
+    else:
+        tok_rows = f"SELECT doc_id, unnest(list_distinct({toks})) AS tok FROM documents"
+        series = f"unnest(generate_series(0, {SIMHASH_BITS - 1}))"
+        bit_test = f"(({h}) >> bit) & 1 = 1"
+        bit_val = "(CAST(1 AS BIGINT) << bit)"
+    return f"""
+WITH t AS ({tok_rows}),
+tb AS (SELECT doc_id, tok, {series} AS bit FROM t),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN {bit_test} THEN 1 ELSE -1 END) AS v
+  FROM tb GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v >= 0 THEN {bit_val} ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (bitwise vote over distinct-token
+    hashes)."""
+    _register(spark, sf_dir)
+    return spark.sql(_simhash_sql("spark"))
+
+def simhash_signatures_sql() -> str:
+    return _simhash_sql("duckdb")

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as binary
+columns with struct metadata, decoded lazily inside Arrow-batched Python
+(``mapInPandas``). The image/audio codecs are not in this container, so:
+
+- the Spark-side plumbing (schemas, binary synthesis, batch iteration,
+  partition-preserving UDF signature) is REAL and tested;
+- ``decode_image`` is a clearly-marked stub raising ``NotImplementedError``;
+- ``fake_features`` is the deterministic stand-in used by tests: features
+  derived from the payload bytes themselves, so results are reproducible
+  and partition-order independent.
+
+The synthetic media table derives its payload from ``md5(text)`` via
+``unhex`` — expressible in DuckDB too, so the metadata-extraction query
+has a full-strength oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+
+FEATURE_DIM = 8
+
+_MEDIA_EXPRS_SPARK = [
+    "doc_id",
+    # payload: 32 deterministic bytes from the text digest, repeated
+    "unhex(repeat(md5(text), 2)) AS payload",
+    "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime",
+    "named_struct('width', CAST(64 + doc_id % 512 AS BIGINT), 'height', CAST(64 + doc_id % 384 AS BIGINT), 'frames', CAST(1 + doc_id % 30 AS BIGINT)) AS meta",
+]
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multimodal table: (doc_id, payload binary, mime, meta)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(*_MEDIA_EXPRS_SPARK)
+
+def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata extraction over binary payloads — byte length, header
+    byte, mime split, aspect ratio — all JVM-side."""
+    m = media_table(spark, sf_dir)
+    return m.selectExpr(
+        "doc_id",
+        "CAST(length(payload) AS BIGINT) AS n_bytes",
+        # first payload byte as int (hex-decode of the md5 head)
+        "CAST(conv(substring(hex(payload), 1, 2), 16, 10) AS BIGINT) AS first_byte",
+        "split(mime, '/')[0] AS media_kind",
+        "meta.width AS width",
+        "meta.height AS height",
+        "CAST(meta.width AS DOUBLE) / meta.height AS aspect",
+    ).orderBy("doc_id")
+
+def media_metadata_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(octet_length(unhex(repeat(md5(text), 2))) AS BIGINT) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 2))::BIGINT AS first_byte,
+       string_split(CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END, '/')[1] AS media_kind,
+       CAST(64 + doc_id % 512 AS BIGINT) AS width,
+       CAST(64 + doc_id % 384 AS BIGINT) AS height,
+       CAST(CAST(64 + doc_id % 512 AS BIGINT) AS DOUBLE) / CAST(64 + doc_id % 384 AS BIGINT) AS aspect
+FROM documents ORDER BY doc_id
+"""
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL/libvips, not present in this
+    container. The Spark plumbing around it is complete; swap this stub
+    for a real decoder in production."""
+    raise NotImplementedError(
+        "image codecs unavailable in this environment; use fake_features "
+        "for deterministic tests"
+    )
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature extractor: bytes -> dim floats in
+    [0, 1). Pure function of the payload — reproducible anywhere."""
+    n = len(payload)
+    return [payload[i % n] / 256.0 if n else 0.0 for i in range(dim)]
+
+_FEATURE_SCHEMA = (
+    "doc_id bigint, media_kind string, n_bytes bigint, "
+    + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
+)
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps partitioning intact (no shuffle) and moves data
+    once over Arrow per batch — the pattern a real decoder plugs into.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda b: fake_features(bytes(b)))
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_kind": pdf["mime"].str.split("/").str[0],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = feats.map(lambda v, i=i: v[i]).astype("float64")
+            yield out
+
+    return media.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full plumbing chain: synth media -> Arrow batch feature UDF."""
+    return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
+
+def media_features_sql() -> str:
+    """Oracle for the deterministic fake extractor: payload byte i mod 32
+    (md5 repeated twice -> 32 bytes) divided by 256."""
+    cols = ",\n       ".join(
+        f"('0x' || substr(repeat(md5(text), 2), {2 * (i % 32) + 1}, 2))::BIGINT / 256.0 AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return f"""
+SELECT doc_id,
+       string_split(CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END, '/')[1] AS media_kind,
+       CAST(32 AS BIGINT) AS n_bytes,
+       {cols}
+FROM documents ORDER BY doc_id
+"""

@@ -62,11 +62,11 @@ def pricing_summary_sql() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       CAST(sum({cents}) AS BIGINT) / 100.0 AS sum_base_price,
-       CAST(sum({_DISC_E4}) AS BIGINT) / 10000.0 AS sum_disc_price,
-       CAST(sum({_CHARGE_E6}) AS BIGINT) / 1000000.0 AS sum_charge,
+       CAST(sum({cents}) AS BIGINT) / CAST(100 AS DOUBLE) AS sum_base_price,
+       CAST(sum({_DISC_E4}) AS BIGINT) / CAST(10000 AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_CHARGE_E6}) AS BIGINT) / CAST(1000000 AS DOUBLE) AS sum_charge,
        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*) AS avg_qty,
-       CAST(sum({cents}) AS BIGINT) / (100.0 * count(*)) AS avg_price,
+       CAST(sum({cents}) AS BIGINT) / (CAST(100 AS DOUBLE) * count(*)) AS avg_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
@@ -103,7 +103,7 @@ def top_orders(spark: SparkSession, sf_dir: str, limit: int = 10) -> DataFrame:
 def top_orders_sql(limit: int = 10) -> str:
     return f"""
 SELECT l_orderkey, o_orderdate,
-       CAST(sum({_DISC_E4}) AS BIGINT) / 10000.0 AS revenue
+       CAST(sum({_DISC_E4}) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -144,7 +144,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def region_revenue_sql() -> str:
     return f"""
-SELECT n_name, CAST(sum({_DISC_E4}) AS BIGINT) / 10000.0 AS revenue
+SELECT n_name, CAST(sum({_DISC_E4}) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey

@@ -1,0 +1,73 @@
+"""Sinks: the K1-K4 surface re-expressed Spark-side.
+
+Reference behavior (``/root/reference/src/clickhouse/clickhouse.go``):
+INSERT statements synthesized from configured column names with
+empty-name pruning (K1, 139-175), batched row-kind writers (K2, 177-299),
+pooled connections (K3, 86-114), and a retry queue that *drops the newest
+batch* past 16 queued retries (K4, 361-412) — i.e. at-most-once.
+
+Spark replacement: ``foreachBatch`` gives micro-batch granularity; the
+column mapping is a select/alias (operators.columns); task retries +
+streaming checkpoints give at-least-once into an idempotent target —
+strictly stronger than K4's drop semantics, a documented upgrade
+(SURVEY.md section 2.8). The drop behavior is intentionally NOT ported.
+
+The ClickHouse JDBC writer is gated: the driver jar is not in this
+environment, so ``clickhouse_writer`` builds the writer function but its
+use requires a reachable server + jar (documented, import-safe).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from ..operators.columns import apply_column_config
+
+def foreach_batch_parquet(
+    path: str, mapping: dict[str, str] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch writer: apply K1 column config, append parquet.
+
+    Appending parquet keyed by epoch is idempotent under Spark's
+    micro-batch replay when the target dedups on (epoch_id) — the test
+    sink simply appends, which is at-least-once.
+    """
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        out = apply_column_config(df, mapping) if mapping else df
+        out.write.mode("append").parquet(path)
+
+    return write
+
+def clickhouse_writer(
+    url: str,
+    table: str,
+    mapping: dict[str, str] | None = None,
+    batchsize: int = 100_000,
+    properties: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch JDBC writer for ClickHouse (K2/K3 equivalent).
+
+    Connection options mirror the reference's client setup
+    (clickhouse.go:94-104): batching replaces ``batch.Send``; JDBC
+    ``batchsize`` is the micro-batch row granularity; retries come from
+    Spark task retry + checkpoint replay rather than the K4 queue.
+    Requires the ClickHouse JDBC driver on the classpath.
+    """
+    props = {"driver": "com.clickhouse.jdbc.ClickHouseDriver", **(properties or {})}
+
+    def write(df: DataFrame, epoch_id: int) -> None:
+        out = apply_column_config(df, mapping) if mapping else df
+        (
+            out.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", str(batchsize))
+            .options(**props)
+            .mode("append")
+            .save()
+        )
+
+    return write

@@ -1,0 +1,152 @@
+"""Structured Streaming binding of the batch operator library.
+
+Design stance (SURVEY.md section 7): every pipeline stage is a pure
+DataFrame -> DataFrame function, so the streaming flavor REUSES the exact
+batch operators — ``dns_query_stream``/``expand_grouping_sets``/
+``window_dedup_count``/``match_response_times`` — under ``readStream``.
+This is the engine's equivalent of the reference's goroutine pipeline
+(main.go:121-153), with these deliberate semantic upgrades (SURVEY.md
+section 2.9):
+
+- event-time tumbling windows + watermark instead of processing-time
+  flush timers (aggregator.go:535-536, 595-619);
+- watermark-based state eviction instead of the manual TTL scan
+  (aggregator.go:510-515) and the 8-entry state cap (aggregator.go:37);
+- checkpointed at-least-once delivery instead of the crash-lossy
+  in-memory maps + retry-queue drop (clickhouse.go:376-380).
+
+The file source here stands in for the dnstap unix socket (a bridge
+daemon would tail the socket into files/Kafka — SURVEY.md section 2.1);
+swapping ``readStream.parquet`` for ``readStream.format('kafka')`` is the
+only change a production deployment makes.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import AggregatorConfig
+from ..operators.grouping_sets import expand_grouping_sets
+from ..operators.join import JOIN_KEYS
+from ..operators.windows import window_dedup_count
+from ..operators.dns_pipeline import QUERY_KEYS, RESPONSE_KEYS
+from ..sources.events import _exprs
+from ..sources.tables import load_table
+
+def read_events_stream(spark: SparkSession, events_dir: str, ref_sf_dir: str) -> DataFrame:
+    """File-source stream over events-shaped parquet chunks.
+
+    Schema is pinned from the batch table (file streams must not infer).
+    ``maxFilesPerTrigger=1`` makes each file one micro-batch, mirroring
+    the reference's framed micro-batching.
+    """
+    schema = load_table(spark, ref_sf_dir, "events").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+
+def _project(ev: DataFrame, time_col: str, with_status: bool, pair_keys: bool, parity: int) -> DataFrame:
+    return ev.filter(f"event_id % 2 = {parity}").selectExpr(
+        *_exprs("spark", time_col, with_status, pair_keys)
+    )
+
+def streaming_client_query_agg(
+    events: DataFrame,
+    cfg: AggregatorConfig | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming clientQuery table: same operators as the batch builder,
+    plus a watermark for state eviction. Use outputMode('update') — the
+    reference's flush-every-interval behavior — or 'append' to emit only
+    finalized windows."""
+    cfg = cfg or AggregatorConfig()
+    q = _project(events, "queryTime", False, False, 0)
+    q = q.select("queryTime", *QUERY_KEYS, "counter").withWatermark("queryTime", watermark)
+    expanded = expand_grouping_sets(q, cfg)
+    return window_dedup_count(expanded, "queryTime", QUERY_KEYS, f"{cfg.write_interval_s} seconds")
+
+def streaming_client_response_agg(
+    events: DataFrame,
+    cfg: AggregatorConfig | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    cfg = cfg or AggregatorConfig()
+    r = _project(events, "responseTime", True, False, 1)
+    r = r.filter(F.col("responseStatus") != "NOERROR")  # F5
+    r = r.select("responseTime", *RESPONSE_KEYS, "counter").withWatermark(
+        "responseTime", watermark
+    )
+    expanded = expand_grouping_sets(r, cfg)
+    return window_dedup_count(
+        expanded, "responseTime", RESPONSE_KEYS, f"{cfg.write_interval_s} seconds"
+    )
+
+def streaming_passthrough(events: DataFrame) -> DataFrame:
+    """A8 (aggregate=false): raw non-OK response rows, no state at all."""
+    r = _project(events, "responseTime", True, False, 1)
+    return r.filter(F.col("responseStatus") != "NOERROR").select(
+        "responseTime", *RESPONSE_KEYS, "counter"
+    )
+
+def streaming_response_time_join(
+    events: DataFrame,
+    cfg: AggregatorConfig | None = None,
+    watermark: str = "30 days",
+) -> DataFrame:
+    """J1 as a genuine stream-stream inner join with interval bound.
+
+    Watermarks on both sides bound the join state (replacing the
+    reference's TTL + 8-entry cap); the time-range condition is the
+    structural negative-delta guard. Returns matched pairs with delta_us;
+    A9's windowed average runs downstream (e.g. in foreachBatch) because
+    Spark disallows chaining a second stateful agg after a stream-stream
+    join in one query.
+    """
+    cfg = cfg or AggregatorConfig()
+    q = _project(events, "queryTime", False, True, 0).withWatermark("queryTime", watermark)
+    r = _project(events, "responseTime", True, True, 1).withWatermark("responseTime", watermark)
+    q = q.alias("q")
+    r = r.alias("r")
+    cond = F.lit(True)
+    for k in JOIN_KEYS:
+        cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col("r.responseTime") >= F.col("q.queryTime"))
+        & (
+            F.col("r.responseTime")
+            <= F.col("q.queryTime") + F.expr(f"INTERVAL '{cfg.max_response_delay}'")
+        )
+    )
+    return q.join(r, cond, "inner").select(
+        F.col("r.responseTime").alias("responseTime"),
+        F.col("q.identity").alias("identity"),
+        (F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime")).alias("delta_us"),
+    )
+
+def run_stream_to_memory(
+    sdf: DataFrame,
+    mode: str,
+    spark: SparkSession,
+    name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (all available input) into
+    an in-memory table; returns the batch DataFrame of results.
+
+    For 'update' mode aggregations the caller should collapse to the last
+    update per key (the memory sink appends every update)."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    query = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,103 @@
+"""Batch == stream equality: the streaming flavor must produce exactly
+the batch results once all input is processed (Structured Streaming's
+correctness story, SURVEY.md section 5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dnstap2clickhouse_spark import streaming as st
+from dnstap2clickhouse_spark.operators import dns_pipeline as dp
+from dnstap2clickhouse_spark.operators.join import match_response_times
+from dnstap2clickhouse_spark.sources.events import dns_pair_streams
+from dnstap2clickhouse_spark.sources.tables import load_table
+from dnstap2clickhouse_spark.sinks import foreach_batch_parquet
+
+SF = "/root/testdata/sf0.001"
+N_CHUNKS = 4
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """events split into N parquet chunk files (one micro-batch each)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, SF, "events")
+    n = ev.count()
+    step = (n + N_CHUNKS - 1) // N_CHUNKS
+    for i in range(N_CHUNKS):
+        chunk = ev.filter(
+            (ev.event_id >= i * step) & (ev.event_id < (i + 1) * step)
+        ).coalesce(1)
+        chunk.write.mode("append").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+def test_stream_query_agg_equals_batch(spark, events_dir):
+    sdf = st.streaming_client_query_agg(st.read_events_stream(spark, events_dir, SF))
+    mem = st.run_stream_to_memory(sdf, "update", spark)
+    # update mode appends every refinement; last write per key is final
+    final = mem.groupBy("windowStart", *dp.QUERY_KEYS).agg(
+        {"counter": "max", "queryTime": "min"}
+    ).withColumnRenamed("max(counter)", "counter").withColumnRenamed(
+        "min(queryTime)", "queryTime"
+    )
+    batch = dp.client_query_table(spark, SF)
+    cols = ["windowStart", *dp.QUERY_KEYS, "queryTime", "counter"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+def test_stream_response_agg_equals_batch(spark, events_dir):
+    sdf = st.streaming_client_response_agg(st.read_events_stream(spark, events_dir, SF))
+    mem = st.run_stream_to_memory(sdf, "update", spark)
+    final = mem.groupBy("windowStart", *dp.RESPONSE_KEYS).agg(
+        {"counter": "max", "responseTime": "min"}
+    ).withColumnRenamed("max(counter)", "counter").withColumnRenamed(
+        "min(responseTime)", "responseTime"
+    )
+    batch = dp.client_response_table(spark, SF)
+    cols = ["windowStart", *dp.RESPONSE_KEYS, "responseTime", "counter"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+def test_stream_join_equals_batch(spark, events_dir):
+    sdf = st.streaming_response_time_join(st.read_events_stream(spark, events_dir, SF))
+    mem = st.run_stream_to_memory(sdf, "append", spark)
+    q, r = dns_pair_streams(spark, SF)
+    batch = match_response_times(q, r)
+    cols = ["responseTime", "identity", "delta_us"]
+    assert _rows(mem, cols) == _rows(batch, cols)
+
+def test_stream_passthrough_counts(spark, events_dir):
+    sdf = st.streaming_passthrough(st.read_events_stream(spark, events_dir, SF))
+    mem = st.run_stream_to_memory(sdf, "append", spark)
+    from dnstap2clickhouse_spark.config import AggregatorConfig
+
+    batch = dp.client_response_table(spark, SF, AggregatorConfig(aggregate=False))
+    assert mem.count() == batch.count()
+    assert mem.agg({"counter": "sum"}).first()[0] == batch.count()
+
+def test_foreach_batch_sink_with_column_config(spark, events_dir):
+    out = tempfile.mkdtemp(prefix="sink_out_")
+    try:
+        mapping = {"responseTime": "ts", "identity": "ident", "counter": "hits"}
+        sdf = st.streaming_passthrough(st.read_events_stream(spark, events_dir, SF))
+        q = (
+            sdf.writeStream.outputMode("append")
+            .foreachBatch(foreach_batch_parquet(out, mapping))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        written = spark.read.parquet(out)
+        assert set(written.columns) == {"ts", "ident", "hits"}
+        assert written.count() > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
