@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_decode_responses": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_RESPONSE"
         ),
+        # P2: raw address bytes -> dotted-quad (dnstap.go:292/355)
+        "dns_decode_addresses": lambda s, d: prep.decode_addresses(prep.raw_frames(s, d)),
         # --- end-to-end: decode -> grouping sets -> window agg -> Q1 ---
         "dns_pipeline_e2e": lambda s, d: an.top_query_addresses(
             dp.client_query_table(
@@ -121,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": ftext.quality_scores,
         "text_lang_id": ftext.lang_id,
         "text_fingerprints": ftext.fingerprints,
+        "text_regex_tokens": ftext.regex_tokens,
         # --- training-data ops: deduplication ---
         "dedup_exact": fdedup.exact_dedup,
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs,
@@ -130,7 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops: similarity search ---
         "sim_cosine_topk": fsim.cosine_topk,
         "sim_lsh_ann": fsim.lsh_bucketed_ann,
+        "sim_ivf_topk": fsim.ivf_topk,
         "sim_label_centroids": fsim.label_centroids,
+        "dedup_embedding_cosine": fsim.embedding_cosine_dups,
         # --- training-data ops: multimodal columns ---
         "mm_media_metadata": fmm.media_metadata,
         "mm_media_features": fmm.media_features,
@@ -146,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "dns_response_stream": RESPONSE_STREAM_SQL,
         "dns_decode_queries": prep.decode_frames_sql("CLIENT_QUERY"),
         "dns_decode_responses": prep.decode_frames_sql("CLIENT_RESPONSE"),
+        "dns_decode_addresses": prep.decode_addresses_sql(),
         "dns_pipeline_e2e": an.top_query_addresses_sql(
             dp.client_query_table_sql(stream_sql=prep.decode_frames_sql("CLIENT_QUERY"))
         ),
@@ -171,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),
         "text_fingerprints": ftext.fingerprints_sql(),
+        "text_regex_tokens": ftext.regex_tokens_sql(),
         "dedup_exact": fdedup.exact_dedup_sql(),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_signatures": fdedup.minhash_signatures_sql(),
@@ -178,7 +185,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),
+        "sim_ivf_topk": fsim.ivf_topk_sql(),
         "sim_label_centroids": fsim.label_centroids_sql(),
+        "dedup_embedding_cosine": fsim.embedding_cosine_dups_sql(),
         "mm_media_metadata": fmm.media_metadata_sql(),
         "mm_media_features": fmm.media_features_sql(),
     }

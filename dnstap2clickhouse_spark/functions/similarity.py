@@ -138,6 +138,28 @@ SELECT CAST(label AS BIGINT) AS label, dim,
 FROM sums ORDER BY label, dim
 """
 
+COSINE_DUP_THRESHOLD = 0.45
+
+def _cosine_pairs_sql(dialect: str) -> str:
+    cos = _cosine("a.embedding", "b.embedding", dialect)
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector-space flavor of
+    dedup). This is the exact all-pairs form — the verifier; at scale the
+    candidate set comes from the LSH buckets (``lsh_bucketed_ann``) or
+    IVF cells first, and only candidates are scored."""
+    _register(spark, sf_dir)
+    return spark.sql(_cosine_pairs_sql("spark"))
+
+def embedding_cosine_dups_sql() -> str:
+    return _cosine_pairs_sql("duckdb")
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean embedding per label (the IVF coarse-quantizer
     building block), deterministic via scaled-integer sums."""
@@ -146,3 +168,79 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def label_centroids_sql() -> str:
     return _centroid_sql("duckdb")
+
+IVF_NPROBE = 2
+
+def _ivf_sql(dialect: str) -> str:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid cell,
+    then search only the query's ``IVF_NPROBE`` closest cells.
+
+    At 100 TB this is the partition-pruning form of vector search: the
+    cell id is the table's partition/bucket key, and a query touches
+    nprobe partitions instead of the full corpus. Centroids here come
+    from the label groups (a stand-in for k-means); the assignment +
+    probe machinery is the real thing.
+    """
+    cent_inner = _centroid_sql(dialect).replace(" ORDER BY label, dim", "")
+    if dialect == "spark":
+        cvec = (
+            "SELECT label, transform(sort_array(collect_list(struct(dim, centroid))), "
+            "s -> s.centroid) AS cvec FROM cent GROUP BY label"
+        )
+        qdot = (
+            "aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cnorm = (
+            "aggregate(c.cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+        )
+        enorm = (
+            "aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    else:
+        cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"
+        qdot = "list_dot_product(c.cvec, e.embedding::DOUBLE[])"
+        cnorm = "list_dot_product(c.cvec, c.cvec)"
+        enorm = "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+    cos_pair = _cosine("q.embedding", "n.embedding", dialect)
+    return f"""
+WITH cent AS ({cent_inner}),
+centv AS ({cvec}),
+cell_scored AS (
+  SELECT e.vec_id, c.label,
+         {qdot} / sqrt({cnorm} * {enorm}) AS ccos
+  FROM embeddings e CROSS JOIN centv c),
+cell_ranked AS (
+  SELECT vec_id, label, ccos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+  FROM cell_scored),
+assign AS (SELECT vec_id, label AS cell FROM cell_ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, label AS cell
+  FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, {cos_pair} AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search over centroid cells."""
+    _register(spark, sf_dir)
+    return spark.sql(_ivf_sql("spark"))
+
+def ivf_topk_sql() -> str:
+    return _ivf_sql("duckdb")

@@ -101,6 +101,30 @@ def lang_id_sql() -> str:
         f"FROM ({inner}) ORDER BY doc_id"
     )
 
+#: BPE-ish pre-tokenization split: letter runs, digit runs, other symbols
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+def regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (letter runs /
+    digit runs / punctuation), alongside the whitespace count — the two
+    standard denominators for tokens-per-doc budgeting."""
+    toks = _toks("spark")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({toks}) AS BIGINT) AS n_ws_tokens",
+        f"CAST(size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS BIGINT) AS n_bpe_tokens",
+    ).orderBy("doc_id")
+
+def regex_tokens_sql() -> str:
+    toks = _toks("duckdb")
+    return f"""
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: content md5 + order-sensitive polynomial
     rolling hash over token hashes (mod 2^31-1, left fold)."""

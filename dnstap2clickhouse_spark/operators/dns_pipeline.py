@@ -113,6 +113,26 @@ def response_time_table(
     matched = match_response_times(q, r, cfg.max_response_delay)
     return avg_response_time_samples(matched, f"{cfg.response_time_interval_s} seconds")
 
+def build_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: AggregatorConfig | None = None,
+) -> dict[str, DataFrame]:
+    """F3 static plan construction (dnstap.go:253-255, 309-311;
+    aggregator.go:553-573): only the branches the config enables are
+    built — the Spark analogue of the reference's config gating, applied
+    at plan time so disabled paths cost nothing (no scan, no shuffle).
+    """
+    cfg = cfg or AggregatorConfig()
+    out: dict[str, DataFrame] = {}
+    if cfg.client_queries:
+        out["clientQuery"] = client_query_table(spark, sf_dir, cfg)
+    if cfg.non_ok_client_responses:
+        out["clientResponse"] = client_response_table(spark, sf_dir, cfg)
+    if cfg.client_response_time_samples:
+        out["clientQueryResponseTime"] = response_time_table(spark, sf_dir, cfg)
+    return out
+
 def response_time_table_sql(cfg: AggregatorConfig | None = None) -> str:
     cfg = cfg or AggregatorConfig()
     q = sample_by_dns_id_sql(PAIR_QUERY_SQL, cfg.sample_mask, cfg.sample_match)

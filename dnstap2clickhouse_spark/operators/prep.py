@@ -68,6 +68,9 @@ def _frame_exprs(dialect: str) -> list[str]:
         # P6 input: question-section names, sometimes two per message
         f"CASE WHEN event_id % 10 = 0 THEN {arr2.format(q1, q2)} "
         f"ELSE {arr1.format(q1)} END AS questionNames",
+        # P2 input: client address as raw 4 bytes (dnstap carries IPs as
+        # bytes; dnstap.go:292/355 renders with net.IP.String())
+        f"unhex('0a00' || lpad(hex(user_id % 32), 2, '0') || lpad(hex(user_id % 251), 2, '0')) AS addrBytes",
     ]
 
 def raw_frames(spark: SparkSession, sf_dir: str, events: DataFrame | None = None) -> DataFrame:
@@ -129,6 +132,30 @@ def decode_frames(frames: DataFrame, kind: str) -> DataFrame:
         out = out.withColumn("isSuccess", F.col("responseStatus") == "NOERROR")
         cols += ["responseStatus", "isSuccess"]
     return out.select(*cols, F.lit(1).cast("long").alias("counter"))
+
+def _ip_to_string(col: str, dialect: str) -> str:
+    """P2: 4-byte binary address -> dotted-quad string (net.IP.String(),
+    dnstap.go:292) using only built-in byte/hex functions."""
+    conv = (
+        (lambda i: f"CAST(conv(substring(hex({col}), {2 * i + 1}, 2), 16, 10) AS BIGINT)")
+        if dialect == "spark"
+        else (lambda i: f"('0x' || substr(hex({col}), {2 * i + 1}, 2))::BIGINT")
+    )
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return " || '.' || ".join(f"CAST({conv(i)} AS {s})" for i in range(4))
+
+def decode_addresses(frames: DataFrame) -> DataFrame:
+    """P2 as a standalone op: raw address bytes -> dotted-quad text."""
+    return frames.selectExpr(
+        "event_id",
+        f"{_ip_to_string('addrBytes', 'spark')} AS clientAddress",
+    )
+
+def decode_addresses_sql() -> str:
+    return (
+        f"SELECT event_id, {_ip_to_string('addrBytes', 'duckdb')} AS clientAddress\n"
+        f"FROM ({RAW_FRAMES_SQL})"
+    )
 
 def decode_frames_sql(kind: str) -> str:
     time_col = "queryTime" if kind == "CLIENT_QUERY" else "responseTime"

@@ -1,0 +1,65 @@
+"""S1-S5 bridge: real unix socket -> frames -> parquet chunks -> Spark
+(batch and readStream), plus the S1 backoff ladder semantics."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dnstap2clickhouse_spark.sources.bridge import SocketBridge, backoff_delays, send_frames
+from dnstap2clickhouse_spark import streaming as st
+
+def _sample_rows(n: int) -> list[dict]:
+    base_us = 1_704_067_200_000_000
+    types = ["click", "error", "purchase", "signup", "view"]
+    return [
+        {
+            "event_id": i,
+            "ts_us": base_us + i * 1_000_000,
+            "user_id": i % 50,
+            "event_type": types[i % 5],
+            "value": float(i) / 10.0,
+            "props": "{}",
+        }
+        for i in range(n)
+    ]
+
+def test_backoff_ladder_matches_reference():
+    # dnstap.go:112-124: 1, 3, 7, 15, 31, 60, 60, ...
+    assert list(itertools.islice(backoff_delays(), 7)) == [1, 3, 7, 15, 31, 60, 60]
+
+def test_socket_to_parquet_to_spark(spark):
+    d = tempfile.mkdtemp(prefix="bridge_")
+    sock = os.path.join(d, "dnstap.sock")
+    out = os.path.join(d, "chunks")
+    bridge = SocketBridge(sock, out, readers=2, flush_rows=64)
+    bridge.start()
+    try:
+        rows = _sample_rows(200)
+        send_frames(sock, rows[:100])
+        send_frames(sock, rows[100:])  # second connection exercises fan-in
+        deadline = 50
+        while bridge.frames_read < 200 and deadline:
+            import time
+
+            time.sleep(0.1)
+            deadline -= 1
+        assert bridge.frames_read == 200
+    finally:
+        bridge.stop()
+    # socket file removed on stop; 0660 was applied while live
+    assert not os.path.exists(sock)
+
+    df = spark.read.parquet(out)
+    assert df.count() == 200
+    assert set(df.columns) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    # the bridge output feeds the SAME streaming pipeline as driver data
+    sdf = st.streaming_client_query_agg(st.read_events_stream(spark, out, "/root/testdata/sf0.001"))
+    mem = st.run_stream_to_memory(sdf, "update", spark)
+    assert mem.count() > 0
+    shutil.rmtree(d, ignore_errors=True)
