@@ -17,10 +17,13 @@ from dnstap2clickhouse_spark.sources.events import (
     QUERY_STREAM_SQL,
     RESPONSE_STREAM_SQL,
     PAIR_QUERY_SQL,
+    PAIR_RESPONSE_SQL,
     dns_query_stream,
     dns_response_stream,
     dns_pair_streams,
 )
+from dnstap2clickhouse_spark.operators import join as oj
+from dnstap2clickhouse_spark.streaming import pipeline as stp
 from dnstap2clickhouse_spark.operators import dns_pipeline as dp
 from dnstap2clickhouse_spark.operators import analytics as an
 from dnstap2clickhouse_spark.operators import prep
@@ -87,6 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_passthrough": lambda s, d: dp.client_response_table(s, d, no_agg),
         # --- J1 join + A9 int-div average ---
         "dns_response_time_join": lambda s, d: dp.response_time_table(s, d),
+        # J1 match-once (first-match-wins, state deleted on match —
+        # aggregator.go:339-389) as deterministic sequence pairing
+        "dns_match_once": lambda s, d: oj.match_response_times_once(
+            *dns_pair_streams(s, d)
+        ),
+        # J1 exact state machine via applyInPandasWithState — sequential
+        # semantics, not SQL-expressible: no oracle entry (rows-only)
+        "dns_stateful_match": stp.stateful_match_query,
         # --- F6 bitmask sampling ---
         "dns_sampling": lambda s, d: sample_by_dns_id(
             dns_pair_streams(s, d)[0], _SAMPLE_MASK, _SAMPLE_MATCH
@@ -159,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
         "dns_client_response_agg": cr,
         "dns_passthrough": dp.client_response_table_sql(no_agg),
         "dns_response_time_join": rt,
+        "dns_match_once": oj.match_response_times_once_sql(
+            PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
+        ),
         "dns_sampling": sample_by_dns_id_sql(PAIR_QUERY_SQL, _SAMPLE_MASK, _SAMPLE_MATCH),
         "dns_column_pruning": apply_column_config_sql(QUERY_STREAM_SQL, _PRUNE_CFG),
         "dns_q1_top_addresses": an.top_query_addresses_sql(cq),

@@ -48,9 +48,13 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
 
 def _brute_force_sql(dialect: str) -> str:
     cos = _cosine("q.embedding", "c.embedding", dialect)
+    # broadcast the tiny query set, NOT the corpus: the non-equi join is
+    # a nested loop whose build side must be the small one, or the plan
+    # ships the whole corpus to every executor at scale
+    hint = f"/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     return f"""
 WITH scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS cosine
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES}),
@@ -86,12 +90,13 @@ def _lsh_sql(dialect: str) -> str:
     equi-joins — each branch stays a hash/broadcast equi-join at scale;
     more tables = higher recall at linear candidate cost."""
     cos = _cosine("q.embedding", "c.embedding", dialect)
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     branches = []
     for t in range(LSH_TABLES):
         bq = _bucket_expr("q.embedding", t, dialect)
         bc = _bucket_expr("c.embedding", t, dialect)
         branches.append(
-            f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine\n"
+            f"SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine\n"
             f"  FROM embeddings q JOIN embeddings c\n"
             f"    ON q.vec_id <> c.vec_id AND {bq} = {bc}\n"
             f"  WHERE q.vec_id < {N_QUERIES}"
@@ -204,11 +209,16 @@ def _ivf_sql(dialect: str) -> str:
         cnorm = "list_dot_product(c.cvec, c.cvec)"
         enorm = "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
     cos_pair = _cosine("q.embedding", "n.embedding", dialect)
+    # broadcast the centroid table (tiny) against the corpus scan, and
+    # the probe list (nprobe rows per query) against the assignments —
+    # keeps the corpus side shuffle-free end-to-end
+    h_cent = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    h_probe = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
     return f"""
 WITH cent AS ({cent_inner}),
 centv AS ({cvec}),
 cell_scored AS (
-  SELECT e.vec_id, c.label,
+  SELECT {h_cent}e.vec_id, c.label,
          {qdot} / sqrt({cnorm} * {enorm}) AS ccos
   FROM embeddings e CROSS JOIN centv c),
 cell_ranked AS (
@@ -220,7 +230,7 @@ probes AS (
   SELECT vec_id AS query_id, label AS cell
   FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
 cand AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id
+  SELECT {h_probe}p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cell = p.cell
   WHERE a.vec_id <> p.query_id),
 scored AS (

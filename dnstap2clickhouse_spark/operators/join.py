@@ -79,6 +79,72 @@ def avg_response_time_samples(
         )
     )
 
+def match_response_times_once(
+    queries: DataFrame,
+    responses: DataFrame,
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """J1 with the reference's **match-once** semantics.
+
+    The reference's hash state (aggregator.go:339-389) holds ONE pending
+    timestamp per key and deletes it on match — each query occurrence
+    pairs with at most one response and vice versa, unlike a relational
+    join which emits all pairs. The deterministic batch form is
+    sequence pairing: the n-th query on a key (by queryTime) pairs with
+    the n-th response on that key (by responseTime). Pairs that violate
+    the time bound are discarded, mirroring the reference's
+    negative-delta collision discard (aggregator.go:382-388).
+
+    Deterministic despite ties: tied timestamps are equal values, so the
+    emitted delta multiset is invariant to tie permutation.
+
+    Scale: one shuffle per side on the 4-part key (window rank), then a
+    co-partitioned equi-join on the same key — AQE can reuse the
+    exchange; key cardinality is uniform (DNS id), so no skew.
+    """
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy(*JOIN_KEYS).orderBy("queryTime")
+    wr = Window.partitionBy(*JOIN_KEYS).orderBy("responseTime")
+    q = queries.withColumn("seq", F.row_number().over(wq)).alias("q")
+    r = responses.withColumn("seq", F.row_number().over(wr)).alias("r")
+    cond = F.col("q.seq") == F.col("r.seq")
+    for k in JOIN_KEYS:
+        cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col("r.responseTime") >= F.col("q.queryTime"))
+        & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{max_delay}'"))
+    )
+    return q.join(r, cond, "inner").select(
+        F.col("r.responseTime").alias("responseTime"),
+        F.col("q.identity").alias("identity"),
+        (F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime")).alias("delta_us"),
+    )
+
+def match_response_times_once_sql(
+    query_sql: str,
+    response_sql: str,
+    max_delay_sql: str = "INTERVAL '10 minutes'",
+) -> str:
+    """DuckDB-oracle counterpart of :func:`match_response_times_once`."""
+    keys = ", ".join(JOIN_KEYS)
+    on = " AND ".join(f"q.{k} = r.{k}" for k in JOIN_KEYS)
+    return (
+        f"WITH qs AS (\n"
+        f"  SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY queryTime) AS seq\n"
+        f"  FROM ({query_sql})),\n"
+        f"rs AS (\n"
+        f"  SELECT *, row_number() OVER (PARTITION BY {keys} ORDER BY responseTime) AS seq\n"
+        f"  FROM ({response_sql}))\n"
+        f"SELECT r.responseTime AS responseTime, q.identity AS identity,\n"
+        f"       epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us\n"
+        f"FROM qs q JOIN rs r\n"
+        f"  ON {on} AND q.seq = r.seq\n"
+        f" AND r.responseTime >= q.queryTime\n"
+        f" AND r.responseTime <= q.queryTime + {max_delay_sql}"
+    )
+
 def match_response_times_sql(
     query_sql: str,
     response_sql: str,

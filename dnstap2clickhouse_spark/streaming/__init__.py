@@ -4,8 +4,10 @@ from .pipeline import (
     streaming_client_response_agg,
     streaming_passthrough,
     streaming_response_time_join,
+    stateful_match_query,
     run_stream_to_memory,
 )
+from .match_state import stateful_match_once, tag_pair_streams, simulate_match
 
 __all__ = [
     "read_events_stream",
@@ -13,5 +15,9 @@ __all__ = [
     "streaming_client_response_agg",
     "streaming_passthrough",
     "streaming_response_time_join",
+    "stateful_match_query",
     "run_stream_to_memory",
+    "stateful_match_once",
+    "tag_pair_streams",
+    "simulate_match",
 ]

@@ -129,6 +129,39 @@ def streaming_response_time_join(
         (F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime")).alias("delta_us"),
     )
 
+def stateful_match_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Driver-contract wrapper for the exact-semantics stateful match
+    (``streaming.match_state``): chunk the events table into micro-batch
+    files, run the ``applyInPandasWithState`` operator over them with
+    state carried across batches, and return the matched samples.
+
+    No DuckDB oracle exists for this op (sequential state semantics are
+    not SQL-expressible) — the driver records the weaker rows-only check;
+    tests pin it against the pure-Python simulator and the rank-pairing
+    batch form.
+    """
+    import shutil
+    import tempfile
+
+    from .match_state import stateful_match_once, tag_pair_streams
+
+    d = tempfile.mkdtemp(prefix="stateful_match_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        n = ev.count()
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            ev.filter(
+                (ev.event_id >= i * step) & (ev.event_id < (i + 1) * step)
+            ).coalesce(1).write.mode("append").parquet(d)
+        stream = read_events_stream(spark, d, sf_dir)
+        q = _project(stream, "queryTime", False, True, 0)
+        r = _project(stream, "responseTime", True, True, 1)
+        matched = stateful_match_once(tag_pair_streams(q, r))
+        return run_stream_to_memory(matched, "append", spark)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
 def run_stream_to_memory(
     sdf: DataFrame,
     mode: str,
