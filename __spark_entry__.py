@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_q1_top_addresses": lambda s, d: an.top_query_addresses(
             dp.client_query_table(s, d)
         ),
+        # Q1 via the skew-spread two-stage agg — same oracle (exact)
+        "dns_q1_salted": lambda s, d: an.top_query_addresses_salted(
+            dp.client_query_table(s, d)
+        ),
         "dns_q2_top_nxdomain": lambda s, d: an.top_nxdomain_names(
             dp.client_response_table(s, d)
         ),
@@ -150,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops: multimodal columns ---
         "mm_media_metadata": fmm.media_metadata,
         "mm_media_features": fmm.media_features,
+        "mm_frame_sample": fmm.frame_sample,
     }
 
 def oracle_sql() -> dict[str, str]:
@@ -176,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "dns_sampling": sample_by_dns_id_sql(PAIR_QUERY_SQL, _SAMPLE_MASK, _SAMPLE_MATCH),
         "dns_column_pruning": apply_column_config_sql(QUERY_STREAM_SQL, _PRUNE_CFG),
         "dns_q1_top_addresses": an.top_query_addresses_sql(cq),
+        "dns_q1_salted": an.top_query_addresses_sql(cq),
         "dns_q2_top_nxdomain": an.top_nxdomain_names_sql(cr),
         "dns_q3_nonok_series": an.non_ok_time_series_sql(cr),
         "dns_q4_latency_series": an.response_time_series_sql(rt),
@@ -204,4 +210,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": fsim.embedding_cosine_dups_sql(),
         "mm_media_metadata": fmm.media_metadata_sql(),
         "mm_media_features": fmm.media_features_sql(),
+        "mm_frame_sample": fmm.frame_sample_sql(),
     }

@@ -28,6 +28,7 @@ HEADLINE = [
     "dns_client_query_agg",
     "dns_client_response_agg",
     "dns_response_time_join",
+    "dns_match_once",
     "dns_pipeline_e2e",
     "dns_q1_top_addresses",
     "dns_q4_latency_series",
@@ -38,6 +39,7 @@ HEADLINE = [
     "text_fingerprints",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ivf_topk",
 ]
 
 def main() -> None:
@@ -46,6 +48,13 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
     queries = entry.queries()
+
+    # one untimed warm-up: JVM/codegen/parquet-footer initialization —
+    # measured numbers then reflect steady-state plan execution
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    queries["dns_q1_top_addresses"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

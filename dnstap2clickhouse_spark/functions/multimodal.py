@@ -68,6 +68,35 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+FRAME_STEP = 7  # sample every 7th frame
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    index (0, step, 2*step, ... < frames). The explode is the real
+    plumbing a video pipeline needs — the per-frame decode plugs into
+    ``extract_features``' ``mapInPandas`` slot downstream. Video rows
+    only (mime prefix), frame indices from the typed metadata."""
+    m = media_table(spark, sf_dir)
+    return (
+        m.filter("mime = 'video/mp4'")
+        .selectExpr(
+            "doc_id",
+            "meta.frames AS n_frames",
+            f"explode(sequence(CAST(0 AS BIGINT), meta.frames - 1, {FRAME_STEP})) AS frame_idx",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+def frame_sample_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(1 + doc_id % 30 AS BIGINT) AS n_frames,
+       unnest(range(0, CAST(1 + doc_id % 30 AS BIGINT), {FRAME_STEP})) AS frame_idx
+FROM documents
+WHERE doc_id % 3 = 2
+ORDER BY doc_id, frame_idx
+"""
+
 def decode_image(payload: bytes) -> "object":
     """Real image decode — requires PIL/libvips, not present in this
     container. The Spark plumbing around it is complete; swap this stub

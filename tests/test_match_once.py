@@ -99,6 +99,45 @@ def test_simulator_state_deleted_on_match():
     """After a match the key is empty; a lone third row stores fresh."""
     assert simulate_match([(0, False), (100, True), (200, True)]) == [100]
 
+# ------------------------------------------------- simulator properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    _traces = st_h.lists(
+        st_h.tuples(st_h.integers(min_value=0, max_value=10**9), st_h.booleans()),
+        max_size=50,
+    )
+
+    @given(_traces)
+    @settings(max_examples=200, deadline=None)
+    def test_simulator_deltas_non_negative(trace):
+        """Invariant (aggregator.go:382-388): every emitted delta >= 0."""
+        assert all(d >= 0 for d in simulate_match(trace))
+
+    @given(_traces)
+    @settings(max_examples=200, deadline=None)
+    def test_simulator_emits_at_most_half(trace):
+        """Each emit consumes a stored + a new row: <= len//2 emits."""
+        assert len(simulate_match(trace)) <= len(trace) // 2
+
+    @given(st_h.lists(st_h.integers(min_value=0, max_value=10**6), max_size=30))
+    @settings(max_examples=200, deadline=None)
+    def test_simulator_alternating_pairs_all_match(gaps):
+        """Well-formed traffic (q then r, strictly forward in time) always
+        matches completely with the exact gap deltas."""
+        t, trace, want = 0, [], []
+        for g in gaps:
+            trace.append((t, False))
+            trace.append((t + g, True))
+            want.append(g)
+            t += g + 1
+        assert simulate_match(trace) == want
+
+except ImportError:  # pragma: no cover
+    pass
+
 # ------------------------------------------------------- streaming flavor
 
 @pytest.fixture(scope="module")
