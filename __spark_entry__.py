@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- event-stream analytics patterns ---
         "events_sessionize": evan.sessionize,
         "events_pivot_counts": evan.pivot_event_counts,
+        "events_running_totals": evan.running_totals,
+        "events_distinct_users": evan.distinct_users,
         # --- training-data ops: text analysis ---
         "text_stats": ftext.text_stats,
         "text_quality": ftext.quality_scores,
@@ -147,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": fdedup.simhash_signatures,
         # --- training-data ops: similarity search ---
         "sim_cosine_topk": fsim.cosine_topk,
+        # Arrow/numpy scorer — last-ulp float drift vs the fold, so no
+        # exact oracle (rows-only); tolerance-pinned in tests
+        "sim_cosine_topk_pandas": fsim.cosine_topk_pandas,
         "sim_lsh_ann": fsim.lsh_bucketed_ann,
         "sim_ivf_topk": fsim.ivf_topk,
         "sim_label_centroids": fsim.label_centroids,
@@ -193,6 +198,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_segment_semi_anti": tpch.segment_semi_anti_sql(),
         "events_sessionize": evan.sessionize_sql(),
         "events_pivot_counts": evan.pivot_event_counts_sql(),
+        "events_running_totals": evan.running_totals_sql(),
+        "events_distinct_users": evan.distinct_users_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -75,6 +75,64 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cosine_topk_sql() -> str:
     return _brute_force_sql("duckdb")
 
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k with the scoring in a vectorized Pandas
+    UDF (Arrow-batched numpy matmul) instead of JVM expression folds —
+    the shape a real embedding-model scorer plugs into.
+
+    The query set is collected to a (tiny) numpy matrix broadcast inside
+    the UDF closure; the corpus streams through `mapInPandas` one Arrow
+    batch at a time, scoring all queries per batch in one matmul —
+    O(batch x queries) FLOPs with zero shuffle on the corpus side; only
+    the k-selection aggregates.
+
+    numpy's pairwise/SIMD summation differs from the sequential fold in
+    the last ulp, so this variant carries no exact oracle — it is pinned
+    by a tolerance test against :func:`cosine_topk` (rows-only for the
+    driver).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = emb.filter(f"vec_id < {N_QUERIES}").select("vec_id", "embedding").collect()
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_ids = pdf["vec_id"].to_numpy()
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+            n_q, n_c = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_c),
+                    "neighbor_id": np.tile(c_ids, n_q),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    return (
+        scored.filter("query_id <> neighbor_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank",
+        )
+        .filter(f"rank <= {TOP_K}")
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
 def _bucket_expr(col: str, table: int, dialect: str) -> str:
     """Sign-bit bucket for hash table `table` over its own dim slice:
     sum(2^i * [v_{table*LSH_BITS + i} >= 0])."""

@@ -57,6 +57,54 @@ FROM (
 GROUP BY user_id ORDER BY user_id
 """
 
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user event count + previous event's type (lag) —
+    the window-function surface (running aggregate over an ordered
+    frame). One shuffle on user_id; frames evaluate within partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("running_events"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.first("event_type").over(w).alias("first_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+def running_totals_sql() -> str:
+    return """
+SELECT user_id, event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_events,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+FROM events ORDER BY user_id, event_id
+"""
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per event type (two-phase: partial distinct
+    per partition, then merge — Spark expands count(distinct) that way
+    automatically). The approximate flavor at 100 TB is
+    ``approx_count_distinct`` (HLL++, one pass, mergeable sketch);
+    exact is kept as the oracle-comparable form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+def distinct_users_sql() -> str:
+    return """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns (values list pinned so
     the plan is static — required for large-scale pivot)."""

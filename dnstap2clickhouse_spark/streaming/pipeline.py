@@ -129,6 +129,38 @@ def streaming_response_time_join(
         (F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime")).alias("delta_us"),
     )
 
+def streaming_response_time_avg(
+    spark: SparkSession,
+    events_dir: str,
+    ref_sf_dir: str,
+    samples_dir: str,
+    cfg: AggregatorConfig | None = None,
+) -> DataFrame:
+    """A9+A10 streaming binding — the two-timer interplay.
+
+    Spark disallows a second stateful aggregation after a stream-stream
+    join in one query, so the reference's two-timer structure
+    (aggregator.go:589-619: samples *computed* every
+    ResponseTimeAggregationInterval, *shipped* on WriteInterval) maps to
+    the idiomatic two-stage form: the join streams matched pairs into an
+    append-only samples sink (K2, micro-batch = flush), and the windowed
+    integer-division average (A9) is computed over the sink — same rows,
+    same integer math as the batch `response_time_table`.
+    """
+    from ..operators.join import avg_response_time_samples
+
+    cfg = cfg or AggregatorConfig()
+    sdf = streaming_response_time_join(read_events_stream(spark, events_dir, ref_sf_dir), cfg)
+    q = (
+        sdf.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _eid: df.write.mode("append").parquet(samples_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    samples = spark.read.parquet(samples_dir)
+    return avg_response_time_samples(samples, f"{cfg.response_time_interval_s} seconds")
+
 def stateful_match_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
     """Driver-contract wrapper for the exact-semantics stateful match
     (``streaming.match_state``): chunk the events table into micro-batch

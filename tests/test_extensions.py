@@ -59,6 +59,21 @@ def test_lsh_ann_agrees_with_brute_force_top1(spark):
     # least some queries and never return a worse result than bucket-best
     assert agree >= 1
 
+def test_pandas_cosine_matches_jvm_fold(spark):
+    """The Arrow/numpy scorer returns the same neighbors as the JVM
+    expression fold; cosines agree to float tolerance."""
+    from dnstap2clickhouse_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_pandas,
+    )
+
+    jvm = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in cosine_topk(spark, SF).collect()}
+    pnd = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in cosine_topk_pandas(spark, SF).collect()}
+    assert jvm.keys() == pnd.keys()
+    for k, (nid, cos) in jvm.items():
+        pnid, pcos = pnd[k]
+        assert pnid == nid and abs(pcos - cos) < 1e-9
+
 def test_media_features_shape_and_determinism(spark):
     df = multimodal.media_features(spark, SF)
     rows = df.collect()

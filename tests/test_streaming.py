@@ -84,6 +84,20 @@ def test_stream_passthrough_counts(spark, events_dir):
     assert mem.count() == batch.count()
     assert mem.agg({"counter": "sum"}).first()[0] == batch.count()
 
+def test_streaming_avg_equals_batch_table(spark, events_dir):
+    """A9/A10 two-stage streaming flavor == batch response_time_table."""
+    samples = tempfile.mkdtemp(prefix="samples_") + "/out"
+    try:
+        got = st.stateful_match_query  # noqa: F841 (import check)
+        from dnstap2clickhouse_spark.streaming.pipeline import streaming_response_time_avg
+
+        avg = streaming_response_time_avg(spark, events_dir, SF, samples)
+        batch = dp.response_time_table(spark, SF)
+        cols = ["windowStart", "identity", "responseTimeDelta", "nSamples"]
+        assert _rows(avg.select(cols)) == _rows(batch.select(cols))
+    finally:
+        shutil.rmtree(os.path.dirname(samples), ignore_errors=True)
+
 def test_foreach_batch_sink_with_column_config(spark, events_dir):
     out = tempfile.mkdtemp(prefix="sink_out_")
     try:
