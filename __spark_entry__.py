@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_counts": evan.pivot_event_counts,
         "events_running_totals": evan.running_totals,
         "events_distinct_users": evan.distinct_users,
+        "events_value_quantiles": evan.value_quantiles,
+        # sketch flavor (HLL++/KLL): approximate by design, no oracle
+        "events_sketch_stats": evan.sketch_stats,
         # --- training-data ops: text analysis ---
         "text_stats": ftext.text_stats,
         "text_quality": ftext.quality_scores,
@@ -200,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_counts": evan.pivot_event_counts_sql(),
         "events_running_totals": evan.running_totals_sql(),
         "events_distinct_users": evan.distinct_users_sql(),
+        "events_value_quantiles": evan.value_quantiles_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -105,6 +105,46 @@ SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, bit-identical — verified). At 100 TB the
+    one-pass mergeable flavor is `approx_percentile` (KLL-style sketch);
+    exact `percentile` materializes per-group value lists and is the
+    oracle-comparable form."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).orderBy("event_type")
+
+def value_quantiles_sql() -> str:
+    return """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass sketch flavor of distinct+quantile stats: HLL++
+    (`approx_count_distinct`) and KLL-style (`approx_percentile`) —
+    mergeable partial states, O(1) memory per group, the form that
+    replaces `events_distinct_users`/`events_value_quantiles` at 100 TB.
+    Approximate by design => no exact oracle (rows-only driver check);
+    accuracy is pinned against the exact forms in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("approx_p"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).orderBy("event_type")
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns (values list pinned so
     the plan is static — required for large-scale pivot)."""

@@ -59,6 +59,23 @@ def test_lsh_ann_agrees_with_brute_force_top1(spark):
     # least some queries and never return a worse result than bucket-best
     assert agree >= 1
 
+def test_sketch_stats_accuracy(spark):
+    """HLL/KLL sketches track the exact forms within tolerance."""
+    from dnstap2clickhouse_spark.plans.events_analytics import (
+        distinct_users,
+        sketch_stats,
+        value_quantiles,
+    )
+
+    exact_d = {r.event_type: r.n_users for r in distinct_users(spark, SF).collect()}
+    exact_q = {r.event_type: (r.p50, r.p95) for r in value_quantiles(spark, SF).collect()}
+    for r in sketch_stats(spark, SF).collect():
+        assert abs(r.approx_users - exact_d[r.event_type]) <= 0.1 * exact_d[r.event_type]
+        p50, p95 = exact_q[r.event_type]
+        spread = max(1.0, p95 - p50)
+        assert abs(r.approx_p[0] - p50) <= 0.2 * spread
+        assert abs(r.approx_p[1] - p95) <= 0.2 * spread
+
 def test_pandas_cosine_matches_jvm_fold(spark):
     """The Arrow/numpy scorer returns the same neighbors as the JVM
     expression fold; cosines agree to float tolerance."""
