@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_segment_semi_anti": tpch.segment_semi_anti,
         # --- event-stream analytics patterns ---
         "events_sessionize": evan.sessionize,
+        "events_session_window": evan.session_window_stats,
         "events_pivot_counts": evan.pivot_event_counts,
         "events_running_totals": evan.running_totals,
         "events_distinct_users": evan.distinct_users,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_distinct_aggregates": tpch.distinct_aggregates_sql(),
         "tpch_segment_semi_anti": tpch.segment_semi_anti_sql(),
         "events_sessionize": evan.sessionize_sql(),
+        "events_session_window": evan.session_window_stats_sql(),
         "events_pivot_counts": evan.pivot_event_counts_sql(),
         "events_running_totals": evan.running_totals_sql(),
         "events_distinct_users": evan.distinct_users_sql(),

@@ -57,6 +57,38 @@ FROM (
 GROUP BY user_id ORDER BY user_id
 """
 
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` (dynamic-gap
+    merging windows — the streaming-capable form of `sessionize`).
+
+    Boundary semantics differ from the lag+cumsum method: session_window
+    keeps two events in one session iff ``ts2 < ts1 + gap`` (STRICT), so
+    a gap of exactly 30 minutes starts a new session — the oracle uses
+    ``>=`` accordingly (the lag method uses ``>``)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_session.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+def session_window_stats_sql() -> str:
+    return f"""
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CAST(prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= {SESSION_GAP_S} * 1000000 AS BIGINT) AS new_session
+  FROM (
+    SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events))
+GROUP BY user_id ORDER BY user_id
+"""
+
 def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-user event count + previous event's type (lag) —
     the window-function surface (running aggregate over an ordered
