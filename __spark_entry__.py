@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- aggregation core (A1-A7, grouping sets, windows) ---
         "dns_client_query_agg": lambda s, d: dp.client_query_table(s, d),
+        # native batch GROUPING SETS flavor — same output, same oracle
+        "dns_grouping_sets_native": dp.client_query_table_native,
         "dns_client_response_agg": lambda s, d: dp.client_response_table(s, d),
         # pass-through mode A8 (aggregator.go:556-565)
         "dns_passthrough": lambda s, d: dp.client_response_table(s, d, no_agg),
@@ -137,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_totals": evan.running_totals,
         "events_distinct_users": evan.distinct_users,
         "events_value_quantiles": evan.value_quantiles,
+        "events_rollup_daily": evan.rollup_daily,
         # sketch flavor (HLL++/KLL): approximate by design, no oracle
         "events_sketch_stats": evan.sketch_stats,
         # --- training-data ops: text analysis ---
@@ -181,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
             dp.client_query_table_sql(stream_sql=prep.decode_frames_sql("CLIENT_QUERY"))
         ),
         "dns_client_query_agg": cq,
+        "dns_grouping_sets_native": cq,
         "dns_client_response_agg": cr,
         "dns_passthrough": dp.client_response_table_sql(no_agg),
         "dns_response_time_join": rt,
@@ -206,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_totals": evan.running_totals_sql(),
         "events_distinct_users": evan.distinct_users_sql(),
         "events_value_quantiles": evan.value_quantiles_sql(),
+        "events_rollup_daily": evan.rollup_daily_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -163,6 +163,34 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup: per (day, event_type) counts plus per-day
+    and grand totals in one pass (``ROLLUP`` = one Expand + one shuffle,
+    same physical shape as grouping sets). NULL markers are coalesced to
+    'ALL' so the output is join-/filter-friendly downstream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.to_date("ts").alias("day"), "event_type", "value")
+        .rollup("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+        .orderBy("day", "event_type")
+    )
+
+def rollup_daily_sql() -> str:
+    return """
+SELECT coalesce(CAST(date_trunc('day', ts) AS VARCHAR), 'ALL') AS day,
+       coalesce(event_type, 'ALL') AS event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+ORDER BY day, event_type
+"""
+
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-pass sketch flavor of distinct+quantile stats: HLL++
     (`approx_count_distinct`) and KLL-style (`approx_percentile`) —
