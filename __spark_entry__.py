@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": evan.distinct_users,
         "events_value_quantiles": evan.value_quantiles,
         "events_rollup_daily": evan.rollup_daily,
+        # as-of join (backward, union+running-last — operators/asof.py)
+        "events_asof_attribution": evan.asof_attribution,
         # sketch flavor (HLL++/KLL): approximate by design, no oracle
         "events_sketch_stats": evan.sketch_stats,
         # --- training-data ops: text analysis ---
@@ -211,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": evan.distinct_users_sql(),
         "events_value_quantiles": evan.value_quantiles_sql(),
         "events_rollup_daily": evan.rollup_daily_sql(),
+        "events_asof_attribution": evan.asof_attribution_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -191,6 +191,46 @@ GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 ORDER BY day, event_type
 """
 
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→click attribution: each purchase joined as-of to the most
+    recent preceding click by the same user (`operators/asof.py` — one
+    shuffle, union+running-last, no range cross-join). The click side is
+    deduplicated per (user_id, ts) so tie-breaking is well-defined in
+    both engines (DuckDB ``ASOF JOIN`` leaves equal-ts ties unspecified).
+    """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts").distinct()
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return j.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("right_ts").alias("click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("right_ts")).alias("gap_us"),
+        "value",
+    ).orderBy("purchase_id")
+
+def asof_attribution_sql() -> str:
+    return """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       c.ts AS click_ts,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+       p.value
+FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-pass sketch flavor of distinct+quantile stats: HLL++
     (`approx_count_distinct`) and KLL-style (`approx_percentile`) —
