@@ -32,6 +32,7 @@ from dnstap2clickhouse_spark.functions import text as ftext
 from dnstap2clickhouse_spark.functions import dedup as fdedup
 from dnstap2clickhouse_spark.functions import similarity as fsim
 from dnstap2clickhouse_spark.functions import multimodal as fmm
+from dnstap2clickhouse_spark.functions import splits as fsplit
 from dnstap2clickhouse_spark.operators.columns import (
     apply_column_config,
     apply_column_config_sql,
@@ -142,6 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_daily": evan.rollup_daily,
         # as-of join (backward, union+running-last — operators/asof.py)
         "events_asof_attribution": evan.asof_attribution,
+        # sliding time-RANGE window frame (trailing-hour features)
+        "events_rolling_hour": evan.rolling_hour_stats,
+        # deterministic train/val/test split + stratified sampling
+        "split_train_val_test": fsplit.split_assignments,
+        "split_stratified_sample": fsplit.stratified_sample,
         # sketch flavor (HLL++/KLL): approximate by design, no oracle
         "events_sketch_stats": evan.sketch_stats,
         # --- training-data ops: text analysis ---
@@ -214,6 +220,9 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": evan.value_quantiles_sql(),
         "events_rollup_daily": evan.rollup_daily_sql(),
         "events_asof_attribution": evan.asof_attribution_sql(),
+        "events_rolling_hour": evan.rolling_hour_stats_sql(),
+        "split_train_val_test": fsplit.split_assignments_sql(),
+        "split_stratified_sample": fsplit.stratified_sample_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -1,0 +1,107 @@
+"""Deterministic dataset splitting / stratified sampling — training-data
+pipeline primitives (same family as functions/dedup.py; no reference
+counterpart — the reference's only sampling is the dnstap bitmask,
+operators/sampling.py).
+
+Why not ``df.sample()`` / ``sampleBy()``: their RNG is seed+partition
+dependent, so results change under repartitioning — unacceptable for a
+train/val/test split that must be stable across runs, engines, and
+cluster layouts, and they can't be oracle-checked. Instead each key is
+bucketed by a **Lehmer multiplicative hash** computed in plain int64
+arithmetic::
+
+    bucket(k) = ((k mod p) * a mod p) mod n_buckets,  p = 2^31-1 (prime),
+                                                      a = 48271 (MINSTD)
+
+The product is < p^2 ~ 4.6e18 < int64 max, so the expression evaluates
+identically (no overflow, no wrap) in Spark, DuckDB, or any engine with
+64-bit integer arithmetic — the split is portable by construction and
+runs entirely inside whole-stage codegen (no UDF, no shuffle: a split
+is a *projection*; only the demo queries' summaries aggregate).
+
+At 100 TB: assignment is embarrassingly parallel and collocates with
+the scan; downstream ``filter(split = 'train')`` is a pushed-down
+predicate, so materializing per-split tables is one pruned scan each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+LEHMER_P = 2_147_483_647  # 2^31 - 1, prime
+LEHMER_A = 48_271  # MINSTD multiplier
+
+#: split layout over 100 hash buckets: [0,80) train / [80,90) val / [90,100) test
+SPLIT_BOUNDS = {"train": (0, 80), "val": (80, 90), "test": (90, 100)}
+
+#: per-language sampling rates (buckets of 100 kept) for the stratified demo
+STRATA_RATES = {"en": 60, "de": 30, "fr": 30, "es": 20}
+DEFAULT_RATE = 10
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from an integer key."""
+    return ((key % LEHMER_P) * LEHMER_A % LEHMER_P) % n_buckets
+
+def _bucket_sql(key: str, n_buckets: int = 100) -> str:
+    return f"((({key} % {LEHMER_P}) * {LEHMER_A}) % {LEHMER_P}) % {n_buckets}"
+
+def assign_split(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Add ``bucket`` and ``split`` columns (pure projection, no shuffle)."""
+    b = hash_bucket(F.col(key))
+    split = F.lit(None).cast("string")
+    expr = None
+    for name, (lo, hi) in SPLIT_BOUNDS.items():
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("bucket", b).withColumn("split", expr)
+
+def split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment + per-(split, lang) counts are the
+    demo surface; the assignment itself is the reusable primitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(docs)
+        .select("doc_id", "lang", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+def split_assignments_sql() -> str:
+    cases = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    )
+    return f"""
+SELECT doc_id, lang, b AS bucket, CASE {cases} END AS split
+FROM (SELECT doc_id, lang, {_bucket_sql('doc_id')} AS b FROM documents)
+ORDER BY doc_id
+"""
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a document when its
+    hash bucket falls under its language's configured rate. Unlike
+    ``sampleBy`` this is reproducible under any partitioning and needs
+    no RNG state; the predicate is codegen'd and pushed to the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = None
+    for lang, r in STRATA_RATES.items():
+        cond = F.col("lang") == lang
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(DEFAULT_RATE)
+    return (
+        assign_split(docs)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+def stratified_sample_sql() -> str:
+    cases = " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in STRATA_RATES.items())
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM documents)
+WHERE b < CASE {cases} ELSE {DEFAULT_RATE} END
+ORDER BY doc_id
+"""

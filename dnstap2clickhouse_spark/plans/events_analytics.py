@@ -191,6 +191,46 @@ GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 ORDER BY day, event_type
 """
 
+ROLLING_WINDOW_S = 3600  # 1 hour
+
+def rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity features (sliding *time-range*
+    window frame, vs the row-count frames in :func:`running_totals`):
+    for every event, the count and value-sum of the same user's events in
+    the preceding hour. ``rangeBetween`` over ``unix_micros(ts)`` — one
+    shuffle on user_id, frames evaluate within partitions via a single
+    sort. Value is summed in integer cents (``round(value*100)``) so the
+    rolling sum is order-independent and exactly comparable across
+    engines (float accumulation order would differ)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-ROLLING_WINDOW_S * 1_000_000, 0)
+    )
+    return (
+        ev.withColumn("value_cents", F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts"),
+            F.count(F.lit(1)).over(w).alias("n_events_1h"),
+            F.sum("value_cents").over(w).alias("value_cents_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+def rolling_hour_stats_sql() -> str:
+    return f"""
+SELECT user_id, event_id, ts,
+       count(*) OVER w AS n_events_1h,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS value_cents_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '{ROLLING_WINDOW_S} seconds' PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase→click attribution: each purchase joined as-of to the most
     recent preceding click by the same user (`operators/asof.py` — one

@@ -4,6 +4,7 @@ from .pipeline import (
     streaming_client_response_agg,
     streaming_passthrough,
     streaming_response_time_join,
+    streaming_exact_dedup,
     stateful_match_query,
     run_stream_to_memory,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_client_response_agg",
     "streaming_passthrough",
     "streaming_response_time_join",
+    "streaming_exact_dedup",
     "stateful_match_query",
     "run_stream_to_memory",
     "stateful_match_once",

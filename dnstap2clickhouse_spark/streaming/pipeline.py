@@ -161,6 +161,29 @@ def streaming_response_time_avg(
     samples = spark.read.parquet(samples_dir)
     return avg_response_time_samples(samples, f"{cfg.response_time_interval_s} seconds")
 
+def streaming_exact_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    time_col: str = "ts",
+    watermark: str = "90 days",
+) -> DataFrame:
+    """Exactly-once by key over an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it, so state is bounded (unlike ``dropDuplicates``
+    on a stream, whose state grows forever). This is the streaming
+    flavor of ``functions/dedup.exact_dedup`` and the idiomatic
+    replacement for the reference sink's retry/drop machinery
+    (clickhouse.go:361-412): redeliveries inside the watermark collapse
+    to one row, upgrading at-most-once to effectively-once into any
+    downstream sink.
+
+    At scale: state is hash-partitioned by key across executors; the
+    watermark is the knob trading state size vs dedup horizon.
+    """
+    return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
 def stateful_match_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
     """Driver-contract wrapper for the exact-semantics stateful match
     (``streaming.match_state``): chunk the events table into micro-batch

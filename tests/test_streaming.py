@@ -115,3 +115,24 @@ def test_foreach_batch_sink_with_column_config(spark, events_dir):
         assert written.count() > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+def test_streaming_exact_dedup_collapses_redelivery(spark, events_dir):
+    """At-least-once input (every chunk delivered twice, within-batch and
+    across batches) must collapse to exactly the batch-distinct rows."""
+    import tempfile
+
+    dup_dir = tempfile.mkdtemp(prefix="events_dup_")
+    try:
+        src = spark.read.parquet(events_dir)
+        # two full deliveries: duplicates both inside one file and across
+        # micro-batch boundaries
+        src.unionAll(src).coalesce(2).write.mode("append").parquet(dup_dir)
+        src.coalesce(1).write.mode("append").parquet(dup_dir)
+        sdf = st.streaming_exact_dedup(st.read_events_stream(spark, dup_dir, SF))
+        got = st.run_stream_to_memory(sdf, "append", spark)
+        batch = load_table(spark, SF, "events")
+        assert _rows(got) == _rows(batch.select(*got.columns))
+    finally:
+        import shutil
+
+        shutil.rmtree(dup_dir, ignore_errors=True)
