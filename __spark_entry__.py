@@ -28,6 +28,7 @@ from dnstap2clickhouse_spark.operators import dns_pipeline as dp
 from dnstap2clickhouse_spark.operators import analytics as an
 from dnstap2clickhouse_spark.operators import prep
 from dnstap2clickhouse_spark.plans import tpch, events_analytics as evan
+from dnstap2clickhouse_spark.plans import curation as pcur
 from dnstap2clickhouse_spark.functions import text as ftext
 from dnstap2clickhouse_spark.functions import dedup as fdedup
 from dnstap2clickhouse_spark.functions import similarity as fsim
@@ -148,6 +149,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic train/val/test split + stratified sampling
         "split_train_val_test": fsplit.split_assignments,
         "split_stratified_sample": fsplit.stratified_sample,
+        # composed corpus-curation pipeline (stats→quality→dedup→split)
+        "curate_corpus_e2e": pcur.curate_corpus,
+        # ordered funnel conversion over events
+        "events_funnel": evan.funnel_conversion,
         # sketch flavor (HLL++/KLL): approximate by design, no oracle
         "events_sketch_stats": evan.sketch_stats,
         # --- training-data ops: text analysis ---
@@ -223,6 +228,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hour": evan.rolling_hour_stats_sql(),
         "split_train_val_test": fsplit.split_assignments_sql(),
         "split_stratified_sample": fsplit.stratified_sample_sql(),
+        "curate_corpus_e2e": pcur.curate_corpus_sql(),
+        "events_funnel": evan.funnel_conversion_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -1,0 +1,76 @@
+"""End-to-end corpus-curation pipeline — the composed training-data
+flagship: token stats → quality gate → exact-dedup survivor selection →
+deterministic split assignment, in ONE declarative plan.
+
+Each stage exists standalone (functions/text.py, functions/dedup.py,
+functions/splits.py); this plan proves they compose into the pipeline a
+pretraining-data team actually runs, and that the whole thing stays
+inside Catalyst: the quality gate is a codegen'd projection+filter, the
+dedup survivor is one shuffle (window over the bag key), the split is a
+pure projection. Total: two shuffles (dedup key, final demo sort) over
+any corpus size — no collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.splits import SPLIT_BOUNDS, _bucket_sql, assign_split
+from ..functions.text import _quality_expr, _stats_exprs
+from ..sources.tables import load_table
+
+QUALITY_MIN = 0.55
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents with quality score and split assignment.
+
+    Survivor rule: the lowest doc_id per bag-of-words key (md5 of the
+    sorted token list — catches exact texts and word-order shuffles)
+    among the docs that pass the quality gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.selectExpr(
+        *_stats_exprs("spark"), "lang", "md5(concat_ws(' ', array_sort(split(text, ' ')))) AS bag_key"
+    )
+    scored = stats.withColumn("quality", F.expr(_quality_expr()))
+    gated = scored.filter(F.col("quality") >= QUALITY_MIN)
+    w = Window.partitionBy("bag_key")
+    survivors = (
+        gated.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+    )
+    return (
+        assign_split(survivors)
+        .select("doc_id", "lang", "n_tokens", "quality", "n_dups", "split")
+        .orderBy("doc_id")
+    )
+
+def curate_corpus_sql() -> str:
+    stats = ",\n         ".join(_stats_exprs("duckdb"))
+    cases = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    )
+    return f"""
+WITH stats AS (
+  SELECT {stats},
+         lang,
+         md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bag_key
+  FROM documents),
+scored AS (
+  SELECT *, {_quality_expr()} AS quality FROM stats),
+gated AS (
+  SELECT * FROM scored WHERE quality >= {QUALITY_MIN}),
+survivors AS (
+  SELECT *,
+         min(doc_id) OVER (PARTITION BY bag_key) AS canonical_id,
+         count(*) OVER (PARTITION BY bag_key) AS n_dups
+  FROM gated)
+SELECT doc_id, lang, n_tokens, quality, n_dups,
+       CASE {cases} END AS split
+FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM survivors)
+WHERE doc_id = canonical_id
+ORDER BY doc_id
+"""

@@ -191,6 +191,64 @@ GROUP BY ROLLUP (date_trunc('day', ts), event_type)
 ORDER BY day, event_type
 """
 
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): a user converts at
+    step N only via an event at-or-after their step-N-1 conversion time.
+
+    Shape: per-step conditional min-ts, chained through co-partitioned
+    joins on user_id (AQE reuses the exchange; all three aggregations
+    shuffle on the same key). Output is the one-row funnel summary —
+    the form dashboards consume."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _summary(df: DataFrame, step: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).alias("step"), "n_users"
+        )
+
+    # one declarative plan (UNION of the three step counts) — no
+    # driver-side .count() round-trips
+    return (
+        _summary(s1, FUNNEL_STEPS[0])
+        .unionAll(_summary(s2, FUNNEL_STEPS[1]))
+        .unionAll(_summary(s3, FUNNEL_STEPS[2]))
+    )
+
+def funnel_conversion_sql() -> str:
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts >= s1.t1 GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts >= s2.t2 GROUP BY e.user_id)
+SELECT '{FUNNEL_STEPS[0]}' AS step, count(*) AS n_users FROM s1
+UNION ALL SELECT '{FUNNEL_STEPS[1]}', count(*) FROM s2
+UNION ALL SELECT '{FUNNEL_STEPS[2]}', count(*) FROM s3
+"""
+
 ROLLING_WINDOW_S = 3600  # 1 hour
 
 def rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
