@@ -149,6 +149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic train/val/test split + stratified sampling
         "split_train_val_test": fsplit.split_assignments,
         "split_stratified_sample": fsplit.stratified_sample,
+        # correlated-subquery surface (Catalyst decorrelation)
+        "tpch_exists_late_ship": tpch.exists_late_ship,
+        "tpch_small_qty_revenue": tpch.small_qty_revenue,
         # composed corpus-curation pipeline (stats→quality→dedup→split)
         "curate_corpus_e2e": pcur.curate_corpus,
         # ordered funnel conversion over events
@@ -228,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hour": evan.rolling_hour_stats_sql(),
         "split_train_val_test": fsplit.split_assignments_sql(),
         "split_stratified_sample": fsplit.stratified_sample_sql(),
+        "tpch_exists_late_ship": tpch.exists_late_ship_sql(),
+        "tpch_small_qty_revenue": tpch.small_qty_revenue_sql(),
         "curate_corpus_e2e": pcur.curate_corpus_sql(),
         "events_funnel": evan.funnel_conversion_sql(),
         "text_stats": ftext.text_stats_sql(),

@@ -36,6 +36,9 @@ HEADLINE = [
     "tpch_top_orders",
     "tpch_region_revenue",
     "events_sessionize",
+    "events_asof_attribution",
+    "curate_corpus_e2e",
+    "tpch_small_qty_revenue",
     "text_fingerprints",
     "dedup_minhash_lsh",
     "sim_cosine_topk",

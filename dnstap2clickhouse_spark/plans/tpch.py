@@ -239,3 +239,65 @@ SELECT c_mktsegment,
          SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > {HIGH_VALUE})) AS BIGINT) AS n_without
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+LATE_SHIP_DAYS = 60
+
+def _exists_late_ship_sql(interval: str) -> str:
+    return f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + {interval})
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+def exists_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: correlated EXISTS — orders with at least one
+    line shipped more than 60 days after the order date, counted per
+    priority. Catalyst decorrelates EXISTS into a **left semi join** on
+    l_orderkey (dedup is structural, no DISTINCT needed); at scale that
+    is one shuffle of each side on the order key, with the non-equi
+    ship-date bound evaluated as the join residual."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_exists_late_ship_sql(f"INTERVAL {LATE_SHIP_DAYS} DAYS"))
+
+def exists_late_ship_sql() -> str:
+    return _exists_late_ship_sql(f"INTERVAL {LATE_SHIP_DAYS} DAY")
+
+SMALL_QTY_BRAND = "Brand#13"
+
+def _small_qty_revenue_sql() -> str:
+    # identical text in both dialects: scaled-integer money sum (order-free)
+    return f"""
+SELECT count(*) AS n_lines,
+       CAST(round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0) AS BIGINT)
+         AS revenue_floor
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{SMALL_QTY_BRAND}'
+  AND l.l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: scalar correlated subquery (per-part average
+    quantity) gating a fact-side filter. Catalyst decorrelates the
+    subquery into a separate aggregate over lineitem joined back on
+    l_partkey — two scans of the fact but both column-pruned to
+    (l_partkey, l_quantity[, l_extendedprice]); the part side is a
+    broadcast. The avg compare is deterministic: quantities are integral
+    doubles, so sum/count is exact in both engines."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_small_qty_revenue_sql())
+
+def small_qty_revenue_sql() -> str:
+    return _small_qty_revenue_sql()
