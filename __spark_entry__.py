@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus_e2e": pcur.curate_corpus,
         # ordered funnel conversion over events
         "events_funnel": evan.funnel_conversion,
+        # set-operation surface (INTERSECT / EXCEPT cohorts)
+        "events_user_set_ops": evan.user_set_ops,
         # sketch flavor (HLL++/KLL): approximate by design, no oracle
         "events_sketch_stats": evan.sketch_stats,
         # --- training-data ops: text analysis ---
@@ -235,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_small_qty_revenue": tpch.small_qty_revenue_sql(),
         "curate_corpus_e2e": pcur.curate_corpus_sql(),
         "events_funnel": evan.funnel_conversion_sql(),
+        "events_user_set_ops": evan.user_set_ops_sql(),
         "text_stats": ftext.text_stats_sql(),
         "text_quality": ftext.quality_scores_sql(),
         "text_lang_id": ftext.lang_id_sql(),

@@ -357,3 +357,43 @@ def pivot_event_counts_sql() -> str:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
     )
     return f"SELECT user_id,\n       {cols}\nFROM events GROUP BY user_id ORDER BY user_id"
+
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (SURVEY.md section 2.6: the reference has
+    none; the engine provides them natively): user cohorts by set
+    algebra — INTERSECT (clicked AND purchased), EXCEPT (clicked but
+    never purchased). Both compile to semi/anti-shaped hash aggregates,
+    one shuffle each on user_id; the counts union into one summary."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    clicked, purchased = users_of("click"), users_of("purchase")
+    both = clicked.intersect(purchased)
+    only_clicked = clicked.exceptAll(purchased)
+
+    def _n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("cohort"), "n_users"
+        )
+
+    return (
+        _n(both, "clicked_and_purchased")
+        .unionAll(_n(only_clicked, "clicked_never_purchased"))
+        .orderBy("cohort")
+    )
+
+def user_set_ops_sql() -> str:
+    return """
+SELECT 'clicked_and_purchased' AS cohort, count(*) AS n_users FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'clicked_never_purchased', count(*) FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+ORDER BY cohort
+"""
