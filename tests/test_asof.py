@@ -75,3 +75,62 @@ def test_tie_on_right_ts_is_greatest_payload(spark):
     )
     rows = asof_join(left, right, on=["key"]).collect()
     assert [r.right_rlbl for r in rows] == ["B"]  # greatest struct wins, deterministically
+
+# ------------------------- property: asof_join vs naive reference model
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    _rows = st_h.lists(
+        st_h.tuples(
+            st_h.sampled_from(["a", "b", "c"]),          # key
+            st_h.integers(min_value=0, max_value=50),    # seconds offset
+            st_h.integers(min_value=0, max_value=9),     # payload id
+        ),
+        min_size=0,
+        max_size=12,
+    )
+
+    def _naive_backward(left, right):
+        """Reference model: per left row, the right row with the greatest
+        (ts, payload) among same-key rows with ts <= left ts."""
+        out = {}
+        for lk, lt, li in left:
+            cands = [(rt, ri) for rk, rt, ri in right if rk == lk and rt <= lt]
+            out[(lk, lt, li)] = max(cands) if cands else None
+        return out
+
+    @given(_rows, _rows)
+    @settings(max_examples=12, deadline=None)
+    def test_asof_matches_naive_model(left_rows, right_rows):
+        # hypothesis can't inject fixtures: grab the shared session
+        from dnstap2clickhouse_spark.session import get_spark
+
+        spark = get_spark("test")
+        left = spark.createDataFrame(
+            [(k, _ts(t), i) for k, t, i in left_rows] or [("zz", _ts(0), 0)],
+            "key string, ts timestamp, lid int",
+        )
+        right = spark.createDataFrame(
+            [(k, _ts(t), i) for k, t, i in right_rows] or [("zz", _ts(-999), 0)],
+            "key string, ts timestamp, rid int",
+        )
+        got = {
+            (r.key, (r.ts - dt.datetime(2026, 1, 1)).total_seconds(), r.lid): (
+                None
+                if r.right_ts is None
+                else ((r.right_ts - dt.datetime(2026, 1, 1)).total_seconds(), r.right_rid)
+            )
+            for r in asof_join(left, right, on=["key"], how="left").collect()
+        }
+        want = {
+            (k, float(t), i): (None if v is None else (float(v[0]), v[1]))
+            for (k, t, i), v in _naive_backward(
+                left_rows or [("zz", 0, 0)], right_rows or [("zz", -999, 0)]
+            ).items()
+        }
+        assert got == want
+
+except ImportError:  # pragma: no cover
+    pass
