@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": fsplit.split_assignments,
         "split_stratified_sample": fsplit.stratified_sample,
         # correlated-subquery surface (Catalyst decorrelation)
+        "tpch_market_share": tpch.market_share,
         "tpch_exists_late_ship": tpch.exists_late_ship,
         "tpch_small_qty_revenue": tpch.small_qty_revenue,
         # composed corpus-curation pipeline (stats→quality→dedup→split)
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_hour": evan.rolling_hour_stats_sql(),
         "split_train_val_test": fsplit.split_assignments_sql(),
         "split_stratified_sample": fsplit.stratified_sample_sql(),
+        "tpch_market_share": tpch.market_share_sql(),
         "tpch_exists_late_ship": tpch.exists_late_ship_sql(),
         "tpch_small_qty_revenue": tpch.small_qty_revenue_sql(),
         "curate_corpus_e2e": pcur.curate_corpus_sql(),

@@ -301,3 +301,85 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def small_qty_revenue_sql() -> str:
     return _small_qty_revenue_sql()
+
+SHARE_REGION = "EUROPE"
+SHARE_NATION = "NATION_3"
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analogue: per order-year share of a region's order revenue
+    supplied by one nation's suppliers — a 6-table join with conditional
+    aggregation.
+
+    Plan shape: the dimension chain (region→nation→customer,
+    nation→supplier) broadcasts; the only shuffle joins are
+    lineitem⋈orders on the order key and the final year groupBy. Revenue
+    is scaled-int (order-free sums); the share is ONE division of two
+    exact bigints, so the double output is deterministic across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    cust_in_region = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == SHARE_REGION)),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = (
+        supp.join(
+            F.broadcast(nation.select("n_nationkey", "n_name").alias("sn")),
+            supp.s_nationkey == F.col("sn.n_nationkey"),
+        ).select("s_suppkey", F.col("sn.n_name").alias("supp_nation"))
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(_DISC_E4).alias("rev_e4"),
+            (F.col("supp_nation") == SHARE_NATION).alias("is_target"),
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(0)).alias("target_e4"),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            (F.col("target_e4") / F.col("total_e4")).alias("mkt_share"),
+            "total_e4",
+        )
+        .orderBy("o_year")
+    )
+
+def market_share_sql() -> str:
+    return f"""
+SELECT o_year,
+       CAST(target_e4 AS DOUBLE) / total_e4 AS mkt_share,
+       total_e4
+FROM (
+  SELECT year(o.o_orderdate) AS o_year,
+         sum(CASE WHEN sn.n_name = '{SHARE_NATION}' THEN {_DISC_E4} ELSE 0 END) AS target_e4,
+         sum({_DISC_E4}) AS total_e4
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = '{SHARE_REGION}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY o_year)
+ORDER BY o_year
+"""

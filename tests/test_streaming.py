@@ -173,3 +173,39 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark):
     import shutil
 
     shutil.rmtree(base, ignore_errors=True)
+
+def test_streaming_session_window_append_equals_closed_batch(spark, events_dir):
+    """Native session_window in a STREAM (append mode): emitted sessions
+    must equal exactly the batch sessions already closed by the final
+    watermark (end <= max_ts - delay); later sessions are still open."""
+    from pyspark.sql import functions as F
+
+    gap_s, delay = 1800, "10 minutes"
+    stream = st.read_events_stream(spark, events_dir, SF)
+    sdf = (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+    )
+    got = st.run_stream_to_memory(sdf, "append", spark)
+    ev = load_table(spark, SF, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    closed = (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("s"),
+            F.col("session_window.end").alias("e"),
+            "n",
+        )
+        .filter(F.col("e") <= F.lit(max_ts) - F.expr(f"INTERVAL {delay}"))
+    )
+    assert _rows(got) == _rows(closed)
+    assert got.count() > 0  # the stream actually emitted sessions
