@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_passthrough": lambda s, d: dp.client_response_table(s, d, no_agg),
         # --- J1 join + A9 int-div average ---
         "dns_response_time_join": lambda s, d: dp.response_time_table(s, d),
+        # J1 complement: responses with no pending query (anti join)
+        "dns_orphan_responses": lambda s, d: oj.orphan_responses(
+            *dns_pair_streams(s, d)
+        ),
         # J1 match-once (first-match-wins, state deleted on match —
         # aggregator.go:339-389) as deterministic sequence pairing
         "dns_match_once": lambda s, d: oj.match_response_times_once(
@@ -207,6 +211,9 @@ def oracle_sql() -> dict[str, str]:
         "dns_client_response_agg": cr,
         "dns_passthrough": dp.client_response_table_sql(no_agg),
         "dns_response_time_join": rt,
+        "dns_orphan_responses": oj.orphan_responses_sql(
+            PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
+        ),
         "dns_match_once": oj.match_response_times_once_sql(
             PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
         ),

@@ -172,3 +172,32 @@ def avg_response_time_samples_sql(matched_sql: str, interval_s: int = 10) -> str
         f"FROM ({matched_sql})\n"
         f"GROUP BY ALL"
     )
+
+def orphan_responses(
+    queries: DataFrame,
+    responses: DataFrame,
+) -> DataFrame:
+    """Diagnostic complement of J1: responses whose 4-part key has NO
+    pending query at all — the rows the reference silently stores-then-
+    expires (aggregator.go:339-351, 510-515) without ever emitting.
+    ``left_anti`` on the equi-key (one shuffle per side, same key layout
+    as the match join so AQE reuses exchanges when run together); a
+    per-identity count makes it a dashboardable data-quality signal.
+    """
+    r = responses.alias("r")
+    q = queries.alias("q")
+    orphans = r.join(q, on=JOIN_KEYS, how="left_anti")
+    return (
+        orphans.groupBy("identity")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .orderBy("identity")
+    )
+
+def orphan_responses_sql(query_sql: str, response_sql: str) -> str:
+    on = " AND ".join(f"q.{k} = r.{k}" for k in JOIN_KEYS)
+    return (
+        f"SELECT r.identity AS identity, count(*) AS n_orphans\n"
+        f"FROM ({response_sql}) r\n"
+        f"WHERE NOT EXISTS (SELECT 1 FROM ({query_sql}) q WHERE {on})\n"
+        f"GROUP BY r.identity ORDER BY identity"
+    )

@@ -71,3 +71,28 @@ def clickhouse_writer(
         )
 
     return write
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-partitioned, within-file-sorted parquet layout — the write
+    pattern that makes 100 TB outputs cheap to read back: globally
+    range-partitioning on the sort key gives non-overlapping per-file key
+    ranges, and the within-partition sort makes parquet row-group
+    min/max statistics (zone maps) tight, so later range/point predicates
+    prune whole files and row groups at planning time.
+
+    ``repartitionByRange`` samples the key distribution (one pass) so
+    files come out balanced even under skew — unlike hash partitioning,
+    which scatters ranges, or a global ``orderBy``, which funnels the
+    write through one task-chain for total order that readers don't need.
+    """
+    parted = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

@@ -65,3 +65,27 @@ def test_curation_single_plan_no_collects(spark):
     # key; the only other exchange is the final demo sort
     assert _n_nodes(plan, "Window") == 1
     assert _n_nodes(plan, "Exchange") <= 2, plan
+
+def test_write_sorted_parquet_nonoverlapping_ranges(spark, tmp_path):
+    """Range-partitioned sorted layout: per-file key ranges must not
+    overlap and each file must be internally sorted (that's what makes
+    parquet zone-map pruning effective at scale)."""
+    from dnstap2clickhouse_spark.sinks.writers import write_sorted_parquet
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(li, out, ["l_orderkey"], n_files=4)
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        pdf = spark.read.parquet(f).toPandas()
+        if len(pdf):
+            assert pdf["l_orderkey"].is_monotonic_increasing
+            ranges.append((pdf["l_orderkey"].min(), pdf["l_orderkey"].max()))
+    ranges.sort()
+    assert len(ranges) >= 2  # actually split into multiple files
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # non-overlapping key ranges across files
+    assert spark.read.parquet(out).count() == li.count()
