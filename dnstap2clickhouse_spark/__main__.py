@@ -34,6 +34,7 @@ import signal
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -113,11 +114,34 @@ def start_queries(
     return queries
 
 def _mapped_writer(path: str, mapping: dict[str, str]):
+    """K1-mapped append writer, versioned per epoch.
+
+    Update mode re-emits a window's *cumulative* counters every trigger it
+    changes in, and parquet append keeps every version — summing raw files
+    would overcount (the reference instead drains-and-clears per flush,
+    aggregator.go:595-619). Writing ``__epoch`` makes the re-emission
+    explicit so ``read_output_table`` (or a ClickHouse ReplacingMergeTree,
+    the production sink for exactly this shape) collapses to the latest
+    version per key.
+    """
+
     def write(df: DataFrame, epoch_id: int) -> None:
         mapped = apply_column_config(df, {k: v for k, v in mapping.items() if k in df.columns})
-        mapped.write.mode("append").parquet(path)
+        mapped.withColumn("__epoch", F.lit(epoch_id)).write.mode("append").parquet(path)
 
     return write
+
+def read_output_table(spark: SparkSession, path: str, counter_col: str = "counter") -> DataFrame:
+    """Collapse update-mode re-emissions to the final value per key.
+
+    Every column except the counter and ``__epoch`` is part of the key
+    (window bounds + grouping-set dimensions); the latest epoch's counter
+    is the cumulative truth for that key. One hash-shuffle on the key —
+    at scale this is the same collapse ClickHouse's ReplacingMergeTree
+    performs at merge time, done here engine-side for plain parquet."""
+    df = spark.read.parquet(path)
+    keys = [c for c in df.columns if c not in (counter_col, "__epoch")]
+    return df.groupBy(*keys).agg(F.max_by(counter_col, "__epoch").alias(counter_col))
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dnstap2clickhouse_spark")

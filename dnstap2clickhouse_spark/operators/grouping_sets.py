@@ -56,7 +56,16 @@ def expand_grouping_sets(
         for repl in variants
     ]
     if len(structs) == 1:
-        return df  # only the ungrouped set: identity
+        if not variants[0]:
+            return df  # only the ungrouped set: identity
+        # a single *replacement* variant still needs the __ANY__ rewrite
+        # (e.g. write_ungrouped=False with only groupby_question enabled)
+        return df.select(
+            *[
+                (F.lit(variants[0][c]) if c in variants[0] else F.col(c)).alias(c)
+                for c in cols
+            ]
+        )
     return df.select(F.explode(F.array(*structs)).alias("__v")).select("__v.*")
 
 def grouping_sets_sql_union(

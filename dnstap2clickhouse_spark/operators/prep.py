@@ -115,7 +115,11 @@ def decode_frames(frames: DataFrame, kind: str) -> DataFrame:
             F.col("queryAddress"),
             # P5: nil port -> 0 (dnstap.go:270-273)
             F.coalesce(F.col("queryPort"), F.lit(0)).alias("queryPort"),
-            F.element_at(qtype_map, F.col("qtypeCode")).alias("questionType"),
+            # unknown codes fall back to 'TYPE<n>' (dns.Type.String semantics)
+            F.coalesce(
+                F.element_at(qtype_map, F.col("qtypeCode")),
+                F.concat(F.lit("TYPE"), F.col("qtypeCode").cast("string")),
+            ).alias("questionType"),
             F.col("rcode"),
             F.col("id"),
             F.col("questionNames"),
@@ -128,7 +132,13 @@ def decode_frames(frames: DataFrame, kind: str) -> DataFrame:
     if kind == "CLIENT_RESPONSE":
         # P4 + success flag (dnstap.go:345-350)
         rcode_case = F.create_map(*[F.lit(x) for kv in RCODE_NAMES.items() for x in kv])
-        out = out.withColumn("responseStatus", F.element_at(rcode_case, F.col("rcode")))
+        out = out.withColumn(
+            "responseStatus",
+            F.coalesce(
+                F.element_at(rcode_case, F.col("rcode")),
+                F.concat(F.lit("TYPE"), F.col("rcode").cast("string")),
+            ),
+        )
         out = out.withColumn("isSuccess", F.col("responseStatus") == "NOERROR")
         cols += ["responseStatus", "isSuccess"]
     return out.select(*cols, F.lit(1).cast("long").alias("counter"))

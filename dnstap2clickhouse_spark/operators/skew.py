@@ -46,6 +46,11 @@ def salted_agg(
     exact under re-aggregation). Returns one row per key group, names
     preserved, values identical to ``df.groupBy(keys).agg(...)``.
     """
+    bad = {fn for fn in aggs.values()} - {"sum", "count", "min", "max"}
+    if bad:
+        # non-associative fns (avg, stddev, ...) silently merge wrong in
+        # the two-stage split — refuse rather than return plausible garbage
+        raise ValueError(f"salted_agg supports sum/count/min/max only, got {sorted(bad)}")
     merge_fn = {"count": "sum"}  # partial counts merge by summing
     stage1 = (
         with_salt(df, buckets)
@@ -66,7 +71,11 @@ def salted_join(
     """Skew-spread equi-join: salt the (large, skewed) fact side and
     replicate the dim side ``buckets``× so the shuffle key becomes
     (join keys, salt). Row multiplicity identical to ``fact.join(dim,
-    on, how)``."""
+    on, how)`` for fact-preserving hows only: with 'right'/'full_outer'
+    an unmatched dim row would surface once per salt replica, so those
+    are rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"):
+        raise ValueError(f"salted_join supports fact-preserving hows only, got {how!r}")
     f = with_salt(fact, buckets)
     d = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))

@@ -366,9 +366,9 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def market_share_sql() -> str:
     return f"""
-SELECT o_year,
+SELECT CAST(o_year AS INT) AS o_year,
        CAST(target_e4 AS DOUBLE) / total_e4 AS mkt_share,
-       total_e4
+       CAST(total_e4 AS BIGINT) AS total_e4
 FROM (
   SELECT year(o.o_orderdate) AS o_year,
          sum(CASE WHEN sn.n_name = '{SHARE_NATION}' THEN {_DISC_E4} ELSE 0 END) AS target_e4,

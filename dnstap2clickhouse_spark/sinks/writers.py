@@ -41,22 +41,26 @@ def foreach_batch_parquet(
 
     return write
 
-def clickhouse_writer(
+def jdbc_writer(
     url: str,
     table: str,
     mapping: dict[str, str] | None = None,
     batchsize: int = 100_000,
+    driver: str | None = None,
     properties: dict[str, str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch JDBC writer for ClickHouse (K2/K3 equivalent).
+    """foreachBatch JDBC writer (K2/K3 equivalent), driver-agnostic.
 
     Connection options mirror the reference's client setup
     (clickhouse.go:94-104): batching replaces ``batch.Send``; JDBC
     ``batchsize`` is the micro-batch row granularity; retries come from
     Spark task retry + checkpoint replay rather than the K4 queue.
-    Requires the ClickHouse JDBC driver on the classpath.
+    Exercised in tests against embedded Derby (on Spark's classpath), the
+    same code path a ClickHouse deployment takes with its jar.
     """
-    props = {"driver": "com.clickhouse.jdbc.ClickHouseDriver", **(properties or {})}
+    props = dict(properties or {})
+    if driver:
+        props["driver"] = driver
 
     def write(df: DataFrame, epoch_id: int) -> None:
         out = apply_column_config(df, mapping) if mapping else df
@@ -71,6 +75,24 @@ def clickhouse_writer(
         )
 
     return write
+
+def clickhouse_writer(
+    url: str,
+    table: str,
+    mapping: dict[str, str] | None = None,
+    batchsize: int = 100_000,
+    properties: dict[str, str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """ClickHouse flavor of ``jdbc_writer`` (requires the ClickHouse JDBC
+    jar on the classpath + a reachable server; clickhouse.go:86-114)."""
+    return jdbc_writer(
+        url,
+        table,
+        mapping,
+        batchsize,
+        driver="com.clickhouse.jdbc.ClickHouseDriver",
+        properties=properties,
+    )
 
 def write_sorted_parquet(
     df: DataFrame,

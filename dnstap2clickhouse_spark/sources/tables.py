@@ -29,7 +29,26 @@ TABLES = (
 #: columns stored as TIMESTAMP(NANOS) in the test corpus
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make table reads independent of who built the SparkSession.
+
+    The engine's own ``session.py`` sets these, but callers (test harnesses,
+    notebooks) may hand us a vanilla session. Both confs are runtime-settable:
+
+    - ``nanosAsLong``: events.ts is parquet TIMESTAMP(NANOS); without this the
+      scan fails with PARQUET_TYPE_ILLEGAL. With it, ts arrives as bigint and
+      the ``div 1000 -> timestamp_micros`` normalization below takes over.
+    - ``timeZone=UTC``: keeps ``window()``/``year()`` aligned with the
+      naive-timestamp DuckDB oracle regardless of the host zone.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down (e.g. Connect server policy) — reads may still work
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in _NANO_TS_COLS.get(name, ()):

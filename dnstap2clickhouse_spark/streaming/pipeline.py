@@ -195,6 +195,8 @@ def stateful_match_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) ->
     tests pin it against the pure-Python simulator and the rank-pairing
     batch form.
     """
+    import glob
+    import os
     import shutil
     import tempfile
 
@@ -203,12 +205,15 @@ def stateful_match_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) ->
     d = tempfile.mkdtemp(prefix="stateful_match_")
     try:
         ev = load_table(spark, sf_dir, "events")
-        n = ev.count()
-        step = (n + n_chunks - 1) // n_chunks
-        for i in range(n_chunks):
-            ev.filter(
-                (ev.event_id >= i * step) & (ev.event_id < (i + 1) * step)
-            ).coalesce(1).write.mode("append").parquet(d)
+        # ONE pass: range-partition on event_id so each output file is a
+        # contiguous id range (the micro-batch unit), written concurrently —
+        # no driver-side count(), no per-chunk job. Rename part files to
+        # their partition ordinal so the file source (which breaks
+        # equal-mtime ties by path) replays chunks in id order.
+        ev.repartitionByRange(n_chunks, "event_id").write.mode("overwrite").parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
+            ordinal = os.path.basename(f).split("-")[1]
+            os.rename(f, os.path.join(d, f"chunk_{ordinal}.parquet"))
         stream = read_events_stream(spark, d, sf_dir)
         q = _project(stream, "queryTime", False, True, 0)
         r = _project(stream, "responseTime", True, True, 1)

@@ -1,0 +1,138 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on a deliberately VANILLA SparkSession (no
+``session.py`` configs — mirroring the driver harness) and the matching
+``oracle_sql()`` on DuckDB over the same parquet, then compares row count,
+schema (column names), and values (columns sorted by name, rows sorted by
+all columns) at sf0.01 by default.
+
+Usage:
+    python tools/check_correctness.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # stringify for stable sort across dtypes; round floats to tolerate
+    # engine-formatting differences but keep real value drift visible
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.10g}"
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        return str(v)
+
+    out = df.apply(lambda col: col.map(cell))
+    if len(out):
+        out = out.sort_values(by=list(out.columns), kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    # deliberately vanilla — no engine session.py involvement
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check-correctness")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        rec: dict = {}
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+            rec["spark_rows"] = len(sdf)
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"spark: {type(e).__name__}: {e}"
+            results[name] = rec
+            print(f"ERR   {name}: {rec['err'][:200]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            rec["rows_only"] = True
+            rec["secs"] = round(time.time() - t0, 2)
+            results[name] = rec
+            print(f"ROWS  {name}: {rec['spark_rows']} rows ({rec['secs']}s)")
+            continue
+        try:
+            odf = con.execute(sql).df()
+            rec["oracle_rows"] = len(odf)
+        except Exception as e:  # noqa: BLE001
+            rec["err"] = f"oracle: {type(e).__name__}: {e}"
+            results[name] = rec
+            print(f"ERR   {name}: {rec['err'][:300]}")
+            continue
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        if rec["rows_match"] and rec["schema_match"]:
+            cs, co = canon(sdf), canon(odf)
+            rec["hash_match"] = cs.equals(co)
+            if not rec["hash_match"]:
+                diff = (cs != co).any(axis=1)
+                rec["first_diff"] = {
+                    "spark": cs[diff].head(3).to_dict("records"),
+                    "oracle": co[diff].head(3).to_dict("records"),
+                }
+        else:
+            rec["hash_match"] = False
+            rec["cols"] = {"spark": sorted(sdf.columns), "oracle": sorted(odf.columns)}
+        rec["secs"] = round(time.time() - t0, 2)
+        status = "PASS" if rec["hash_match"] else "FAIL"
+        print(f"{status}  {name}: spark={rec.get('spark_rows')} oracle={rec.get('oracle_rows')} ({rec['secs']}s)")
+        if status == "FAIL":
+            print(json.dumps({k: rec[k] for k in rec if k in ("cols", "first_diff")}, default=str)[:1500])
+        results[name] = rec
+
+    n_pass = sum(1 for r in results.values() if r.get("hash_match"))
+    n_rows = sum(1 for r in results.values() if r.get("rows_only"))
+    n_fail = sum(1 for r in results.values() if r.get("hash_match") is False)
+    n_err = sum(1 for r in results.values() if "err" in r)
+    print(f"\nTOTAL: {len(results)}  PASS={n_pass}  ROWS-ONLY={n_rows}  FAIL={n_fail}  ERR={n_err}")
+    with open("/tmp/check_correctness.json", "w") as f:
+        json.dump(results, f, indent=1, default=str)
+
+
+if __name__ == "__main__":
+    main()
