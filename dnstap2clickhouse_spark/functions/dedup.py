@@ -36,7 +36,20 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 60
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    """Register ``documents``, spreading narrow CPU work when the scan is
+    under-partitioned.
+
+    The dedup chain is hash-heavy *map* work (md5 per shingle); a small
+    corpus arriving as one parquet file would pin all of it on one core.
+    When the scan has fewer splits than the cluster has slots, one cheap
+    shuffle of the raw rows buys full map parallelism. At real scale the
+    scan has >= slots splits and this is a no-op — no extra shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        docs = docs.repartition(slots)
+    docs.createOrReplaceTempView("documents")
 
 def _shingle_expr(dialect: str) -> str:
     """Distinct word 3-gram shingle ARRAY per document.
@@ -128,30 +141,49 @@ def _shingle_arrays(dialect: str) -> str:
     """(doc_id, shingle-array) — the arrays stay per-row; no explode."""
     return f"SELECT doc_id, {_shingle_expr(dialect)} AS sh FROM documents"
 
+def _minhash_vec_expr() -> str:
+    """Spark: the full 16-minhash vector in ONE traversal of the base-hash
+    array. ``aggregate`` keeps running elementwise minima for all 16 affine
+    functions h_i(x) = ((2i+1)*x + 7919*i) mod 2^31-1 at once; the array is
+    the aggregate's input (outside any lambda body), so the md5 hashing of
+    shingles evaluates exactly once per doc — lambda bodies get no CSE, and
+    a nested ``transform(sequence, i -> array_min(transform(hs, ...)))``
+    re-hashes per index (measured 6x slower). NULL init mirrors
+    ``array_min`` over an empty array."""
+    init = f"transform(sequence(0, {N_HASHES - 1}), i -> CAST(NULL AS BIGINT))"
+    return (
+        f"aggregate(hs, {init}, "
+        f"(acc, h) -> zip_with(acc, sequence(0, {N_HASHES - 1}), "
+        f"(m, i) -> least(m, ((2 * i + 1) * h + 7919 * i) % {_MINHASH_P})))"
+    )
+
 def _minhash_sql(dialect: str) -> str:
     """(doc_id, hidx, minhash): N_HASHES min-hashes per doc.
 
-    Scale design: ONE md5 per distinct shingle (28-bit base hash), then an
-    affine family h_i(x) = ((2i+1)*x + 7919*i) mod 2^31-1 evaluated with
-    array transforms — the whole signature computation is a narrow per-row
-    map, no shuffle and no row explosion (the naive explode(shingles x 16
-    hashes) was 16x the md5 cost plus an 8M-row shuffle at sf0.1).
+    Scale design: ONE md5 per distinct shingle (28-bit base hash), then
+    the affine family evaluated in a single array traversal (Spark; see
+    ``_minhash_vec_expr``) — the whole signature computation is a narrow
+    per-row map, no shuffle, and the only row expansion is the final
+    16-way posexplode into the (doc_id, hidx, minhash) contract rows.
     """
     sh = _shingle_arrays(dialect)
     if dialect == "spark":
         base = "transform(sh, s -> " + _hash_tok("spark", "s") + ")"
-        series = f"SELECT explode(sequence(0, {N_HASHES - 1})) AS hidx"
-        amin, transform = "array_min", "transform"
-    else:
-        base = "list_transform(sh, s -> " + _hash_tok("duckdb", "s") + ")"
-        series = f"SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hidx"
-        amin, transform = "list_min", "list_transform"
+        return f"""
+WITH s AS ({sh}),
+hb AS (SELECT doc_id, {base} AS hs FROM s),
+sigs AS (SELECT doc_id, {_minhash_vec_expr()} AS mh FROM hb)
+SELECT doc_id, hidx, minhash
+FROM sigs LATERAL VIEW posexplode(mh) t AS hidx, minhash
+"""
+    base = "list_transform(sh, s -> " + _hash_tok("duckdb", "s") + ")"
+    series = f"SELECT unnest(generate_series(0, {N_HASHES - 1})) AS hidx"
     return f"""
 WITH s AS ({sh}),
 hb AS (SELECT doc_id, {base} AS hs FROM s),
 idx AS ({series})
 SELECT doc_id, hidx,
-       {amin}({transform}(hs, h -> ((2 * hidx + 1) * h + 7919 * hidx) % {_MINHASH_P})) AS minhash
+       list_min(list_transform(hs, h -> ((2 * hidx + 1) * h + 7919 * hidx) % {_MINHASH_P})) AS minhash
 FROM hb CROSS JOIN idx
 """
 
@@ -165,17 +197,34 @@ def minhash_signatures_sql() -> str:
     return _minhash_sql("duckdb") + " ORDER BY doc_id, hidx"
 
 def _lsh_pairs_sql(dialect: str) -> str:
-    mh = _minhash_sql(dialect)
     rows_per_band = N_HASHES // BANDS
     if dialect == "spark":
-        agg = (
-            "concat_ws(',', sort_array(collect_list("
-            "concat(CAST(hidx AS STRING), '=', CAST(minhash AS STRING)))))"
-        )
-        band = f"hidx div {rows_per_band}"
-    else:
-        agg = "string_agg(CAST(hidx AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ',' ORDER BY hidx)"
-        band = f"hidx // {rows_per_band}"
+        # Narrow signature construction (see ``_minhash_vec_expr``): the
+        # md5+minhash work is one traversal per doc, band signatures are
+        # slices of the materialized `mh` column ABOVE the explode barrier
+        # (Generate output can't be collapsed into its child projection),
+        # and the only row expansion is the trivial 8-band explode. The
+        # previous per-(doc,band) collect_list groupBy — a full shuffle of
+        # 16 rows/doc — disappears: the first shuffle in the plan is the
+        # candidate join itself. At 100 TB that's one wide stage, not two.
+        sh = _shingle_arrays("spark")
+        base = "transform(sh, s -> " + _hash_tok("spark", "s") + ")"
+        return f"""
+WITH s AS ({sh}),
+hb AS (SELECT doc_id, {base} AS hs FROM s),
+sigs AS (SELECT doc_id, {_minhash_vec_expr()} AS mh FROM hb),
+bands AS (
+  SELECT doc_id, b AS band, slice(mh, b * {rows_per_band} + 1, {rows_per_band}) AS sig
+  FROM sigs LATERAL VIEW explode(sequence(0, {BANDS - 1})) t AS b)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+    # DuckDB oracle keeps the row-wise form (runs only at sf<=0.01); the
+    # banded (band, sig) equality semantics are identical.
+    mh = _minhash_sql(dialect)
+    agg = "string_agg(CAST(hidx AS VARCHAR) || '=' || CAST(minhash AS VARCHAR), ',' ORDER BY hidx)"
+    band = f"hidx // {rows_per_band}"
     return f"""
 WITH mh AS ({mh}),
 bands AS (

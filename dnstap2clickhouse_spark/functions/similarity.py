@@ -44,19 +44,41 @@ def _cosine(a: str, b: str, dialect: str) -> str:
     )
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    """Register ``embeddings``, spreading narrow CPU work when the scan is
+    under-partitioned (same rationale as ``dedup._register``: dot-product
+    folds are map work; a one-file local corpus would otherwise run on a
+    single core; at real scale splits >= slots and this is a no-op)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    slots = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < slots:
+        emb = emb.repartition(slots)
+    emb.createOrReplaceTempView("embeddings")
+
+def _normed(dialect: str) -> str:
+    """(vec_id, label, embedding, nrm): self-dot precomputed ONCE per row.
+
+    Every similarity query pairs each corpus row with several queries; the
+    norm inside ``cosine`` is pair-invariant, so computing it below the
+    join (a projection the join cannot collapse into) divides the fold
+    work per pair by ~3. Both dialects share the structure, keeping the
+    doubles bit-identical."""
+    return (
+        f"SELECT vec_id, label, embedding, "
+        f"{_dot('embedding', 'embedding', dialect)} AS nrm FROM embeddings"
+    )
 
 def _brute_force_sql(dialect: str) -> str:
-    cos = _cosine("q.embedding", "c.embedding", dialect)
+    dot = _dot("q.embedding", "c.embedding", dialect)
     # broadcast the tiny query set, NOT the corpus: the non-equi join is
     # a nested loop whose build side must be the small one, or the plan
     # ships the whole corpus to every executor at scale
     hint = f"/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     return f"""
-WITH scored AS (
+WITH e AS ({_normed(dialect)}),
+scored AS (
   SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {cos} AS cosine
-  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         {dot} / sqrt(q.nrm * c.nrm) AS cosine
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {N_QUERIES}),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -146,22 +168,26 @@ def _bucket_expr(col: str, table: int, dialect: str) -> str:
 def _lsh_sql(dialect: str) -> str:
     """Multi-table sign-LSH: UNION (distinct) of per-table same-bucket
     equi-joins — each branch stays a hash/broadcast equi-join at scale;
-    more tables = higher recall at linear candidate cost."""
-    cos = _cosine("q.embedding", "c.embedding", dialect)
+    more tables = higher recall at linear candidate cost. Bucket ids and
+    norms are per-row columns computed once below the joins."""
+    dot = _dot("q.embedding", "c.embedding", dialect)
     hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    buckets = ", ".join(
+        f"{_bucket_expr('embedding', t, dialect)} AS b{t}" for t in range(LSH_TABLES)
+    )
     branches = []
     for t in range(LSH_TABLES):
-        bq = _bucket_expr("q.embedding", t, dialect)
-        bc = _bucket_expr("c.embedding", t, dialect)
         branches.append(
-            f"SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine\n"
-            f"  FROM embeddings q JOIN embeddings c\n"
-            f"    ON q.vec_id <> c.vec_id AND {bq} = {bc}\n"
+            f"SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            f"{dot} / sqrt(q.nrm * c.nrm) AS cosine\n"
+            f"  FROM e q JOIN e c\n"
+            f"    ON q.vec_id <> c.vec_id AND q.b{t} = c.b{t}\n"
             f"  WHERE q.vec_id < {N_QUERIES}"
         )
     union = "\nUNION\n".join(branches)
     return f"""
-WITH scored AS (
+WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+scored AS (
 {union}),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
@@ -204,11 +230,15 @@ FROM sums ORDER BY label, dim
 COSINE_DUP_THRESHOLD = 0.45
 
 def _cosine_pairs_sql(dialect: str) -> str:
-    cos = _cosine("a.embedding", "b.embedding", dialect)
+    dot = _dot("a.embedding", "b.embedding", dialect)
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+WITH e AS ({_normed(dialect)}),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot} / sqrt(a.nrm * b.nrm) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM p
+WHERE cosine >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -254,31 +284,26 @@ def _ivf_sql(dialect: str) -> str:
             "aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        cnorm = (
-            "aggregate(c.cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
-        )
-        enorm = (
-            "aggregate(transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
+        cnorm_expr = "aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
     else:
         cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"
         qdot = "list_dot_product(c.cvec, e.embedding::DOUBLE[])"
-        cnorm = "list_dot_product(c.cvec, c.cvec)"
-        enorm = "list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])"
-    cos_pair = _cosine("q.embedding", "n.embedding", dialect)
+        cnorm_expr = "list_dot_product(cvec, cvec)"
+    dot_pair = _dot("q.embedding", "n.embedding", dialect)
     # broadcast the centroid table (tiny) against the corpus scan, and
     # the probe list (nprobe rows per query) against the assignments —
-    # keeps the corpus side shuffle-free end-to-end
+    # keeps the corpus side shuffle-free end-to-end. Norms are per-row
+    # columns (e.nrm from _normed, cnrm per centroid), never per-pair.
     h_cent = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
     h_probe = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
     return f"""
-WITH cent AS ({cent_inner}),
-centv AS ({cvec}),
+WITH e AS ({_normed(dialect)}),
+cent AS ({cent_inner}),
+centv AS (SELECT label, cvec, {cnorm_expr} AS cnrm FROM ({cvec})),
 cell_scored AS (
   SELECT {h_cent}e.vec_id, c.label,
-         {qdot} / sqrt({cnorm} * {enorm}) AS ccos
-  FROM embeddings e CROSS JOIN centv c),
+         {qdot} / sqrt(c.cnrm * e.nrm) AS ccos
+  FROM e CROSS JOIN centv c),
 cell_ranked AS (
   SELECT vec_id, label, ccos,
          row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
@@ -292,10 +317,10 @@ cand AS (
   FROM probes p JOIN assign a ON a.cell = p.cell
   WHERE a.vec_id <> p.query_id),
 scored AS (
-  SELECT c.query_id, c.neighbor_id, {cos_pair} AS cosine
+  SELECT c.query_id, c.neighbor_id, {dot_pair} / sqrt(q.nrm * n.nrm) AS cosine
   FROM cand c
-  JOIN embeddings q ON q.vec_id = c.query_id
-  JOIN embeddings n ON n.vec_id = c.neighbor_id),
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

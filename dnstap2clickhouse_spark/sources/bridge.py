@@ -55,14 +55,83 @@ def backoff_delays(cap: int = 60) -> Iterator[int]:
         yield d
         d = min(d * 2 + 1, cap)
 
+#: binary frame layout: magic 0x01, then event_id/ts_us/user_id (int64) +
+#: value (float64), then two length-prefixed UTF-8 strings. Stands in for
+#: the dnstap protobuf wire encoding (dnstap.go:205-233) with the same
+#: shape: fixed header + variable-length payload fields.
+_BIN_MAGIC = 0x01
+_BIN_FIXED = struct.Struct(">qqqd")
+_BIN_STR = struct.Struct(">H")
+
+def encode_binary_frame(row: dict) -> bytes:
+    """Encode an event row in the bridge's binary frame format."""
+    et = row["event_type"].encode()
+    pr = row["props"].encode()
+    return (
+        bytes([_BIN_MAGIC])
+        + _BIN_FIXED.pack(row["event_id"], row["ts_us"], row["user_id"], row["value"])
+        + _BIN_STR.pack(len(et))
+        + et
+        + _BIN_STR.pack(len(pr))
+        + pr
+    )
+
+def decode_binary_frame(payload: bytes) -> dict:
+    event_id, ts_us, user_id, value = _BIN_FIXED.unpack_from(payload, 1)
+    off = 1 + _BIN_FIXED.size
+    (n,) = _BIN_STR.unpack_from(payload, off)
+    off += _BIN_STR.size
+    event_type = payload[off : off + n].decode()
+    off += n
+    (n,) = _BIN_STR.unpack_from(payload, off)
+    off += _BIN_STR.size
+    props = payload[off : off + n].decode()
+    return {
+        "event_id": event_id,
+        "ts_us": ts_us,
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": props,
+    }
+
+def decode_dnstap_protobuf(payload: bytes):  # pragma: no cover - env-gated
+    """Production S3 decode: dnstap protobuf frame -> message.
+
+    Requires the ``protobuf`` package plus the generated ``dnstap_pb2``
+    classes (neither ships in this environment). Alternatively, ship the
+    raw frame bytes into Spark as a ``binary`` column and decode there
+    with ``pyspark.sql.protobuf.functions.from_protobuf(col, "Dnstap",
+    descFilePath=...)`` (needs the spark-protobuf jar) — that keeps the
+    decode JVM-side and vectorized. Reference: dnstap.go:205-233.
+    """
+    try:
+        import dnstap_pb2  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "dnstap protobuf decode needs the protobuf package + generated "
+            "dnstap_pb2 classes; use the JSON or binary bridge frame "
+            "formats, or Spark-side from_protobuf, instead"
+        ) from exc
+    msg = dnstap_pb2.Dnstap()
+    msg.ParseFromString(payload)
+    return msg
+
 def _decode_frame(payload: bytes) -> dict:
     """S3/S4 plug point: frame bytes -> event row dict.
 
-    Production: dnstap protobuf decode + DNS wire unpack. Bridge format:
-    JSON with the events-table schema (event_id, ts_us, user_id,
-    event_type, value, props).
+    Sniffs the frame format: ``{`` -> JSON row; magic 0x01 -> the binary
+    layout above; anything else is treated as a dnstap protobuf frame
+    (env-gated — see ``decode_dnstap_protobuf``).
     """
-    return json.loads(payload)
+    if payload[:1] == b"{":
+        return json.loads(payload)
+    if payload[:1] == bytes([_BIN_MAGIC]):
+        return decode_binary_frame(payload)
+    raise NotImplementedError(
+        "unrecognized frame format; dnstap protobuf frames need "
+        "decode_dnstap_protobuf (env-gated)"
+    )
 
 class SocketBridge:
     """Unix-socket -> parquet-chunk bridge daemon."""
@@ -197,8 +266,11 @@ class SocketBridge:
             os.unlink(self.socket_path)
         self.flush()
 
-def send_frames(socket_path: str, rows: list[dict], retries: int = 20) -> None:
-    """Test client: connect and send rows as length-prefixed JSON frames."""
+def send_frames(
+    socket_path: str, rows: list[dict], retries: int = 20, codec: str = "json"
+) -> None:
+    """Test client: connect and send rows as length-prefixed frames
+    (``codec``: 'json' or 'binary')."""
     last: Exception | None = None
     for _ in range(retries):
         try:
@@ -210,7 +282,8 @@ def send_frames(socket_path: str, rows: list[dict], retries: int = 20) -> None:
             time.sleep(0.1)
     else:
         raise last or OSError("connect failed")
+    enc = encode_binary_frame if codec == "binary" else (lambda r: json.dumps(r).encode())
     with c:
         for row in rows:
-            payload = json.dumps(row).encode()
+            payload = enc(row)
             c.sendall(_FRAME_HEADER.pack(len(payload)) + payload)

@@ -63,3 +63,49 @@ def test_socket_to_parquet_to_spark(spark):
     mem = st.run_stream_to_memory(sdf, "update", spark)
     assert mem.count() > 0
     shutil.rmtree(d, ignore_errors=True)
+
+def test_binary_frame_codec_round_trip():
+    from dnstap2clickhouse_spark.sources.bridge import (
+        decode_binary_frame,
+        encode_binary_frame,
+    )
+
+    for row in _sample_rows(5):
+        assert decode_binary_frame(encode_binary_frame(row)) == row
+
+def test_binary_frames_over_socket(spark):
+    """S2/S3: the protobuf-shaped binary wire format through the real
+    socket path — frames sniffed per-frame, mixed with JSON."""
+    d = tempfile.mkdtemp(prefix="bridge_bin_")
+    sock = os.path.join(d, "dnstap.sock")
+    out = os.path.join(d, "chunks")
+    bridge = SocketBridge(sock, out, readers=2, flush_rows=32)
+    bridge.start()
+    try:
+        rows = _sample_rows(64)
+        send_frames(sock, rows[:32], codec="binary")
+        send_frames(sock, rows[32:], codec="json")
+        deadline = 50
+        while bridge.frames_read < 64 and deadline:
+            import time
+
+            time.sleep(0.1)
+            deadline -= 1
+        assert bridge.frames_read == 64
+    finally:
+        bridge.stop()
+    df = spark.read.parquet(out)
+    assert df.count() == 64
+    got = sorted(
+        (r.event_id, r.event_type, r.value) for r in df.collect()
+    )
+    want = sorted((r["event_id"], r["event_type"], r["value"]) for r in _sample_rows(64))
+    assert got == want
+
+def test_unknown_frame_format_raises():
+    import pytest
+
+    from dnstap2clickhouse_spark.sources.bridge import _decode_frame
+
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        _decode_frame(b"\x7fGARBAGE")
