@@ -43,15 +43,26 @@ def _cosine(a: str, b: str, dialect: str) -> str:
         f"sqrt({_dot(a, a, dialect)} * {_dot(b, b, dialect)})"
     )
 
-def _register(spark: SparkSession, sf_dir: str) -> None:
-    """Register ``embeddings``, spreading narrow CPU work when the scan is
-    under-partitioned (same rationale as ``dedup._register``: dot-product
-    folds are map work; a one-file local corpus would otherwise run on a
-    single core; at real scale splits >= slots and this is a no-op)."""
+def _register(spark: SparkSession, sf_dir: str, spread: bool = False) -> None:
+    """Register ``embeddings``; optionally pre-spread an under-partitioned
+    scan.
+
+    ``spread=False`` (default): register the scan as-is. Most sim queries
+    reference the view up to three times (IVF: cell scoring + two
+    candidate-side lookups), so a repartition on the view costs one
+    full-corpus shuffle *per reference* — measured +40% on sim_ivf_topk
+    at sf0.1 — while the scoring work above already parallelizes through
+    the join/window shuffles.
+
+    ``spread=True``: for the all-pairs nested-loop queries
+    (``embedding_cosine_dups``), whose streamed side inherits the scan's
+    partitioning directly — a one-file local corpus would pin the whole
+    O(n^2) scoring on one core (measured 41s -> ~2s at sf0.1). At real
+    scale the scan has >= slots splits and this is a no-op.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    slots = spark.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < slots:
-        emb = emb.repartition(slots)
+    if spread and emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
     emb.createOrReplaceTempView("embeddings")
 
 def _normed(dialect: str) -> str:
@@ -247,7 +258,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup). This is the exact all-pairs form — the verifier; at scale the
     candidate set comes from the LSH buckets (``lsh_bucketed_ann``) or
     IVF cells first, and only candidates are scored."""
-    _register(spark, sf_dir)
+    _register(spark, sf_dir, spread=True)
     return spark.sql(_cosine_pairs_sql("spark"))
 
 def embedding_cosine_dups_sql() -> str:
