@@ -209,6 +209,31 @@ FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
+def _ann_recall_sql(dialect: str) -> str:
+    """recall@k of the LSH ANN against the exact brute-force top-k,
+    per query vector — the standard ANN quality metric, computed
+    entirely in-engine so index-parameter sweeps (LSH_TABLES/LSH_BITS)
+    are a query away. The ground-truth side is the already-linear
+    brute-force scan; the join is a tiny (N_QUERIES x k) equi-join."""
+    return f"""
+WITH brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
+approx AS ({_lsh_sql(dialect).replace("ORDER BY query_id, rank", "")})
+SELECT b.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of ``lsh_bucketed_ann`` vs ``cosine_topk``."""
+    _register(spark, sf_dir)
+    return spark.sql(_ann_recall_sql("spark"))
+
+def ann_recall_sql() -> str:
+    return _ann_recall_sql("duckdb")
+
 def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table sign-bit LSH: only same-bucket candidates
     scored; union across tables trades compute for recall."""

@@ -125,6 +125,73 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+#: Gopher-style repetition gates (Rae et al. 2021, table A1 analogues):
+#: docs whose duplicate-bigram fraction or single-most-frequent-bigram
+#: share is too high are repetition spam
+DUP_BIGRAM_MAX = 0.20
+TOP_BIGRAM_MAX = 0.18
+
+def _bigrams(dialect: str) -> str:
+    """Word-bigram array from the space-tokenized text (1-based element
+    access in both dialects)."""
+    toks = _toks(dialect)
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, size({toks}) - 1), "
+            f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1)))"
+        )
+    return (
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-spam detection (the Gopher/C4 quality-filter family):
+    per document, the fraction of duplicated word bigrams and the share
+    of the single most frequent bigram; ``keep`` applies the gates.
+
+    Scale shape: explode to (doc_id, bigram) then ONE shuffle keyed on
+    (doc_id, bigram) with map-side partial counts, then a second partial
+    agg back to doc_id. Keys are near-unique per doc — no skew; at 100 TB
+    this is the same two-stage shape as a word count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_repetition_sql("spark"))
+
+def _repetition_sql(dialect: str) -> str:
+    bg = _bigrams(dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    per_bigram = (
+        f"SELECT doc_id, bigram, COUNT(*) AS c\n"
+        f"FROM (SELECT doc_id, {unnest}({bg}) AS bigram FROM documents)\n"
+        f"GROUP BY doc_id, bigram"
+    )
+    if dialect == "duckdb":
+        per_bigram = (
+            f"SELECT doc_id, bigram, COUNT(*) AS c\n"
+            f"FROM (SELECT doc_id, unnest({bg}) AS bigram FROM documents) t\n"
+            f"GROUP BY doc_id, bigram"
+        )
+    return f"""
+WITH counts AS ({per_bigram}),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(sum(c) - count(*) AS BIGINT) AS n_dup,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM counts GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       CAST(n_dup AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+       CAST(top_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+       (CAST(n_dup AS DOUBLE) / n_bigrams <= {DUP_BIGRAM_MAX}
+        AND CAST(top_c AS DOUBLE) / n_bigrams <= {TOP_BIGRAM_MAX}) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+def repetition_filter_sql() -> str:
+    return _repetition_sql("duckdb")
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: content md5 + order-sensitive polynomial
     rolling hash over token hashes (mod 2^31-1, left fold)."""

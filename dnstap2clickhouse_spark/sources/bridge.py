@@ -47,6 +47,48 @@ import pyarrow.parquet as pq
 MAX_READERS = 32  # dnstap.go:38
 _FRAME_HEADER = struct.Struct(">I")  # 4-byte big-endian length prefix
 
+# --------------------------------------------------------------- framestream
+# Frame Streams (fstrm) control protocol, as spoken by dnstap senders over
+# bidirectional unix sockets (reference: dnstap.go:192-203 via the
+# golang-framestream library; public spec: farsightsec/fstrm
+# fstrm/control.h). A data frame is a non-zero 4-byte BE length + payload.
+# A ZERO length is the control-frame escape: the next 4 bytes are the
+# control frame's length, then its payload = 4-byte BE control type plus
+# optional (type, length, bytes) control fields.
+FSTRM_ACCEPT = 0x01
+FSTRM_START = 0x02
+FSTRM_STOP = 0x03
+FSTRM_READY = 0x04
+FSTRM_FINISH = 0x05
+FSTRM_FIELD_CONTENT_TYPE = 0x01
+#: content types this bridge accepts: real dnstap protobuf plus the two
+#: local stand-in encodings carried by the same frame layer
+ACCEPTED_CONTENT_TYPES = (
+    b"protobuf:dnstap.Dnstap",
+    b"application/json",
+    b"application/x-bridge-binary",
+)
+
+def encode_control_frame(ctype: int, content_types: tuple[bytes, ...] = ()) -> bytes:
+    """Escape + length + control payload (type and CONTENT_TYPE fields)."""
+    payload = _FRAME_HEADER.pack(ctype)
+    for ct in content_types:
+        payload += _FRAME_HEADER.pack(FSTRM_FIELD_CONTENT_TYPE) + _FRAME_HEADER.pack(len(ct)) + ct
+    return _FRAME_HEADER.pack(0) + _FRAME_HEADER.pack(len(payload)) + payload
+
+def parse_control_frame(payload: bytes) -> tuple[int, list[bytes]]:
+    """Control payload -> (control type, content-type fields)."""
+    (ctype,) = _FRAME_HEADER.unpack_from(payload)
+    off, cts = _FRAME_HEADER.size, []
+    while off + 2 * _FRAME_HEADER.size <= len(payload):
+        (ftype,) = _FRAME_HEADER.unpack_from(payload, off)
+        (flen,) = _FRAME_HEADER.unpack_from(payload, off + _FRAME_HEADER.size)
+        off += 2 * _FRAME_HEADER.size
+        if ftype == FSTRM_FIELD_CONTENT_TYPE:
+            cts.append(payload[off : off + flen])
+        off += flen
+    return ctype, cts
+
 def backoff_delays(cap: int = 60) -> Iterator[int]:
     """The reference's retry ladder: 1, 3, 7, 15, 31, 60, 60, ...
     (delay = delay*2 + 1 capped — dnstap.go:112-124)."""
@@ -191,13 +233,51 @@ class SocketBridge:
             self._conns.put(conn)
 
     # ------------------------------------------------------------- read
+    def _handle_control(self, conn: socket.socket, payload: bytes) -> bool:
+        """Bidirectional framestream handshake (receiver side).
+
+        READY -> reply ACCEPT with our content types; START -> begin data
+        (sender must have picked an overlapping type); STOP -> reply
+        FINISH and end the stream. Returns False when the stream is done.
+        Reference behavior: dnstap.go:192-203 (golang-framestream
+        NewDecoder performs exactly this exchange).
+        """
+        ctype, cts = parse_control_frame(payload)
+        if ctype == FSTRM_READY:
+            conn.sendall(encode_control_frame(FSTRM_ACCEPT, ACCEPTED_CONTENT_TYPES))
+        elif ctype == FSTRM_START:
+            if cts and cts[0] not in ACCEPTED_CONTENT_TYPES:
+                return False  # protocol error: sender ignored our ACCEPT
+        elif ctype == FSTRM_STOP:
+            try:
+                conn.sendall(encode_control_frame(FSTRM_FINISH))
+            except OSError:
+                pass
+            return False
+        return True
+
     def _read_frames(self, conn: socket.socket) -> Iterator[bytes]:
-        """S2 plug point: one frame per length-prefixed record."""
+        """S2: framestream reader — data frames out, control frames handled.
+
+        Also accepts bare length-prefixed data with no handshake (a
+        degenerate framestream session), so simple senders keep working.
+        """
         buf = b""
         conn.settimeout(0.2)
         while not self._stop.is_set():
             while len(buf) >= _FRAME_HEADER.size:
                 (n,) = _FRAME_HEADER.unpack_from(buf)
+                if n == 0:  # control-frame escape
+                    if len(buf) < 2 * _FRAME_HEADER.size:
+                        break
+                    (clen,) = _FRAME_HEADER.unpack_from(buf, _FRAME_HEADER.size)
+                    if len(buf) < 2 * _FRAME_HEADER.size + clen:
+                        break
+                    cframe = buf[2 * _FRAME_HEADER.size : 2 * _FRAME_HEADER.size + clen]
+                    buf = buf[2 * _FRAME_HEADER.size + clen :]
+                    if not self._handle_control(conn, cframe):
+                        return
+                    continue
                 if len(buf) < _FRAME_HEADER.size + n:
                     break
                 yield buf[_FRAME_HEADER.size : _FRAME_HEADER.size + n]
@@ -287,3 +367,62 @@ def send_frames(
         for row in rows:
             payload = enc(row)
             c.sendall(_FRAME_HEADER.pack(len(payload)) + payload)
+
+def _recv_control(c: socket.socket, timeout: float = 5.0) -> tuple[int, list[bytes]]:
+    """Read one control frame (escape + len + payload) off the socket."""
+    c.settimeout(timeout)
+    buf = b""
+    while True:
+        need = 2 * _FRAME_HEADER.size
+        if len(buf) >= need:
+            (zero,) = _FRAME_HEADER.unpack_from(buf)
+            if zero != 0:
+                raise ValueError(f"expected control escape, got data frame len={zero}")
+            (clen,) = _FRAME_HEADER.unpack_from(buf, _FRAME_HEADER.size)
+            if len(buf) >= need + clen:
+                return parse_control_frame(buf[need : need + clen])
+        chunk = c.recv(65536)
+        if not chunk:
+            raise ConnectionError("peer closed during control exchange")
+        buf += chunk
+
+def send_frames_fstrm(
+    socket_path: str,
+    rows: list[dict],
+    content_type: bytes = b"application/json",
+    retries: int = 20,
+) -> None:
+    """Test client speaking the full bidirectional framestream protocol:
+    READY -> (ACCEPT) -> START -> data frames -> STOP -> (FINISH).
+    Raises if the receiver's ACCEPT doesn't offer ``content_type``."""
+    last: Exception | None = None
+    for _ in range(retries):
+        try:
+            c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            c.connect(socket_path)
+            break
+        except OSError as exc:
+            last = exc
+            time.sleep(0.1)
+    else:
+        raise last or OSError("connect failed")
+    enc = (
+        encode_binary_frame
+        if content_type == b"application/x-bridge-binary"
+        else (lambda r: json.dumps(r).encode())
+    )
+    with c:
+        c.sendall(encode_control_frame(FSTRM_READY, (content_type,)))
+        ctype, cts = _recv_control(c)
+        if ctype != FSTRM_ACCEPT:
+            raise ConnectionError(f"expected ACCEPT, got control type {ctype}")
+        if content_type not in cts:
+            raise ConnectionError(f"receiver does not accept {content_type!r}: {cts}")
+        c.sendall(encode_control_frame(FSTRM_START, (content_type,)))
+        for row in rows:
+            payload = enc(row)
+            c.sendall(_FRAME_HEADER.pack(len(payload)) + payload)
+        c.sendall(encode_control_frame(FSTRM_STOP))
+        ctype, _ = _recv_control(c)
+        if ctype != FSTRM_FINISH:
+            raise ConnectionError(f"expected FINISH, got control type {ctype}")

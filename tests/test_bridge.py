@@ -109,3 +109,66 @@ def test_unknown_frame_format_raises():
 
     with pytest.raises(NotImplementedError, match="protobuf"):
         _decode_frame(b"\x7fGARBAGE")
+
+def test_fstrm_control_frame_codec():
+    from dnstap2clickhouse_spark.sources.bridge import (
+        FSTRM_FIELD_CONTENT_TYPE,
+        FSTRM_READY,
+        encode_control_frame,
+        parse_control_frame,
+    )
+
+    frame = encode_control_frame(FSTRM_READY, (b"protobuf:dnstap.Dnstap", b"application/json"))
+    # escape (0) + control length + payload
+    assert frame[:4] == b"\x00\x00\x00\x00"
+    ctype, cts = parse_control_frame(frame[8:])
+    assert ctype == FSTRM_READY
+    assert cts == [b"protobuf:dnstap.Dnstap", b"application/json"]
+
+
+def test_fstrm_bidirectional_handshake(spark):
+    """S2: the real framestream exchange — READY/ACCEPT content-type
+    negotiation, START, data frames, STOP/FINISH — through the live
+    socket, both local content types, mixed with a no-handshake sender."""
+    import time
+
+    from dnstap2clickhouse_spark.sources.bridge import send_frames_fstrm
+
+    d = tempfile.mkdtemp(prefix="bridge_fstrm_")
+    sock = os.path.join(d, "dnstap.sock")
+    out = os.path.join(d, "chunks")
+    bridge = SocketBridge(sock, out, readers=2, flush_rows=16)
+    bridge.start()
+    try:
+        rows = _sample_rows(48)
+        send_frames_fstrm(sock, rows[:16], content_type=b"application/json")
+        send_frames_fstrm(sock, rows[16:32], content_type=b"application/x-bridge-binary")
+        send_frames(sock, rows[32:])  # degenerate session still accepted
+        deadline = time.time() + 10
+        while bridge.frames_read < 48 and time.time() < deadline:
+            time.sleep(0.1)
+        assert bridge.frames_read == 48
+    finally:
+        bridge.stop()
+    df = spark.read.parquet(out)
+    got = sorted((r.event_id, r.event_type, r.value) for r in df.collect())
+    want = sorted((r["event_id"], r["event_type"], r["value"]) for r in _sample_rows(48))
+    assert got == want
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fstrm_rejects_unaccepted_content_type():
+    import pytest
+
+    from dnstap2clickhouse_spark.sources.bridge import send_frames_fstrm
+
+    d = tempfile.mkdtemp(prefix="bridge_rej_")
+    sock = os.path.join(d, "dnstap.sock")
+    bridge = SocketBridge(sock, os.path.join(d, "chunks"), readers=1)
+    bridge.start()
+    try:
+        with pytest.raises(ConnectionError, match="does not accept"):
+            send_frames_fstrm(sock, _sample_rows(1), content_type=b"text/unknown")
+    finally:
+        bridge.stop()
+        shutil.rmtree(d, ignore_errors=True)
