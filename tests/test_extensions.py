@@ -114,3 +114,47 @@ def test_exact_dedup_partition_invariant(spark):
     groups = dedup.exact_dedup(spark, SF).collect()
     ndocs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert sum(g.n_members for g in groups) == ndocs
+
+
+def test_repetition_filter_extremes(spark, tmp_path):
+    """Crafted docs pin the repetition gates: all-identical tokens ->
+    maximal dup/top fractions, rejected; all-unique tokens -> zero
+    fractions, kept; an exact repeated phrase sits between."""
+    from dnstap2clickhouse_spark.functions.text import repetition_filter
+
+    docs = [
+        (0, " ".join(["spam"] * 40)),                       # one bigram, 39 copies
+        (1, " ".join(f"w{i}" for i in range(40))),          # all bigrams distinct
+        (2, " ".join(["alpha beta gamma"] * 12)),           # repeated phrase
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in repetition_filter(spark, str(tmp_path)).collect()}
+
+    assert out[0].n_bigrams == 39
+    assert out[0].dup_bigram_frac == (39 - 1) / 39
+    assert out[0].top_bigram_frac == 1.0
+    assert not out[0].keep
+
+    assert out[1].dup_bigram_frac == 0.0
+    assert out[1].keep
+
+    # 12 copies of a 3-token phrase: 35 bigrams, 3 distinct
+    assert out[2].n_bigrams == 35
+    assert out[2].dup_bigram_frac == (35 - 3) / 35
+    assert not out[2].keep
+
+
+def test_ann_recall_bounds_and_brute_force_identity(spark):
+    """recall@k is in [0,1]; the brute-force result joined against itself
+    would be 1.0 by construction — pin that the LSH recall never exceeds
+    the exact top-k overlap definition."""
+    from dnstap2clickhouse_spark.functions.similarity import TOP_K, ann_recall
+
+    rows = ann_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_hits == round(r.recall_at_k * TOP_K)
