@@ -59,19 +59,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # two timed executions per query, report the min: the first pass eats
-    # any cold page-cache / first-scan costs (the host drops caches
-    # unpredictably between rounds), so the reported number is
-    # steady-state plan execution and comparable round over round
+    # two timed executions per query; headline value is the min
+    # (steady-state, comparable round over round — the first pass eats any
+    # cold page-cache / first-scan costs the host injects unpredictably),
+    # but BOTH raw runs are emitted in "runs" so cold-start cost stays
+    # recoverable from the output (methodology frozen as of round 2)
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs[name] = []
         for _ in range(2):
             df = queries[name](spark, sf_dir)
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.time() - t0, 3))
+        timings[name] = min(runs[name])
         # outside the timed region: let ContextCleaner drop finished
         # queries' broadcast blocks so late queries don't pay earlier
         # queries' GC debt (measured 11.3s -> 3.1s on the 18th query of a
@@ -89,6 +91,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

@@ -234,6 +234,51 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_sql() -> str:
     return _ann_recall_sql("duckdb")
 
+def pandas_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable form of the numpy scorer: recall@k of
+    :func:`cosine_topk_pandas` against the exact JVM-fold
+    :func:`cosine_topk`, per query.
+
+    The pandas scorer's cosines differ from the fold's in the last ulp
+    (numpy SIMD pairwise summation), so its raw output carries no exact
+    oracle — but its top-k *membership* equals the exact top-k, which is
+    an integer-valued, oracle-checkable claim: every row must read
+    ``n_hits = k, recall_at_k = 1.0``. The DuckDB oracle states the same
+    identity on its own brute-force top-k (recall of the ground truth
+    against itself), so a membership divergence in the numpy path fails
+    the hash."""
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = cosine_topk_pandas(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    cond = (F.col("query_id") == F.col("a_query_id")) & (
+        F.col("neighbor_id") == F.col("a_neighbor_id")
+    )
+    return (
+        exact.join(approx, cond, "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").alias("n_hits"),
+            (F.count("a_neighbor_id").cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+def pandas_recall_sql() -> str:
+    brute = _brute_force_sql("duckdb").replace("ORDER BY query_id, rank", "")
+    return f"""
+WITH brute AS ({brute})
+SELECT b.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute b LEFT JOIN brute a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
 def lsh_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via multi-table sign-bit LSH: only same-bucket candidates
     scored; union across tables trades compute for recall."""

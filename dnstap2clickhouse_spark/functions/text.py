@@ -132,14 +132,22 @@ DUP_BIGRAM_MAX = 0.20
 TOP_BIGRAM_MAX = 0.18
 
 def _bigrams(dialect: str) -> str:
-    """Word-bigram array from the space-tokenized text (1-based element
-    access in both dialects)."""
-    toks = _toks(dialect)
+    """Word-bigram array from the space-tokenized text.
+
+    Spark form is ``zip_with`` over two slices of a pre-computed ``toks``
+    column: safe for 0/1-token documents (both slices are empty, yielding
+    ``[]`` — whereas ``sequence(1, size-1)`` with size=1 produces the
+    DESCENDING array [1, 0] and ``element_at`` throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT), and the slice arguments sit
+    outside any lambda so ``toks`` is not re-evaluated per element.
+    DuckDB's ``generate_series(1, 0)`` is already empty for short docs."""
     if dialect == "spark":
         return (
-            f"transform(sequence(1, size({toks}) - 1), "
-            f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1)))"
+            "zip_with(slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), "
+            "(a, b) -> concat_ws(' ', a, b))"
         )
+    toks = _toks("duckdb")
     return (
         f"list_transform(generate_series(1, len({toks}) - 1), "
         f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
@@ -161,13 +169,17 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _repetition_sql(dialect: str) -> str:
     bg = _bigrams(dialect)
-    unnest = "explode" if dialect == "spark" else "unnest"
-    per_bigram = (
-        f"SELECT doc_id, bigram, COUNT(*) AS c\n"
-        f"FROM (SELECT doc_id, {unnest}({bg}) AS bigram FROM documents)\n"
-        f"GROUP BY doc_id, bigram"
-    )
-    if dialect == "duckdb":
+    if dialect == "spark":
+        # toks computed once in an inner projection (split would otherwise
+        # run once per slice reference); explode drops 0/1-token docs, the
+        # same rows DuckDB's empty unnest drops
+        per_bigram = (
+            f"SELECT doc_id, bigram, COUNT(*) AS c\n"
+            f"FROM (SELECT doc_id, explode({bg}) AS bigram\n"
+            f"      FROM (SELECT doc_id, {_toks('spark')} AS toks FROM documents))\n"
+            f"GROUP BY doc_id, bigram"
+        )
+    else:
         per_bigram = (
             f"SELECT doc_id, bigram, COUNT(*) AS c\n"
             f"FROM (SELECT doc_id, unnest({bg}) AS bigram FROM documents) t\n"

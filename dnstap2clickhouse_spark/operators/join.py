@@ -31,11 +31,30 @@ from pyspark.sql import functions as F
 
 JOIN_KEYS = ["identity", "queryAddress", "queryPort", "id"]
 
-_INTERVAL_US = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+_INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3600 * 1_000_000,
+    "day": 86400 * 1_000_000,
+    "week": 7 * 86400 * 1_000_000,
+}
 
 def _interval_us(spec: str) -> int:
-    n, unit = spec.split()
-    return int(n) * _INTERVAL_US[unit] * 1_000_000
+    """Parse ``'<n> <unit>'`` (unit singular or plural, microsecond..week —
+    the same units Spark's INTERVAL literal accepts for this spec) into
+    microseconds; raises a ValueError naming the accepted units instead of
+    an opaque KeyError."""
+    try:
+        n, unit = spec.split()
+        return int(n) * _INTERVAL_US[unit.lower().rstrip("s")]
+    except (KeyError, ValueError) as e:
+        units = ", ".join(f"{u}(s)" for u in _INTERVAL_US)
+        raise ValueError(
+            f"max_delay {spec!r} not understood: expected '<n> <unit>' "
+            f"with unit one of {units}"
+        ) from e
 
 def match_response_times(
     queries: DataFrame,

@@ -27,8 +27,31 @@ from ..sources.tables import load_table
 
 # P3: qtype code -> name (dns.Type.String, dnstap.go:296/360)
 QTYPE_NAMES = {1: "A", 2: "NS", 15: "MX", 16: "TXT", 28: "AAAA"}
-# P4: rcode -> status name (dns.RcodeToString, dnstap.go:350)
-RCODE_NAMES = {0: "NOERROR", 2: "SERVFAIL", 3: "NXDOMAIN", 5: "REFUSED"}
+# P4: rcode -> status name — the FULL dns.RcodeToString table (miekg/dns,
+# public; dnstap.go:350). Unlike qtype (dns.Type.String falls back to
+# 'TYPE<n>'), a Go map lookup on a missing rcode yields the zero value ""
+# — so the rcode fallback is the empty string, not 'TYPE<n>'.
+RCODE_NAMES = {
+    0: "NOERROR",
+    1: "FORMERR",
+    2: "SERVFAIL",
+    3: "NXDOMAIN",
+    4: "NOTIMP",
+    5: "REFUSED",
+    6: "YXDOMAIN",
+    7: "YXRRSET",
+    8: "NXRRSET",
+    9: "NOTAUTH",
+    10: "NOTZONE",
+    16: "BADVERS",
+    17: "BADKEY",
+    18: "BADTIME",
+    19: "BADMODE",
+    20: "BADNAME",
+    21: "BADALG",
+    22: "BADTRUNC",
+    23: "BADCOOKIE",
+}
 
 #: P1 fallback for frames without a wire timestamp (reference uses
 #: time.Now(), dnstap.go:264-267 — non-deterministic; pinned for tests)
@@ -80,9 +103,11 @@ def raw_frames(spark: SparkSession, sf_dir: str, events: DataFrame | None = None
 
 RAW_FRAMES_SQL = "SELECT " + ",\n       ".join(_frame_exprs("duckdb")) + "\nFROM events"
 
-def _case_from_map(col: str, mapping: dict[int, str]) -> str:
+def _case_from_map(
+    col: str, mapping: dict[int, str], fallback: str = "'TYPE' || CAST({col} AS VARCHAR)"
+) -> str:
     whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in sorted(mapping.items()))
-    return f"CASE {col} {whens} ELSE 'TYPE' || CAST({col} AS VARCHAR) END"
+    return f"CASE {col} {whens} ELSE {fallback.format(col=col)} END"
 
 def decode_frames(frames: DataFrame, kind: str) -> DataFrame:
     """F1->F2->F4 filters, then P1/P3/P4/P5/P6/P7 projections.
@@ -130,14 +155,12 @@ def decode_frames(frames: DataFrame, kind: str) -> DataFrame:
     out = out.withColumn("questionName", F.explode("questionNames")).drop("questionNames")
     cols = [time_col, "identity", "queryAddress", "queryPort", "questionName", "questionType", "id"]
     if kind == "CLIENT_RESPONSE":
-        # P4 + success flag (dnstap.go:345-350)
+        # P4 + success flag (dnstap.go:345-350); unmapped rcode -> "" (the
+        # Go-map zero value dns.RcodeToString yields), NOT 'TYPE<n>'
         rcode_case = F.create_map(*[F.lit(x) for kv in RCODE_NAMES.items() for x in kv])
         out = out.withColumn(
             "responseStatus",
-            F.coalesce(
-                F.element_at(rcode_case, F.col("rcode")),
-                F.concat(F.lit("TYPE"), F.col("rcode").cast("string")),
-            ),
+            F.coalesce(F.element_at(rcode_case, F.col("rcode")), F.lit("")),
         )
         out = out.withColumn("isSuccess", F.col("responseStatus") == "NOERROR")
         cols += ["responseStatus", "isSuccess"]
@@ -180,7 +203,7 @@ def decode_frames_sql(kind: str) -> str:
         "id",
     ]
     if kind == "CLIENT_RESPONSE":
-        rcode_case = _case_from_map("rcode", RCODE_NAMES)
+        rcode_case = _case_from_map("rcode", RCODE_NAMES, fallback="''")
         cols += [f"{rcode_case} AS responseStatus", f"({rcode_case}) = 'NOERROR' AS isSuccess"]
     cols.append("CAST(1 AS BIGINT) AS counter")
     sel = ",\n       ".join(cols)

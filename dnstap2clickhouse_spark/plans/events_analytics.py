@@ -282,7 +282,7 @@ def rolling_hour_stats_sql() -> str:
     return f"""
 SELECT user_id, event_id, ts,
        count(*) OVER w AS n_events_1h,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS value_cents_1h
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS value_cents_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL '{ROLLING_WINDOW_S} seconds' PRECEDING AND CURRENT ROW)
@@ -337,11 +337,24 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Approximate by design => no exact oracle (rows-only driver check);
     accuracy is pinned against the exact forms in tests."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("approx_p"),
-        F.count(F.lit(1)).alias("n_events"),
-    ).orderBy("event_type")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("approx_p"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            # scalar columns, not the array: downstream consumers (and the
+            # driver's row canonicalizer) need hashable cells
+            F.element_at("approx_p", 1).alias("approx_p50"),
+            F.element_at("approx_p", 2).alias("approx_p95"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
 
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns (values list pinned so

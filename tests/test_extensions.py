@@ -73,8 +73,8 @@ def test_sketch_stats_accuracy(spark):
         assert abs(r.approx_users - exact_d[r.event_type]) <= 0.1 * exact_d[r.event_type]
         p50, p95 = exact_q[r.event_type]
         spread = max(1.0, p95 - p50)
-        assert abs(r.approx_p[0] - p50) <= 0.2 * spread
-        assert abs(r.approx_p[1] - p95) <= 0.2 * spread
+        assert abs(r.approx_p50 - p50) <= 0.2 * spread
+        assert abs(r.approx_p95 - p95) <= 0.2 * spread
 
 def test_pandas_cosine_matches_jvm_fold(spark):
     """The Arrow/numpy scorer returns the same neighbors as the JVM

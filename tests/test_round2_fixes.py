@@ -86,13 +86,38 @@ def _frames(spark, qtype_code, rcode):
     )
 
 
-def test_unmapped_codes_fall_back_to_type_names(spark):
-    """dns.Type.String semantics: unknown numeric codes render 'TYPE<n>'
-    (never NULL), and isSuccess stays a real boolean (ADVICE r1)."""
-    row = prep.decode_frames(_frames(spark, 99, 7), "CLIENT_RESPONSE").collect()[0]
+def test_unmapped_codes_fall_back_per_reference(spark):
+    """Distinct fallbacks per the reference (ADVICE r2): dns.Type.String
+    renders 'TYPE<n>' for unknown qtypes, but dns.RcodeToString is a Go
+    map — a missing rcode yields the zero value '' (and real extended
+    rcodes like 7=YXRRSET are in the full table, see below). isSuccess
+    stays a real boolean."""
+    row = prep.decode_frames(_frames(spark, 99, 4095), "CLIENT_RESPONSE").collect()[0]
     assert row.questionType == "TYPE99"
-    assert row.responseStatus == "TYPE7"
+    assert row.responseStatus == ""
     assert row.isSuccess is False
+
+
+def test_extended_rcodes_use_full_table(spark):
+    """7=YXRRSET / 9=NOTAUTH etc. come from the full dns.RcodeToString
+    table instead of mislabeling with the qtype-style 'TYPE7' (ADVICE r2)."""
+    assert (
+        prep.decode_frames(_frames(spark, 1, 7), "CLIENT_RESPONSE").collect()[0].responseStatus
+        == "YXRRSET"
+    )
+    assert (
+        prep.decode_frames(_frames(spark, 1, 9), "CLIENT_RESPONSE").collect()[0].responseStatus
+        == "NOTAUTH"
+    )
+    # SQL dialect agrees
+    import duckdb
+
+    con = duckdb.connect()
+    case = prep._case_from_map("rcode", prep.RCODE_NAMES, fallback="''")
+    got = con.execute(
+        f"SELECT {case} FROM (VALUES (7), (9), (4095)) v(rcode) ORDER BY rcode"
+    ).fetchall()
+    assert [g[0] for g in got] == ["YXRRSET", "NOTAUTH", ""]
 
 
 def test_mapped_codes_unchanged(spark):

@@ -30,16 +30,33 @@ TABLES = (
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-strict canonicalization.
+
+    The r2 verdict showed the old ``%.10g`` float rounding and list
+    stringification made this gate LOOSER than the driver's: an int64 310
+    vs float64 310.0 oracle drift passed locally and failed at the driver,
+    and array-typed cells (which crash the driver's canonicalizer) were
+    silently papered over. Rules now: full-precision ``repr`` for floats
+    (so int-vs-float dtype drift is visible: '310' != '310.0'), and
+    list/array cells RAISE — mirroring the driver's 'unhashable type'
+    error — instead of being joined into a string.
+    """
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
-    # stringify for stable sort across dtypes; round floats to tolerate
-    # engine-formatting differences but keep real value drift visible
+
     def cell(v):
+        if isinstance(v, np.generic):
+            v = v.item()
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
         if isinstance(v, float):
-            return f"{v:.10g}"
-        if isinstance(v, (list, tuple)):
-            return "[" + ",".join(cell(x) for x in v) + "]"
+            return repr(v)
+        if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+            raise TypeError(
+                f"unhashable cell type {type(v).__name__}: the driver's "
+                "canonicalizer rejects array-typed output columns"
+            )
         if isinstance(v, (bytes, bytearray)):
             return v.hex()
         return str(v)
@@ -91,6 +108,16 @@ def main() -> None:
             continue
         sql = oracles.get(name)
         if sql is None:
+            # rows-only entries still go through the strict canonicalizer:
+            # the driver canonicalizes BEFORE the oracle check, so an
+            # unhashable column errs there even without an oracle
+            try:
+                canon(sdf)
+            except TypeError as e:
+                rec["err"] = f"canon: {e}"
+                results[name] = rec
+                print(f"ERR   {name}: {rec['err'][:200]}")
+                continue
             rec["rows_only"] = True
             rec["secs"] = round(time.time() - t0, 2)
             results[name] = rec
@@ -107,7 +134,13 @@ def main() -> None:
         rec["rows_match"] = len(sdf) == len(odf)
         rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
         if rec["rows_match"] and rec["schema_match"]:
-            cs, co = canon(sdf), canon(odf)
+            try:
+                cs, co = canon(sdf), canon(odf)
+            except TypeError as e:
+                rec["err"] = f"canon: {e}"
+                results[name] = rec
+                print(f"ERR   {name}: {rec['err'][:200]}")
+                continue
             rec["hash_match"] = cs.equals(co)
             if not rec["hash_match"]:
                 diff = (cs != co).any(axis=1)
