@@ -76,6 +76,45 @@ def jdbc_writer(
 
     return write
 
+def insert_statement(table: str, mapping: dict[str, str]) -> str:
+    """K1 dialect surface: the INSERT the reference synthesizes from
+    configured column names, with empty-name pruning
+    (``appendColumnName``/``appendColumnValue`` skip empty targets —
+    clickhouse.go:124-175). Mapping is source-column -> sink-column;
+    an empty sink name prunes the column from the statement entirely.
+    Useful for ``foreachBatch`` writers that target ClickHouse through a
+    raw connection instead of the JDBC ``dbtable`` path."""
+    cols = [v for v in mapping.values() if v]
+    if not cols:
+        raise ValueError("column mapping prunes every column")
+    placeholders = ", ".join("?" for _ in cols)
+    return f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
+
+def clickhouse_url(hosts: list[str], database: str) -> str:
+    """Multi-host ClickHouse JDBC URL (the reference passes the full host
+    list to clickhouse.Options.Addr for failover — clickhouse.go:94-104);
+    the JDBC driver takes the same comma-separated list."""
+    if not hosts:
+        raise ValueError("at least one host required")
+    return f"jdbc:clickhouse://{','.join(hosts)}/{database}"
+
+def clickhouse_properties(
+    lz4: bool = True,
+    max_execution_time_s: int = 60,
+    socket_timeout_ms: int = 30_000,
+) -> dict[str, str]:
+    """Connection properties mirroring the reference's client options
+    (clickhouse.go:94-104: LZ4 compression, ``max_execution_time``
+    setting, dial timeout). Keys are the public clickhouse-jdbc property
+    names; they ride the generic JDBC ``properties`` passthrough."""
+    props = {
+        "max_execution_time": str(max_execution_time_s),
+        "socket_timeout": str(socket_timeout_ms),
+    }
+    if lz4:
+        props["compress_algorithm"] = "lz4"
+    return props
+
 def clickhouse_writer(
     url: str,
     table: str,
@@ -84,14 +123,18 @@ def clickhouse_writer(
     properties: dict[str, str] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """ClickHouse flavor of ``jdbc_writer`` (requires the ClickHouse JDBC
-    jar on the classpath + a reachable server; clickhouse.go:86-114)."""
+    jar on the classpath + a reachable server; clickhouse.go:86-114).
+    Defaults the connection properties to :func:`clickhouse_properties`
+    (LZ4 + max_execution_time), overridable per call."""
+    props = clickhouse_properties()
+    props.update(properties or {})
     return jdbc_writer(
         url,
         table,
         mapping,
         batchsize,
         driver="com.clickhouse.jdbc.ClickHouseDriver",
-        properties=properties,
+        properties=props,
     )
 
 def write_sorted_parquet(

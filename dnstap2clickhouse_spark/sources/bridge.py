@@ -137,43 +137,61 @@ def decode_binary_frame(payload: bytes) -> dict:
         "props": props,
     }
 
-def decode_dnstap_protobuf(payload: bytes):  # pragma: no cover - env-gated
-    """Production S3 decode: dnstap protobuf frame -> message.
+def decode_dnstap_protobuf(payload: bytes) -> dict:
+    """Production S3+S4 decode: a ``dnstap.Dnstap`` protobuf frame ->
+    one raw-frame row in the decode chain's input schema
+    (``operators.prep._frame_exprs``): frameType, messageType,
+    hasPayload, timeSec/timeNsec, identity, queryAddress, queryPort,
+    qtypeCode, rcode, id, questionNames, addrBytes.
 
-    Requires the ``protobuf`` package plus the generated ``dnstap_pb2``
-    classes (neither ships in this environment). Alternatively, ship the
-    raw frame bytes into Spark as a ``binary`` column and decode there
-    with ``pyspark.sql.protobuf.functions.from_protobuf(col, "Dnstap",
-    descFilePath=...)`` (needs the spark-protobuf jar) — that keeps the
-    decode JVM-side and vectorized. Reference: dnstap.go:205-233.
+    Uses the in-repo pure-Python wire codecs (``sources.dnstap_proto``
+    for the protobuf layer, ``sources.dnswire`` for the embedded DNS
+    message) — no protobuf runtime or generated classes needed. At Spark
+    scale the same decode can instead run JVM-side via
+    ``pyspark.sql.protobuf.functions.from_protobuf(col, "Dnstap",
+    descFilePath=...)`` on raw binary columns (needs the spark-protobuf
+    jar). Reference: dnstap.go:205-233 (protobuf), 275-281/331-337 (DNS
+    unpack), 289-307/352-372 (projection).
     """
-    try:
-        import dnstap_pb2  # type: ignore[import-not-found]
-    except ImportError as exc:
-        raise NotImplementedError(
-            "dnstap protobuf decode needs the protobuf package + generated "
-            "dnstap_pb2 classes; use the JSON or binary bridge frame "
-            "formats, or Spark-side from_protobuf, instead"
-        ) from exc
-    msg = dnstap_pb2.Dnstap()
-    msg.ParseFromString(payload)
-    return msg
+    from . import dnstap_proto, dnswire
+
+    frame = dnstap_proto.decode_dnstap(payload)
+    row = {
+        "frameType": frame["frameType"],
+        "messageType": frame["messageType"] or "",
+        "hasPayload": frame["hasPayload"],
+        "timeSec": frame["timeSec"],
+        "timeNsec": frame["timeNsec"],
+        "identity": frame["identity"],
+        "queryAddress": frame["queryAddress"] or "",
+        "queryPort": frame["queryPort"],
+        "qtypeCode": None,
+        "rcode": None,
+        "id": None,
+        "questionNames": [],
+        "addrBytes": frame.get("addrBytes", b""),
+    }
+    if frame["hasPayload"]:
+        dns = dnswire.decode_message(frame["dnsMessage"])
+        row["id"] = dns["id"]
+        row["rcode"] = dns["rcode"]
+        row["questionNames"] = [name for name, _ in dns["questions"]]
+        if dns["questions"]:
+            row["qtypeCode"] = dns["questions"][0][1]
+    return row
 
 def _decode_frame(payload: bytes) -> dict:
-    """S3/S4 plug point: frame bytes -> event row dict.
+    """S3/S4 plug point: frame bytes -> row dict.
 
     Sniffs the frame format: ``{`` -> JSON row; magic 0x01 -> the binary
-    layout above; anything else is treated as a dnstap protobuf frame
-    (env-gated — see ``decode_dnstap_protobuf``).
+    layout above; anything else is parsed as a dnstap protobuf frame
+    (``decode_dnstap_protobuf``).
     """
     if payload[:1] == b"{":
         return json.loads(payload)
     if payload[:1] == bytes([_BIN_MAGIC]):
         return decode_binary_frame(payload)
-    raise NotImplementedError(
-        "unrecognized frame format; dnstap protobuf frames need "
-        "decode_dnstap_protobuf (env-gated)"
-    )
+    return decode_dnstap_protobuf(payload)
 
 class SocketBridge:
     """Unix-socket -> parquet-chunk bridge daemon."""
@@ -310,27 +328,56 @@ class SocketBridge:
                             self._flush_locked()
 
     # ------------------------------------------------------------- write
+    #: events-row chunks (JSON / binary bridge codecs)
+    _EVENTS_SCHEMA = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    #: dnstap raw-frame chunks (protobuf codec) — the decode chain's
+    #: input schema (operators.prep._frame_exprs, minus synthetic event_id)
+    _DNSTAP_SCHEMA = pa.schema(
+        [
+            ("frameType", pa.string()),
+            ("messageType", pa.string()),
+            ("hasPayload", pa.bool_()),
+            ("timeSec", pa.int64()),
+            ("timeNsec", pa.int64()),
+            ("identity", pa.string()),
+            ("queryAddress", pa.string()),
+            ("queryPort", pa.int64()),
+            ("qtypeCode", pa.int64()),
+            ("rcode", pa.int64()),
+            ("id", pa.int64()),
+            ("questionNames", pa.list_(pa.string())),
+            ("addrBytes", pa.binary()),
+        ]
+    )
+
     def _flush_locked(self) -> None:
         if not self._rows:
             return
         rows, self._rows = self._rows, []
-        table = pa.Table.from_pylist(rows).cast(
-            pa.schema(
-                [
-                    ("event_id", pa.int64()),
-                    ("ts_us", pa.int64()),
-                    ("user_id", pa.int64()),
-                    ("event_type", pa.string()),
-                    ("value", pa.float64()),
-                    ("props", pa.string()),
-                ]
+        # one chunk file per row shape: dnstap raw frames and events rows
+        # never mix schemas within a parquet file
+        for shape, schema in (("dnstap", self._DNSTAP_SCHEMA), ("events", self._EVENTS_SCHEMA)):
+            part = [r for r in rows if ("frameType" in r) == (shape == "dnstap")]
+            if not part:
+                continue
+            table = pa.Table.from_pylist(part).select(schema.names).cast(schema)
+            if shape == "events":
+                # micros -> timestamp column matching the events table schema
+                table = table.set_column(
+                    1, "ts", table.column("ts_us").cast(pa.timestamp("us"))
+                )
+            pq.write_table(
+                table, os.path.join(self.out_dir, f"chunk-{uuid.uuid4().hex}.parquet")
             )
-        )
-        # micros -> timestamp column matching the events table schema
-        table = table.set_column(
-            1, "ts", table.column("ts_us").cast(pa.timestamp("us"))
-        )
-        pq.write_table(table, os.path.join(self.out_dir, f"chunk-{uuid.uuid4().hex}.parquet"))
 
     def flush(self) -> None:
         with self._rows_lock:
@@ -406,11 +453,12 @@ def send_frames_fstrm(
             time.sleep(0.1)
     else:
         raise last or OSError("connect failed")
-    enc = (
-        encode_binary_frame
-        if content_type == b"application/x-bridge-binary"
-        else (lambda r: json.dumps(r).encode())
-    )
+    if content_type == b"application/x-bridge-binary":
+        enc = encode_binary_frame
+    elif content_type == b"protobuf:dnstap.Dnstap":
+        enc = lambda r: r  # rows are pre-encoded Dnstap frames (bytes)
+    else:
+        enc = lambda r: json.dumps(r).encode()
     with c:
         c.sendall(encode_control_frame(FSTRM_READY, (content_type,)))
         ctype, cts = _recv_control(c)

@@ -103,11 +103,14 @@ def test_binary_frames_over_socket(spark):
     assert got == want
 
 def test_unknown_frame_format_raises():
+    """Non-JSON/non-binary frames parse as dnstap protobuf; garbage that
+    isn't valid protobuf raises a wire-format error rather than yielding
+    a bogus row."""
     import pytest
 
     from dnstap2clickhouse_spark.sources.bridge import _decode_frame
 
-    with pytest.raises(NotImplementedError, match="protobuf"):
+    with pytest.raises(ValueError):
         _decode_frame(b"\x7fGARBAGE")
 
 def test_fstrm_control_frame_codec():
