@@ -372,8 +372,11 @@ class SocketBridge:
             table = pa.Table.from_pylist(part).select(schema.names).cast(schema)
             if shape == "events":
                 # micros -> timestamp column matching the events table schema
+                # UTC-tagged (isAdjustedToUTC=true) so Spark reads TIMESTAMP
+                # (LTZ), the type event-time watermarks require — untagged
+                # micros would surface as TIMESTAMP_NTZ
                 table = table.set_column(
-                    1, "ts", table.column("ts_us").cast(pa.timestamp("us"))
+                    1, "ts", table.column("ts_us").cast(pa.timestamp("us", tz="UTC"))
                 )
             pq.write_table(
                 table, os.path.join(self.out_dir, f"chunk-{uuid.uuid4().hex}.parquet")

@@ -1,11 +1,13 @@
 """Parquet table loaders.
 
-Centralizes schema normalization so every operator sees clean Spark types:
-``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only reads
-via ``spark.sql.legacy.parquet.nanosAsLong`` (as a raw long). We convert
-back with *integer* division (``div 1000`` — floor, matching DuckDB's
-nanos->micros truncation). Float division would silently lose precision:
-nano timestamps (~1.7e18) exceed double's 53-bit exact-integer range.
+Centralizes schema normalization so every operator sees clean Spark types.
+``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (readable only via
+``spark.sql.legacy.parquet.nanosAsLong``, arriving as a raw long) and as
+TIMESTAMP(MICROS, isAdjustedToUTC=false) (arriving as TIMESTAMP_NTZ);
+both are normalized here to session-zone TIMESTAMP. The nanos path uses
+*integer* division (``div 1000`` — floor, matching DuckDB's nanos->micros
+truncation): float division would silently lose precision, since nano
+timestamps (~1.7e18) exceed double's 53-bit exact-integer range.
 """
 
 from __future__ import annotations
@@ -26,8 +28,12 @@ TABLES = (
     "embeddings",
 )
 
-#: columns stored as TIMESTAMP(NANOS) in the test corpus
-_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: timestamp columns whose parquet physical type has varied across test-corpus
+#: generations: TIMESTAMP(NANOS) (arrives as bigint under ``nanosAsLong``) or
+#: TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ). Both
+#: are normalized to session-zone TIMESTAMP (LTZ) so event-time operators
+#: (``window``, ``withWatermark``, ``unix_micros``) see one type.
+_NORM_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Make table reads independent of who built the SparkSession.
@@ -51,9 +57,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
-    for c in _NANO_TS_COLS.get(name, ()):
+    for c in _NORM_TS_COLS.get(name, ()):
         if dtypes.get(c) == "bigint":
+            # TIMESTAMP(NANOS) under nanosAsLong: integer div (floor) to micros
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # NTZ wall-clock == UTC instant (session zone is pinned to UTC
+            # above), so a plain cast preserves every value
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
