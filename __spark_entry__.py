@@ -115,6 +115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # numpy scorer driver-checked via top-k membership (recall == 1.0)
         "sim_pandas_recall": fsim.pandas_recall,
+        # new in round 3: the rest of the production dedup pipeline —
+        # exact-Jaccard verification on LSH candidates only, connected
+        # components (iterative min-label propagation; recursive-CTE
+        # oracle), and the canonical deduplicated corpus
+        "dedup_lsh_verified": fdedup.lsh_verified_pairs,
+        "dedup_cc_clusters": fdedup.cc_clusters,
+        "dedup_canonical_corpus": fdedup.canonical_corpus,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -272,6 +279,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs_sql(),
         "dedup_minhash_signatures": fdedup.minhash_signatures_sql(),
         "dedup_minhash_lsh": fdedup.minhash_lsh_pairs_sql(),
+        "dedup_lsh_verified": fdedup.lsh_verified_pairs_sql(),
+        "dedup_cc_clusters": fdedup.cc_clusters_sql(),
+        "dedup_canonical_corpus": fdedup.canonical_corpus_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

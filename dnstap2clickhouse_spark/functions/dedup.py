@@ -25,6 +25,7 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .text import _hash_tok, _toks
@@ -242,6 +243,169 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs_sql() -> str:
     return _lsh_pairs_sql("duckdb") + " ORDER BY doc_a, doc_b"
+
+# ------------------------------------------- LSH candidates -> verification
+#
+# The production near-dup pipeline is candidates -> verify -> cluster ->
+# keep-one. The pieces below complete it on top of ``minhash_lsh_pairs``.
+
+def _lsh_verified_sql(dialect: str) -> str:
+    """LSH candidate pairs verified with EXACT Jaccard — but only on the
+    candidates, never all pairs.
+
+    The shingle arrays are fetched by two equi-joins keyed on doc_id
+    (array intersection per candidate pair, ``array_intersect``/
+    ``list_intersect`` over already-distinct arrays), so the exact
+    verification costs O(candidates), while ``ngram_jaccard_pairs`` —
+    the all-pairs ground truth — costs O(n^2) shingle-join rows. This is
+    the form that survives 100 TB: the quadratic stage is gone and the
+    two fetch joins shuffle only candidate keys against the corpus.
+    Jaccard = exact-int / exact-int in both dialects (bit-identical)."""
+    cand = _lsh_pairs_sql(dialect)
+    sh = _shingle_arrays(dialect)
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    return f"""
+WITH cand AS ({cand}),
+sh AS ({sh}),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({size}({inter}(a.sh, b.sh)) AS DOUBLE)
+           / ({size}(a.sh) + {size}(b.sh) - {size}({inter}(a.sh, b.sh))) AS jaccard
+  FROM cand c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard-verified near-dup pairs, computed only on LSH
+    candidates (the scale-correct two-stage form)."""
+    _register(spark, sf_dir)
+    return spark.sql(_lsh_verified_sql("spark") + " ORDER BY doc_a, doc_b")
+
+def lsh_verified_pairs_sql() -> str:
+    return _lsh_verified_sql("duckdb") + " ORDER BY doc_a, doc_b"
+
+# -------------------------------------- connected components -> canonical
+
+_CC_MAX_ITERS = 25
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the verified
+    near-dup graph; cluster_id = min doc_id in the component.
+
+    Spark-first iterative algorithm (no GraphX/graphframes dependency):
+    min-label propagation. Each iteration is one shuffle — join the
+    current labels onto the symmetric edge list, take min neighbor label
+    per vertex — and converges in graph-diameter iterations. Near-dup
+    components are short chains (diameter rarely >4), so this is 2-5
+    rounds in practice; ``localCheckpoint`` truncates lineage each round
+    so the plan doesn't grow with iterations (the standard Spark
+    iterative-algorithm discipline). Convergence is detected by counting
+    changed labels (one action per round — required for any fixpoint
+    loop; the data that moves is one label per vertex, not the corpus).
+    """
+    _register(spark, sf_dir)
+    pairs = spark.sql(_lsh_verified_sql("spark")).select("doc_a", "doc_b")
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return propagate_min_labels(labels, pairs)
+
+def propagate_min_labels(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an undirected pair list.
+
+    ``labels`` = (doc_id, cluster_id) initial assignment (identity);
+    ``pairs`` = (doc_a, doc_b) undirected edges. See ``_cc_labels`` for
+    the scale rationale."""
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
+        "src", "dst"
+    ).localCheckpoint()
+    labels = labels.localCheckpoint()
+    for _ in range(_CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("cluster_id", "nbr_min").alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter("changed").count()
+        labels = updated.select("doc_id", "cluster_id")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {_CC_MAX_ITERS} iterations"
+    )
+
+def _cc_reach_sql() -> str:
+    """DuckDB oracle: min reachable label via recursive CTE (the recursive
+    UNION dedups rows, so propagation terminates on cycles)."""
+    cand = _lsh_verified_sql("duckdb")
+    return f"""
+WITH RECURSIVE
+cand AS ({cand}),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b, doc_a FROM cand),
+reach(doc_id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN e ON e.src = r.doc_id)
+"""
+
+def cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment for every document."""
+    return _cc_labels(spark, sf_dir).orderBy("doc_id")
+
+def cc_clusters_sql() -> str:
+    return (
+        _cc_reach_sql()
+        + "SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id ORDER BY doc_id"
+    )
+
+def canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: one row per cluster, carrying the
+    canonical (min-id) document's metadata plus the duplicate count —
+    the actual output a training-data pipeline writes.
+
+    Post-clustering this is one small groupBy on cluster_id plus one
+    equi-join back to the corpus on the canonical id — both shuffles are
+    O(#clusters), bounded by corpus size."""
+    labels = _cc_labels(spark, sf_dir)
+    members = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        (F.count("*") - F.lit(1)).alias("n_dups_removed"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        members.join(docs, members.cluster_id == docs.doc_id)
+        .select("doc_id", "source", "n_chars", "n_members", "n_dups_removed")
+        .orderBy("doc_id")
+    )
+
+def canonical_corpus_sql() -> str:
+    return (
+        _cc_reach_sql()
+        + f""",
+labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+members AS (
+  SELECT cluster_id, count(*) AS n_members, count(*) - 1 AS n_dups_removed
+  FROM labels GROUP BY cluster_id)
+SELECT d.doc_id, d.source, d.n_chars, m.n_members, m.n_dups_removed
+FROM members m JOIN documents d ON m.cluster_id = d.doc_id
+ORDER BY d.doc_id
+"""
+    )
 
 # ----------------------------------------------------------------- SimHash
 

@@ -158,3 +158,54 @@ def test_ann_recall_bounds_and_brute_force_identity(spark):
     for r in rows:
         assert 0.0 <= r.recall_at_k <= 1.0
         assert r.n_hits == round(r.recall_at_k * TOP_K)
+
+# ---------------------------------------- dedup pipeline completion (r3)
+
+def test_lsh_verified_subset_of_exact_pairs(spark):
+    """Verified candidates carry true Jaccard scores: every verified pair
+    must appear in the exact all-pairs ground truth with the same score."""
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(spark, SF).collect()
+    }
+    verified = dedup.lsh_verified_pairs(spark, SF).collect()
+    assert verified, "fixture should contain verified near-dup pairs"
+    for r in verified:
+        assert (r.doc_a, r.doc_b) in exact
+        assert abs(exact[(r.doc_a, r.doc_b)] - r.jaccard) < 1e-12
+        assert r.jaccard >= dedup.JACCARD_THRESHOLD
+
+def test_cc_clusters_consistent_with_pairs(spark):
+    """Both endpoints of every verified pair share a cluster, and each
+    cluster_id is the min doc_id of its members."""
+    labels = {r.doc_id: r.cluster_id for r in dedup.cc_clusters(spark, SF).collect()}
+    pairs = dedup.lsh_verified_pairs(spark, SF).collect()
+    assert pairs
+    for r in pairs:
+        assert labels[r.doc_a] == labels[r.doc_b]
+    by_cluster: dict[int, list[int]] = {}
+    for doc, c in labels.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+def test_propagate_min_labels_chain_needs_iterations(spark):
+    """A 5-node chain (diameter 4) forces multi-round propagation; the
+    fixpoint must still label every node with the chain minimum."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (40, 50), (7, 8)], ["doc_a", "doc_b"]
+    )
+    labels = spark.createDataFrame(
+        [(i,) for i in (10, 20, 30, 40, 50, 7, 8, 99)], ["doc_id"]
+    ).selectExpr("doc_id", "doc_id AS cluster_id")
+    out = {r.doc_id: r.cluster_id for r in dedup.propagate_min_labels(labels, pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10, 50: 10, 7: 7, 8: 7, 99: 99}
+
+def test_canonical_corpus_accounts_for_every_doc(spark):
+    """Cluster sizes over the canonical corpus sum to the corpus size,
+    and the kept doc ids are exactly the cluster ids."""
+    docs_n = dedup.cc_clusters(spark, SF).count()
+    rows = dedup.canonical_corpus(spark, SF).collect()
+    assert sum(r.n_members for r in rows) == docs_n
+    assert all(r.n_dups_removed == r.n_members - 1 for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
