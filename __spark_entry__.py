@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_verified": fdedup.lsh_verified_pairs,
         "dedup_cc_clusters": fdedup.cc_clusters,
         "dedup_canonical_corpus": fdedup.canonical_corpus,
+        # new in round 3: corpus-level boilerplate n-grams + benchmark
+        # decontamination (broadcast overlap vs a held-out eval split)
+        "text_top_ngrams": ftext.top_ngrams,
+        "text_decontaminate": ftext.decontaminate,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -282,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_verified": fdedup.lsh_verified_pairs_sql(),
         "dedup_cc_clusters": fdedup.cc_clusters_sql(),
         "dedup_canonical_corpus": fdedup.canonical_corpus_sql(),
+        "text_top_ngrams": ftext.top_ngrams_sql(),
+        "text_decontaminate": ftext.decontaminate_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

@@ -225,3 +225,103 @@ SELECT doc_id, md5(text) AS content_md5,
                    (acc, hv) -> (acc * 31 + hv) % {_MOD}) AS rolling_hash
 FROM documents ORDER BY doc_id
 """
+
+# ------------------------------- corpus-level n-grams + decontamination
+
+#: n-gram length for benchmark decontamination (long enough that shared
+#: grams imply real text overlap, not chance collision — the published
+#: pipelines use 8-13)
+DECONTAM_K = 8
+#: which ``source`` plays the held-out benchmark set
+EVAL_SOURCE = "src0"
+#: n-gram length for corpus-level boilerplate detection
+TOP_NGRAM_K = 5
+TOP_NGRAM_LIMIT = 20
+
+def _kgram_expr(dialect: str, k: int) -> str:
+    """Word k-gram ARRAY per document. Spark form references a
+    pre-computed ``toks`` column (chained ``zip_with`` over k slices —
+    tokenization evaluated once, empty array for short docs); DuckDB
+    keeps the index form."""
+    if dialect == "spark":
+        n = f"size(toks) - {k - 1}"
+        expr = f"slice(toks, 1, {n})"
+        for i in range(2, k + 1):
+            expr = f"zip_with({expr}, slice(toks, {i}, {n}), (a, b) -> concat(a, ' ', b))"
+        return f"CASE WHEN size(toks) < {k} THEN array() ELSE {expr} END"
+    toks = _toks("duckdb")
+    gram = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(k))
+    return f"list_transform(generate_series(1, len({toks}) - {k - 1}), i -> {gram})"
+
+def _kgram_rows(dialect: str, k: int, where: str = "") -> str:
+    """(doc_id, gram) exploded k-gram rows, optionally filtered."""
+    g = _kgram_expr(dialect, k)
+    if dialect == "spark":
+        inner = f"SELECT doc_id, {_toks('spark')} AS toks FROM documents {where}"
+        return f"SELECT doc_id, explode({g}) AS gram FROM ({inner})"
+    return f"SELECT doc_id, unnest({g}) AS gram FROM documents {where}"
+
+def _top_ngrams_sql(dialect: str) -> str:
+    rows = _kgram_rows(dialect, TOP_NGRAM_K)
+    return f"""
+WITH g AS ({rows})
+SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY gram
+ORDER BY occurrences DESC, gram LIMIT {TOP_NGRAM_LIMIT}
+"""
+
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level most-frequent word 5-grams — the boilerplate /
+    template detector (repeated headers, licenses, navigation text).
+
+    Scale shape: explode -> ONE shuffle on the gram key with map-side
+    partial counts -> TakeOrderedAndProject for the top-k (no global
+    sort). Hot boilerplate grams are exactly what partial aggregation
+    absorbs: each partition pre-counts its copies before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_top_ngrams_sql("spark"))
+
+def top_ngrams_sql() -> str:
+    return _top_ngrams_sql("duckdb")
+
+def _decontaminate_sql(dialect: str) -> str:
+    eval_where = f"WHERE source = '{EVAL_SOURCE}'"
+    train_where = f"WHERE source <> '{EVAL_SOURCE}'"
+    train_rows = _kgram_rows(dialect, DECONTAM_K, train_where)
+    eval_rows = _kgram_rows(dialect, DECONTAM_K, eval_where)
+    # per-doc DISTINCT grams on the train side so n_shared counts distinct
+    # shared grams; the eval side is globally distinct
+    hint = "/*+ BROADCAST(eg) */ " if dialect == "spark" else ""
+    return f"""
+WITH tg AS (SELECT DISTINCT doc_id, gram FROM ({train_rows})),
+eg AS (SELECT DISTINCT gram FROM ({eval_rows})),
+hits AS (
+  SELECT {hint}tg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM tg JOIN eg ON tg.gram = eg.gram
+  GROUP BY tg.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents {train_where}) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document (source !=
+    EVAL_SOURCE), the number of distinct 8-grams it shares with the
+    held-out eval split, and the resulting drop flag.
+
+    Scale shape: the eval n-gram set is small by construction (a
+    benchmark, not the corpus), so the overlap test is a BROADCAST
+    hash join against it — the 100 TB training side is never shuffled
+    by gram; the only shuffles are the per-doc DISTINCT and the hit
+    count, both keyed on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_decontaminate_sql("spark"))
+
+def decontaminate_sql() -> str:
+    return _decontaminate_sql("duckdb")

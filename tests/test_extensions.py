@@ -209,3 +209,61 @@ def test_canonical_corpus_accounts_for_every_doc(spark):
     assert sum(r.n_members for r in rows) == docs_n
     assert all(r.n_dups_removed == r.n_members - 1 for r in rows)
     assert len({r.doc_id for r in rows}) == len(rows)
+
+# ------------------------------- n-gram corpus stats + decontamination
+
+def test_decontaminate_matches_python_ground_truth(spark):
+    """n_shared equals a pure-Python 8-gram set intersection per doc."""
+    from dnstap2clickhouse_spark.functions import text as ft
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    k = ft.DECONTAM_K
+
+    def grams(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    eval_grams = set()
+    for r in docs:
+        if r.source == ft.EVAL_SOURCE:
+            eval_grams |= grams(r.text)
+    expect = {
+        r.doc_id: len(grams(r.text) & eval_grams)
+        for r in docs
+        if r.source != ft.EVAL_SOURCE
+    }
+    got = {r.doc_id: r.n_shared for r in ft.decontaminate(spark, SF).collect()}
+    assert got == expect
+    assert any(v > 0 for v in got.values()), "fixture should contain contamination"
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram set must join as a broadcast — the training corpus
+    is never shuffled by gram."""
+    from dnstap2clickhouse_spark.functions import text as ft
+
+    plan = ft.decontaminate(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+def test_top_ngrams_counts_are_exact(spark):
+    """Top-k 5-gram occurrence counts equal a pure-Python count."""
+    from collections import Counter
+    from dnstap2clickhouse_spark.functions import text as ft
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    k = ft.TOP_NGRAM_K
+    c: Counter = Counter()
+    docs_per: dict[str, set] = {}
+    for r in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        w = r.text.split(" ")
+        for i in range(len(w) - k + 1):
+            g = " ".join(w[i : i + k])
+            c[g] += 1
+            docs_per.setdefault(g, set()).add(r.doc_id)
+    rows = ft.top_ngrams(spark, SF).collect()
+    assert len(rows) == ft.TOP_NGRAM_LIMIT
+    best = max(c.values())
+    assert rows[0].occurrences == best
+    for r in rows:
+        assert c[r.gram] == r.occurrences
+        assert len(docs_per[r.gram]) == r.n_docs
