@@ -70,13 +70,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first 50 dict entries per round. Entries are ordered
     # least-recently-adjudicated first — a round-robin, NOT a curated
     # selection: (1) entries whose last driver row is oldest (round 1)
-    # come first, (2) then entries whose code changed this round, (3) the
-    # tail is the entries with the freshest (round 2) green rows and no
-    # code change this round; they rotate to the front next round. Two
-    # same-oracle display variants (native GROUPING SETS, salted top-k)
-    # were dropped from this dict to shrink the overhang — they remain
-    # implemented and pinned by tests/test_plan_shape.py + test_oracle.py.
-    # Local `tools/check_correctness.py` verifies ALL entries every round.
+    # come first, (2) then entries new in round 3 or whose *function*
+    # changed this round (change is judged per function, not per file —
+    # round-3 commits appended new functions to dedup.py/text.py without
+    # touching the existing ones), (3) the tail is the 19 entries with the
+    # freshest (round 2) green rows and untouched functions; they rotate
+    # to the front next round. Two same-oracle display variants (native
+    # GROUPING SETS, salted top-k) were dropped from this dict to shrink
+    # the overhang — they remain implemented and pinned by
+    # tests/test_plan_shape.py + test_oracle.py. Local
+    # `tools/check_correctness.py` verifies ALL entries every round.
     return {
         # ---- (1) last adjudicated in round 1 ----
         # --- generic relational layer (TPC-H-style) ---
