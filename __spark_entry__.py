@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination (broadcast overlap vs a held-out eval split)
         "text_top_ngrams": ftext.top_ngrams,
         "text_decontaminate": ftext.decontaminate,
+        # new in round 3: int8 storage quantization for the ANN scan path
+        # and deterministic quality-weighted corpus resampling
+        "sim_quantize_int8": fsim.quantize_int8,
+        "split_quality_resample": fsplit.quality_resample,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -291,6 +295,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical_corpus": fdedup.canonical_corpus_sql(),
         "text_top_ngrams": ftext.top_ngrams_sql(),
         "text_decontaminate": ftext.decontaminate_sql(),
+        "sim_quantize_int8": fsim.quantize_int8_sql(),
+        "split_quality_resample": fsplit.quality_resample_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

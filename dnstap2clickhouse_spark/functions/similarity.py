@@ -418,3 +418,54 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_topk_sql() -> str:
     return _ivf_sql("duckdb")
+
+# ----------------------------------------------- int8 storage quantization
+
+QUANT_LEVELS = 254  # codes 0..254 fit int8 with a reserved level
+
+def _quantize_sql(dialect: str) -> str:
+    """Per-dimension min/max int8 quantization codes for every vector.
+
+    Scale shape: the per-dim stats aggregate has 64 keys — map-side
+    partials absorb the corpus and the shuffle moves 64 rows per
+    partition; the stats then come back as a BROADCAST against the
+    dim-exploded corpus, and code assignment is a narrow transform. This
+    is the storage side of ANN at 100 TB: 4x smaller vectors for the
+    scan-heavy IVF/LSH probes, with the dequant constants (mn, step) a
+    tiny dim-indexed table.
+
+    Determinism: codes are ``round((x - mn) * LEVELS / (mx - mn))`` over
+    float32-exact inputs widened to double — the same expression text in
+    both dialects, and the output is integer so the oracle hash is exact.
+    """
+    if dialect == "spark":
+        dims = (
+            "SELECT vec_id, pos + 1 AS dim, CAST(element AS DOUBLE) AS x "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, element"
+        )
+        hint = "/*+ BROADCAST(s) */ "
+    else:
+        dims = (
+            "SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x "
+            "FROM (SELECT vec_id, embedding, "
+            "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings)"
+        )
+        hint = ""
+    return f"""
+WITH dims AS ({dims}),
+s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim)
+SELECT {hint}d.vec_id, CAST(d.dim AS BIGINT) AS dim,
+       CAST(CASE WHEN s.mx = s.mn THEN 0
+                 ELSE round((d.x - s.mn) * {QUANT_LEVELS} / (s.mx - s.mn))
+            END AS BIGINT) AS code
+FROM dims d JOIN s ON d.dim = s.dim
+ORDER BY vec_id, dim
+"""
+
+def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization codes (vec_id, dim, code) for the whole corpus."""
+    _register(spark, sf_dir)
+    return spark.sql(_quantize_sql("spark"))
+
+def quantize_int8_sql() -> str:
+    return _quantize_sql("duckdb")

@@ -105,3 +105,48 @@ FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM documents)
 WHERE b < CASE {cases} ELSE {DEFAULT_RATE} END
 ORDER BY doc_id
 """
+
+#: quality-weighted resampling: acceptance probability = quality * SCALE
+#: (capped at 1 by construction), realized over RESAMPLE_BUCKETS hash
+#: buckets — deterministic, partitioning-independent, RNG-free
+RESAMPLE_SCALE = 0.8
+RESAMPLE_BUCKETS = 10_000
+
+def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus resampling (the DCLM/FineWeb move: keep
+    documents with probability proportional to a quality score), made
+    deterministic: doc ``d`` survives iff
+    ``hash_bucket(doc_id, 10000) < quality(d) * SCALE * 10000``.
+
+    Pure projection + filter — no shuffle, no RNG state; the survivor
+    set is identical under any partitioning and any engine with int64
+    arithmetic, and re-running with a higher SCALE strictly grows the
+    sample (nested samples — useful for scaling-law data ladders)."""
+    from .text import _quality_expr, _stats_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.selectExpr(*_stats_exprs("spark"))
+    scored = stats.selectExpr("doc_id", f"{_quality_expr()} AS quality").withColumn(
+        "bucket", hash_bucket(F.col("doc_id"), RESAMPLE_BUCKETS)
+    )
+    return (
+        scored.filter(
+            F.col("bucket")
+            < F.col("quality") * F.lit(RESAMPLE_SCALE) * F.lit(RESAMPLE_BUCKETS)
+        )
+        .select("doc_id", "quality", "bucket")
+        .orderBy("doc_id")
+    )
+
+def quality_resample_sql() -> str:
+    from .text import _quality_expr, _stats_exprs
+
+    sel = ", ".join(_stats_exprs("duckdb"))
+    return f"""
+SELECT doc_id, quality, b AS bucket
+FROM (SELECT doc_id, {_quality_expr()} AS quality,
+             {_bucket_sql('doc_id', RESAMPLE_BUCKETS)} AS b
+      FROM (SELECT {sel} FROM documents))
+WHERE b < quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS}
+ORDER BY doc_id
+"""

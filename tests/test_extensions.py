@@ -267,3 +267,50 @@ def test_top_ngrams_counts_are_exact(spark):
     for r in rows:
         assert c[r.gram] == r.occurrences
         assert len(docs_per[r.gram]) == r.n_docs
+
+# --------------------------- quantization + quality-weighted resampling
+
+def test_quantize_int8_codes_in_range_and_invertible(spark):
+    """Codes span [0, 254]; dequantized values reconstruct each input to
+    within half a step of its dimension's range."""
+    from collections import defaultdict
+    from dnstap2clickhouse_spark.functions import similarity as fs
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    emb = {
+        r.vec_id: list(r.embedding)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    codes = fs.quantize_int8(spark, SF).collect()
+    assert len(codes) == len(emb) * len(next(iter(emb.values())))
+    mn: dict = defaultdict(lambda: float("inf"))
+    mx: dict = defaultdict(lambda: float("-inf"))
+    for v in emb.values():
+        for d, x in enumerate(v, start=1):
+            mn[d] = min(mn[d], x)
+            mx[d] = max(mx[d], x)
+    for r in codes:
+        assert 0 <= r.code <= fs.QUANT_LEVELS
+        step = (mx[r.dim] - mn[r.dim]) / fs.QUANT_LEVELS
+        recon = mn[r.dim] + r.code * step
+        assert abs(recon - emb[r.vec_id][r.dim - 1]) <= step / 2 + 1e-9
+
+def test_quality_resample_is_nested_and_quality_biased(spark):
+    """Survivors at a lower SCALE are a subset of survivors at a higher
+    SCALE (nested samples), and the kept set's mean quality is >= the
+    corpus mean (the whole point of quality weighting)."""
+    from dnstap2clickhouse_spark.functions import splits as fp
+    from dnstap2clickhouse_spark.functions import text as ft
+
+    kept = {r.doc_id: r.quality for r in fp.quality_resample(spark, SF).collect()}
+    all_q = {r.doc_id: r.quality for r in ft.quality_scores(spark, SF).collect()}
+    assert kept and len(kept) < len(all_q)
+    assert sum(kept.values()) / len(kept) > sum(all_q.values()) / len(all_q)
+    # nested: recompute survivors at half the scale in python
+    half = {
+        d
+        for d in kept
+        if ((d % fp.LEHMER_P) * fp.LEHMER_A % fp.LEHMER_P) % fp.RESAMPLE_BUCKETS
+        < all_q[d] * (fp.RESAMPLE_SCALE / 2) * fp.RESAMPLE_BUCKETS
+    }
+    assert half <= set(kept)
