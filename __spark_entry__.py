@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and deterministic quality-weighted corpus resampling
         "sim_quantize_int8": fsim.quantize_int8,
         "split_quality_resample": fsplit.quality_resample,
+        # new in round 3: the full modern curation chain in one plan
+        # (quality -> repetition -> decontam -> near-dup -> resample -> split)
+        "curate_corpus_v2": pcur.curate_corpus_v2,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -297,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": ftext.decontaminate_sql(),
         "sim_quantize_int8": fsim.quantize_int8_sql(),
         "split_quality_resample": fsplit.quality_resample_sql(),
+        "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

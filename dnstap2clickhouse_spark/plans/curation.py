@@ -74,3 +74,74 @@ FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM survivors)
 WHERE doc_id = canonical_id
 ORDER BY doc_id
 """
+
+# ------------------------------------------------- full modern pipeline
+
+def _curate_v2_sql(dialect: str) -> str:
+    """The complete modern curation chain in ONE declarative plan:
+    quality gate → repetition gate → benchmark decontamination →
+    near-dup suppression (LSH-verified pairs, greedy drop-max) →
+    quality-weighted resample → split assignment.
+
+    Near-dup suppression here is the *greedy pair* rule (drop ``doc_b``
+    of every verified pair) rather than full connected components —
+    that keeps the plan iteration-free/declarative, and is the standard
+    production shortcut; ``dedup_cc_clusters`` is the exact clustering
+    flavor when cluster identity matters.
+
+    Shuffle census at any scale: repetition's two-stage bigram count,
+    decontamination's doc_id hit count (its gram probe is a broadcast),
+    the LSH candidate join, and the final sort — everything else is
+    codegen'd projection/filter fused into the scan.
+    """
+    from ..functions.dedup import _lsh_verified_sql
+    from ..functions.splits import RESAMPLE_BUCKETS, RESAMPLE_SCALE
+    from ..functions.text import (
+        EVAL_SOURCE,
+        _decontaminate_sql,
+        _repetition_sql,
+    )
+
+    rep = _repetition_sql(dialect).replace("ORDER BY doc_id", "")
+    dec = _decontaminate_sql(dialect).replace("ORDER BY d.doc_id", "")
+    vp = _lsh_verified_sql(dialect)
+    stats = ",\n         ".join(_stats_exprs(dialect))
+    cases = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    )
+    return f"""
+WITH rep AS ({rep}),
+dec AS ({dec}),
+vp AS ({vp}),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM vp),
+stats AS (
+  SELECT {stats},
+         lang
+  FROM documents WHERE source <> '{EVAL_SOURCE}'),
+scored AS (SELECT *, {_quality_expr()} AS quality FROM stats),
+kept AS (
+  SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+  FROM scored s
+  JOIN rep r ON r.doc_id = s.doc_id AND r.keep
+  JOIN dec c ON c.doc_id = s.doc_id AND NOT c.contaminated
+  LEFT JOIN dropped v ON v.doc_id = s.doc_id
+  WHERE s.quality >= {QUALITY_MIN}
+    AND v.doc_id IS NULL
+    AND {_bucket_sql('s.doc_id', RESAMPLE_BUCKETS)} < s.quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS})
+SELECT doc_id, lang, n_tokens, quality, CASE {cases} END AS split
+FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM kept)
+ORDER BY doc_id
+"""
+
+def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full modern curation pipeline (see ``_curate_v2_sql``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    slots = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < slots:
+        docs = docs.repartition(slots)
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_curate_v2_sql("spark"))
+
+def curate_corpus_v2_sql() -> str:
+    return _curate_v2_sql("duckdb")

@@ -89,3 +89,25 @@ def test_write_sorted_parquet_nonoverlapping_ranges(spark, tmp_path):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # non-overlapping key ranges across files
     assert spark.read.parquet(out).count() == li.count()
+
+def test_curate_v2_respects_every_gate(spark):
+    """Every v2 survivor passes each gate individually; every gated-out
+    doc is absent."""
+    from dnstap2clickhouse_spark.plans import curation as pc
+    from dnstap2clickhouse_spark.functions import dedup as fd, splits as fp, text as ft
+
+    SF = "/root/testdata/sf0.001"
+    kept = {r.doc_id: r for r in pc.curate_corpus_v2(spark, SF).collect()}
+    assert kept
+    quality = {r.doc_id: r.quality for r in ft.quality_scores(spark, SF).collect()}
+    rep = {r.doc_id: r.keep for r in ft.repetition_filter(spark, SF).collect()}
+    contam = {r.doc_id: r.contaminated for r in ft.decontaminate(spark, SF).collect()}
+    dropped = {r.doc_b for r in fd.lsh_verified_pairs(spark, SF).collect()}
+    resampled = {r.doc_id for r in fp.quality_resample(spark, SF).collect()}
+    for d, row in kept.items():
+        assert quality[d] >= pc.QUALITY_MIN
+        assert rep[d] is True
+        assert d in contam and contam[d] is False  # train side, clean
+        assert d not in dropped
+        assert d in resampled
+        assert row.quality == quality[d]
