@@ -66,3 +66,25 @@ def test_dns_stream_split_pushes_to_scan(spark):
     plan = _plan(spark, "dns_response_time_join")
     assert "(event_id" in plan and "% 2)" in plan  # residue filter visible
     assert len(re.findall(r"FileScan parquet", plan)) == 2  # one per side
+
+
+def test_curate_v2_has_no_quadratic_joins(spark):
+    """The composed curation chain must stay hash/broadcast-joined:
+    no cartesian products or nested-loop joins anywhere in the plan,
+    and the near-dup stage's candidate join present as an equi-join."""
+    plan = _plan(spark, "curate_corpus_v2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_decontaminate_train_side_not_shuffled_by_gram(spark):
+    """The eval n-gram set must broadcast. The training corpus's
+    exchanges are doc_id-keyed (per-doc distinct, hit count); the only
+    gram-only exchange allowed is the eval side's DISTINCT before the
+    broadcast — small by construction."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    gram_only = [k for k in keys if "gram" in k and "doc_id" not in k]
+    assert len(gram_only) <= 1
