@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3: the full modern curation chain in one plan
         # (quality -> repetition -> decontam -> near-dup -> resample -> split)
         "curate_corpus_v2": pcur.curate_corpus_v2,
+        # new in round 3: the stateless curation gates as a REAL stream
+        # (micro-batch file source), oracle-checked because statelessness
+        # makes stream output == batch gate composition
+        "streaming_curation": stp.streaming_curation_query,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -301,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantize_int8": fsim.quantize_int8_sql(),
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
+        "streaming_curation": stp.streaming_curation_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

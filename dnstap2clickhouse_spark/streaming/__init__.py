@@ -5,6 +5,7 @@ from .pipeline import (
     streaming_passthrough,
     streaming_response_time_join,
     streaming_exact_dedup,
+    streaming_curation_filter,
     stateful_match_query,
     run_stream_to_memory,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_passthrough",
     "streaming_response_time_join",
     "streaming_exact_dedup",
+    "streaming_curation_filter",
     "stateful_match_query",
     "run_stream_to_memory",
     "stateful_match_once",

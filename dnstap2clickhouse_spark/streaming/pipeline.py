@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import uuid
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -243,3 +244,149 @@ def run_stream_to_memory(
     )
     query.awaitTermination()
     return spark.sql(f"SELECT * FROM {name}")
+
+def streaming_curation_filter(docs: DataFrame, eval_grams: frozenset) -> DataFrame:
+    """Stateless streaming curation over a ``documents``-shaped stream:
+    quality gate + repetition gate + benchmark decontamination, per
+    micro-batch, with ZERO streaming state (any trigger/output mode).
+
+    - The quality and repetition gates are per-row JVM expressions: the
+      repetition fractions come from array ops over the row's own
+      bigrams (``array_distinct`` for the dup count, a counted
+      ``filter`` per distinct bigram for the top share) — same math as
+      the batch ``text.repetition_filter``'s two-stage groupBy, but
+      needing no shuffle, which is what makes it streaming-stateless.
+    - Decontamination is 8-gram membership against a driver-broadcast
+      eval-gram set inside an Arrow-batched pandas UDF — the bloom/set
+      membership shape. The batch flavor (``text.decontaminate``) keeps
+      the JVM broadcast join; here the set travels once per executor and
+      each row is a hash probe, so the stream is never joined or
+      shuffled at all.
+
+    At scale: this is a pure mapper pipeline — it fuses into the source
+    read, parallelism is the source's partitioning, and the eval set
+    (a benchmark, small by construction) is the only broadcast.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.text import (
+        DECONTAM_K,
+        DUP_BIGRAM_MAX,
+        EVAL_SOURCE,
+        TOP_BIGRAM_MAX,
+        _kgram_expr,
+        _quality_expr,
+        _stats_exprs,
+        _toks,
+    )
+    from ..plans.curation import QUALITY_MIN
+
+    sc = docs.sparkSession.sparkContext
+    bc = sc.broadcast(frozenset(eval_grams))
+
+    @pandas_udf("boolean")
+    def _contaminated(grams: pd.Series) -> pd.Series:
+        s = bc.value
+        return grams.apply(lambda gs: any(g in s for g in gs))
+
+    toks = _toks("spark")
+    bg = (
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+        "(a, b) -> concat_ws(' ', a, b))"
+    )
+    stats = docs.filter(F.col("source") != EVAL_SOURCE).selectExpr(
+        "*", *[e for e in _stats_exprs("spark") if e != "doc_id"]
+    )
+    scored = stats.selectExpr(
+        "doc_id",
+        "text",
+        f"{_quality_expr()} AS quality",
+        f"{_toks('spark')} AS toks",
+    ).selectExpr("doc_id", "quality", "toks", f"{bg} AS bg")
+    gated = (
+        scored.selectExpr(
+            "doc_id",
+            "quality",
+            "toks",
+            "size(bg) AS n_bigrams",
+            "size(bg) - size(array_distinct(bg)) AS n_dup",
+            "array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b)))) AS top_c",
+        )
+        .filter(
+            f"n_bigrams > 0 AND CAST(n_dup AS DOUBLE) / n_bigrams <= {DUP_BIGRAM_MAX} "
+            f"AND CAST(top_c AS DOUBLE) / n_bigrams <= {TOP_BIGRAM_MAX}"
+        )
+        .filter(F.expr(f"quality >= {QUALITY_MIN}"))
+    )
+    grams = gated.selectExpr(
+        "doc_id", "quality", f"{_kgram_expr('spark', DECONTAM_K)} AS grams"
+    )
+    return grams.filter(~_contaminated(F.col("grams"))).select("doc_id", "quality")
+
+def streaming_curation_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Driver-contract wrapper: run the stateless curation filter as a
+    real stream (documents chunked into micro-batch files) and return
+    the admitted (doc_id, quality) rows. Oracle-checkable because the
+    filter is stateless: its output is exactly the batch gate
+    composition regardless of chunking (pinned by the batch≡stream
+    test).
+
+    The eval-gram set is collected once on the driver (the eval split is
+    a benchmark — small by construction) and broadcast, mirroring a
+    production deployment where the contamination set is a side input.
+    """
+    import shutil
+    import tempfile
+
+    from ..functions.text import DECONTAM_K, EVAL_SOURCE, _kgram_expr, _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_grams = frozenset(
+        g
+        for r in docs.filter(F.col("source") == EVAL_SOURCE)
+        .selectExpr(f"{_toks('spark')} AS toks")
+        .selectExpr(f"{_kgram_expr('spark', DECONTAM_K)} AS grams")
+        .collect()
+        for g in r.grams
+    )
+    d = tempfile.mkdtemp(prefix="curation_stream_")
+    try:
+        docs.repartitionByRange(n_chunks, "doc_id").write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d)
+        out = run_stream_to_memory(
+            streaming_curation_filter(stream, eval_grams), "append", spark
+        )
+        return out.orderBy("doc_id")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+def streaming_curation_sql() -> str:
+    """DuckDB oracle for the streaming curation filter: the batch gate
+    composition (quality >= min AND repetition keep AND not
+    contaminated) over the training-side documents."""
+    from ..functions.text import (
+        _decontaminate_sql,
+        _quality_expr,
+        _repetition_sql,
+        _stats_exprs,
+    )
+    from ..plans.curation import QUALITY_MIN
+
+    rep = _repetition_sql("duckdb").replace("ORDER BY doc_id", "")
+    dec = _decontaminate_sql("duckdb").replace("ORDER BY d.doc_id", "")
+    stats = ", ".join(_stats_exprs("duckdb"))
+    return f"""
+WITH rep AS ({rep}),
+dec AS ({dec}),
+scored AS (
+  SELECT doc_id, {_quality_expr()} AS quality
+  FROM (SELECT {stats} FROM documents))
+SELECT s.doc_id, s.quality
+FROM scored s
+JOIN rep r ON r.doc_id = s.doc_id AND r.keep
+JOIN dec c ON c.doc_id = s.doc_id AND NOT c.contaminated
+WHERE s.quality >= {QUALITY_MIN}
+ORDER BY s.doc_id
+"""

@@ -209,3 +209,45 @@ def test_streaming_session_window_append_equals_closed_batch(spark, events_dir):
     )
     assert _rows(got) == _rows(closed)
     assert got.count() > 0  # the stream actually emitted sessions
+
+
+def test_streaming_curation_equals_batch_gates(spark, tmp_path):
+    """The stateless streaming curation filter admits exactly the docs
+    that pass the batch quality + repetition + decontamination gates."""
+    from dnstap2clickhouse_spark.functions import text as ft
+    from dnstap2clickhouse_spark.plans.curation import QUALITY_MIN
+    from dnstap2clickhouse_spark.sources.tables import load_table
+    from dnstap2clickhouse_spark.streaming import (
+        run_stream_to_memory,
+        streaming_curation_filter,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    docs = load_table(spark, SF, "documents")
+
+    # eval gram set from the batch helper's own definition
+    k = ft.DECONTAM_K
+    eval_grams = set()
+    for r in docs.filter(f"source = '{ft.EVAL_SOURCE}'").select("text").collect():
+        w = r.text.split(" ")
+        eval_grams |= {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    # batch expectation from the standalone batch operators
+    quality = {r.doc_id: r.quality for r in ft.quality_scores(spark, SF).collect()}
+    rep = {r.doc_id for r in ft.repetition_filter(spark, SF).collect() if r.keep}
+    clean = {r.doc_id for r in ft.decontaminate(spark, SF).collect() if not r.contaminated}
+    expect = {
+        d: quality[d] for d in rep & clean if quality[d] >= QUALITY_MIN
+    }
+
+    # stream the same corpus as micro-batch chunks
+    d = str(tmp_path / "chunks")
+    docs.repartitionByRange(4, "doc_id").write.parquet(d)
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(d)
+    out = run_stream_to_memory(
+        streaming_curation_filter(stream, frozenset(eval_grams)), "append", spark
+    )
+    got = {r.doc_id: r.quality for r in out.collect()}
+    assert got == expect
