@@ -314,3 +314,81 @@ def test_quality_resample_is_nested_and_quality_biased(spark):
         < all_q[d] * (fp.RESAMPLE_SCALE / 2) * fp.RESAMPLE_BUCKETS
     }
     assert half <= set(kept)
+
+# ------------------------------ CC fixpoint vs pure-Python union-find
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    _edge_lists = st_h.lists(
+        st_h.tuples(
+            st_h.integers(min_value=0, max_value=24),
+            st_h.integers(min_value=0, max_value=24),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=30,
+    )
+
+    @given(_edge_lists)
+    @settings(max_examples=8, deadline=None)
+    def test_propagate_min_labels_equals_union_find(edges):
+        """The Spark fixpoint equals a pure-Python union-find on random
+        graphs (few hypothesis examples — each one runs Spark jobs)."""
+        # hypothesis can't inject fixtures: grab the shared session
+        from dnstap2clickhouse_spark.session import get_spark
+
+        spark = get_spark("test")
+        parent = list(range(25))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {v: find(v) for v in range(25)}
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], ["doc_a", "doc_b"]
+        )
+        labels = spark.createDataFrame(
+            [(v,) for v in range(25)], ["doc_id"]
+        ).selectExpr("doc_id", "doc_id AS cluster_id")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in dedup.propagate_min_labels(labels, pairs).collect()
+        }
+        assert got == expect
+
+except ImportError:  # pragma: no cover
+    pass
+
+def test_kgrams_and_decontaminate_handle_short_docs(spark):
+    """Docs shorter than DECONTAM_K tokens have no 8-grams: never
+    contaminated, never crash — in BOTH dialects."""
+    import duckdb
+    import pandas as pd
+    from dnstap2clickhouse_spark.functions import text as ft
+
+    rows = [
+        (1, "one", "en", "src0", 3),          # eval, 1 token
+        (2, "a b", "en", "src1", 3),          # train, 2 tokens
+        (3, "a b c d e f g h", "en", "src1", 15),  # exactly 8 tokens
+        (4, "", "en", "src2", 0),             # empty text
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
+    got = {r.doc_id: (r.n_shared, r.contaminated)
+           for r in spark.sql(ft._decontaminate_sql("spark")).collect()}
+    assert got == {2: (0, False), 3: (0, False), 4: (0, False)}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=cols))
+    oracle = {
+        int(r.doc_id): (int(r.n_shared), bool(r.contaminated))
+        for _, r in con.execute(ft._decontaminate_sql("duckdb")).df().iterrows()
+    }
+    assert oracle == got
