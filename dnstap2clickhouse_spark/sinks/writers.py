@@ -161,3 +161,29 @@ def write_sorted_parquet(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+def write_partitioned_dataset(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Hive-partitioned dataset layout (``split=train/`` ...) — the
+    final write of a curation pipeline, shaped so downstream trainers
+    read only their split:
+
+    - ``partitionBy`` makes the partition column a directory key, so a
+      later ``read.parquet(path).filter(split = 'train')`` is PARTITION
+      pruning (whole directories skipped at planning time, visible as
+      ``PartitionFilters`` in the scan), not row filtering;
+    - an optional within-partition sort keeps row-group zone maps tight
+      for secondary predicates (same rationale as
+      :func:`write_sorted_parquet`);
+    - one ``repartition`` on the partition columns avoids the
+      small-files explosion: without it every input task writes a file
+      into every partition directory (tasks × partitions files at 100 TB).
+    """
+    parted = df.repartition(*partition_cols)
+    if sort_cols:
+        parted = parted.sortWithinPartitions(*partition_cols, *sort_cols)
+    parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

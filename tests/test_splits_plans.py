@@ -111,3 +111,23 @@ def test_curate_v2_respects_every_gate(spark):
         assert d not in dropped
         assert d in resampled
         assert row.quality == quality[d]
+
+def test_write_partitioned_dataset_prunes_split_reads(spark, tmp_path):
+    """The curated corpus lands as split=... directories and a split
+    filter becomes a partition filter (no data read from other splits)."""
+    import os
+    from dnstap2clickhouse_spark.plans import curation as pc
+    from dnstap2clickhouse_spark.sinks.writers import write_partitioned_dataset
+
+    out = str(tmp_path / "curated")
+    df = pc.curate_corpus_v2(spark, "/root/testdata/sf0.001")
+    write_partitioned_dataset(df, out, ["split"], sort_cols=["doc_id"])
+    subdirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert subdirs == {"split=train", "split=val", "split=test"}
+
+    back = spark.read.parquet(out).filter("split = 'train'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan
+    got = {r.doc_id for r in back.collect()}
+    expect = {r.doc_id for r in df.collect() if r.split == "train"}
+    assert got == expect and got
