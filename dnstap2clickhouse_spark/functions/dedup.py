@@ -290,7 +290,8 @@ def lsh_verified_pairs_sql() -> str:
 
 # -------------------------------------- connected components -> canonical
 
-_CC_MAX_ITERS = 25
+_CC_MAX_ITERS = 25  # soft floor; the real bound is |V| (diameter < |V|)
+_CKPT_EVERY = 3  # lineage-truncation cadence (see propagate_min_labels)
 
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id): connected components over the verified
@@ -319,32 +320,40 @@ def propagate_min_labels(labels: DataFrame, pairs: DataFrame) -> DataFrame:
 
     ``labels`` = (doc_id, cluster_id) initial assignment (identity);
     ``pairs`` = (doc_a, doc_b) undirected edges. See ``_cc_labels`` for
-    the scale rationale."""
+    the scale rationale.
+
+    Checkpoint cadence: ``localCheckpoint`` every ``_CKPT_EVERY`` rounds
+    rather than every round — a checkpoint per round pins one (vertex,
+    label) RDD copy per iteration in executor storage until a full GC
+    (the in-session outlier documented in SCALING.md), while the
+    recompute between checkpoints is at most ``_CKPT_EVERY`` small joins
+    over label-sized rows. Iteration bound: diameter < vertex count
+    always, so the loop is capped at |V| (with the soft ``_CC_MAX_ITERS``
+    floor); hitting it means a genuine bug, hence the raise."""
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF(
         "src", "dst"
     ).localCheckpoint()
     labels = labels.localCheckpoint()
-    for _ in range(_CC_MAX_ITERS):
+    max_iters = max(_CC_MAX_ITERS, labels.count())
+    for i in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least("cluster_id", "nbr_min").alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
-            )
-            .localCheckpoint()
+        updated = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least("cluster_id", "nbr_min").alias("cluster_id"),
+            (F.col("nbr_min") < F.col("cluster_id")).alias("changed"),
         )
+        if i % _CKPT_EVERY == _CKPT_EVERY - 1:
+            updated = updated.localCheckpoint()
         changed = updated.filter("changed").count()
         labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
-        f"connected components did not converge in {_CC_MAX_ITERS} iterations"
+        f"connected components did not converge in {max_iters} iterations"
     )
 
 def _cc_reach_sql() -> str:

@@ -421,7 +421,7 @@ def ivf_topk_sql() -> str:
 
 # ----------------------------------------------- int8 storage quantization
 
-QUANT_LEVELS = 254  # codes 0..254 fit int8 with a reserved level
+QUANT_LEVELS = 255  # quantization steps; emitted codes are shifted to [-128, 127]
 
 def _quantize_sql(dialect: str) -> str:
     """Per-dimension min/max int8 quantization codes for every vector.
@@ -434,9 +434,12 @@ def _quantize_sql(dialect: str) -> str:
     scan-heavy IVF/LSH probes, with the dequant constants (mn, step) a
     tiny dim-indexed table.
 
-    Determinism: codes are ``round((x - mn) * LEVELS / (mx - mn))`` over
-    float32-exact inputs widened to double — the same expression text in
-    both dialects, and the output is integer so the oracle hash is exact.
+    Determinism: codes are ``round((x - mn) * LEVELS / (mx - mn)) - 128``
+    over float32-exact inputs widened to double — the same expression
+    text in both dialects, and the output is integer so the oracle hash
+    is exact. The -128 shift puts codes in [-128, 127], the SIGNED int8
+    range a ByteType column / TINYINT cast actually holds (0..255 would
+    silently wrap).
     """
     if dialect == "spark":
         dims = (
@@ -456,7 +459,7 @@ WITH dims AS ({dims}),
 s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dims GROUP BY dim)
 SELECT {hint}d.vec_id, CAST(d.dim AS BIGINT) AS dim,
        CAST(CASE WHEN s.mx = s.mn THEN 0
-                 ELSE round((d.x - s.mn) * {QUANT_LEVELS} / (s.mx - s.mn))
+                 ELSE round((d.x - s.mn) * {QUANT_LEVELS} / (s.mx - s.mn)) - 128
             END AS BIGINT) AS code
 FROM dims d JOIN s ON d.dim = s.dim
 ORDER BY vec_id, dim

@@ -45,8 +45,23 @@ def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
     """Deterministic bucket in [0, n_buckets) from an integer key."""
     return ((key % LEHMER_P) * LEHMER_A % LEHMER_P) % n_buckets
 
+def hash_bucket2(key: Column, n_buckets: int) -> Column:
+    """Second-round Lehmer bucket — decoupled from :func:`hash_bucket`.
+
+    One shared hash would couple every consumer: ``h % 100`` (the split
+    bucket) is a function of ``h % 10000`` (the resample bucket), so
+    resampling acceptance and split assignment would be deterministically
+    correlated. Applying the multiplier a second time before the modulus
+    breaks that relation."""
+    h1 = (key % LEHMER_P) * LEHMER_A % LEHMER_P
+    return (h1 * LEHMER_A % LEHMER_P) % n_buckets
+
 def _bucket_sql(key: str, n_buckets: int = 100) -> str:
     return f"((({key} % {LEHMER_P}) * {LEHMER_A}) % {LEHMER_P}) % {n_buckets}"
+
+def _bucket2_sql(key: str, n_buckets: int) -> str:
+    h1 = f"((({key} % {LEHMER_P}) * {LEHMER_A}) % {LEHMER_P})"
+    return f"(({h1} * {LEHMER_A}) % {LEHMER_P}) % {n_buckets}"
 
 def assign_split(df: DataFrame, key: str = "doc_id") -> DataFrame:
     """Add ``bucket`` and ``split`` columns (pure projection, no shuffle)."""
@@ -116,7 +131,9 @@ def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus resampling (the DCLM/FineWeb move: keep
     documents with probability proportional to a quality score), made
     deterministic: doc ``d`` survives iff
-    ``hash_bucket(doc_id, 10000) < quality(d) * SCALE * 10000``.
+    ``hash_bucket2(doc_id, 10000) < quality(d) * SCALE * 10000``
+    (the SECOND-round hash — see :func:`hash_bucket2` — so acceptance is
+    not correlated with the split bucket).
 
     Pure projection + filter — no shuffle, no RNG state; the survivor
     set is identical under any partitioning and any engine with int64
@@ -127,7 +144,7 @@ def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stats = docs.selectExpr(*_stats_exprs("spark"))
     scored = stats.selectExpr("doc_id", f"{_quality_expr()} AS quality").withColumn(
-        "bucket", hash_bucket(F.col("doc_id"), RESAMPLE_BUCKETS)
+        "bucket", hash_bucket2(F.col("doc_id"), RESAMPLE_BUCKETS)
     )
     return (
         scored.filter(
@@ -145,7 +162,7 @@ def quality_resample_sql() -> str:
     return f"""
 SELECT doc_id, quality, b AS bucket
 FROM (SELECT doc_id, {_quality_expr()} AS quality,
-             {_bucket_sql('doc_id', RESAMPLE_BUCKETS)} AS b
+             {_bucket2_sql('doc_id', RESAMPLE_BUCKETS)} AS b
       FROM (SELECT {sel} FROM documents))
 WHERE b < quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS}
 ORDER BY doc_id

@@ -95,7 +95,7 @@ def _curate_v2_sql(dialect: str) -> str:
     codegen'd projection/filter fused into the scan.
     """
     from ..functions.dedup import _lsh_verified_sql
-    from ..functions.splits import RESAMPLE_BUCKETS, RESAMPLE_SCALE
+    from ..functions.splits import RESAMPLE_BUCKETS, RESAMPLE_SCALE, _bucket2_sql
     from ..functions.text import (
         EVAL_SOURCE,
         _decontaminate_sql,
@@ -128,7 +128,7 @@ kept AS (
   LEFT JOIN dropped v ON v.doc_id = s.doc_id
   WHERE s.quality >= {QUALITY_MIN}
     AND v.doc_id IS NULL
-    AND {_bucket_sql('s.doc_id', RESAMPLE_BUCKETS)} < s.quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS})
+    AND {_bucket2_sql('s.doc_id', RESAMPLE_BUCKETS)} < s.quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS})
 SELECT doc_id, lang, n_tokens, quality, CASE {cases} END AS split
 FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM kept)
 ORDER BY doc_id
@@ -136,11 +136,10 @@ ORDER BY doc_id
 
 def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full modern curation pipeline (see ``_curate_v2_sql``)."""
-    docs = load_table(spark, sf_dir, "documents")
-    slots = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < slots:
-        docs = docs.repartition(slots)
-    docs.createOrReplaceTempView("documents")
+    from ..functions.dedup import _register
+
+    # same spread-and-register as the dedup chain this plan embeds
+    _register(spark, sf_dir)
     return spark.sql(_curate_v2_sql("spark"))
 
 def curate_corpus_v2_sql() -> str:

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.columns import apply_column_config
 
@@ -179,11 +180,22 @@ def write_partitioned_dataset(
     - an optional within-partition sort keeps row-group zone maps tight
       for secondary predicates (same rationale as
       :func:`write_sorted_parquet`);
-    - one ``repartition`` on the partition columns avoids the
-      small-files explosion: without it every input task writes a file
-      into every partition directory (tasks × partitions files at 100 TB).
+    - the pre-write repartition groups rows by partition value WITHOUT
+      collapsing each value into one task: ``repartitionByRange`` over
+      (partition_cols + sort_cols) — or a hash-spread column when no
+      sort is asked for — gives many tasks per partition value, so a
+      dominant partition (train = 80% of the corpus) parallelizes
+      instead of funneling through a single writer task, while each
+      task still writes into only one directory (no tasks × partitions
+      small-files explosion).
     """
-    parted = df.repartition(*partition_cols)
     if sort_cols:
-        parted = parted.sortWithinPartitions(*partition_cols, *sort_cols)
+        parted = df.repartitionByRange(
+            *partition_cols, *sort_cols
+        ).sortWithinPartitions(*partition_cols, *sort_cols)
+    else:
+        spread = df.sparkSession.sparkContext.defaultParallelism
+        parted = df.withColumn(
+            "__spread", F.abs(F.hash(*df.columns)) % spread
+        ).repartition(*partition_cols, "__spread").drop("__spread")
     parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -62,9 +62,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) under nanosAsLong: integer div (floor) to micros
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif dtypes.get(c) == "timestamp_ntz":
-            # NTZ wall-clock == UTC instant (session zone is pinned to UTC
-            # above), so a plain cast preserves every value
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # NTZ wall-clock == UTC instant. A bare cast interprets the wall
+            # clock in the SESSION zone — correct only because
+            # _ensure_session_confs pins UTC, which it is allowed to fail at
+            # (locked-down sessions). Composing with
+            # from_utc_timestamp(.., current_timezone()) cancels the session
+            # offset (cast: instant = wall - off(Z); from_utc_timestamp:
+            # + off(Z)), so the wall clock lands as a UTC instant under ANY
+            # session zone (identity when the session is UTC).
+            df = df.withColumn(
+                c,
+                F.from_utc_timestamp(
+                    F.col(c).cast("timestamp"), F.expr("current_timezone()")
+                ),
+            )
     return df
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -271,8 +271,9 @@ def test_top_ngrams_counts_are_exact(spark):
 # --------------------------- quantization + quality-weighted resampling
 
 def test_quantize_int8_codes_in_range_and_invertible(spark):
-    """Codes span [0, 254]; dequantized values reconstruct each input to
-    within half a step of its dimension's range."""
+    """Codes fit SIGNED int8 ([-128, 127]); dequantized values
+    reconstruct each input to within half a step of its dimension's
+    range."""
     from collections import defaultdict
     from dnstap2clickhouse_spark.functions import similarity as fs
     from dnstap2clickhouse_spark.sources.tables import load_table
@@ -290,9 +291,9 @@ def test_quantize_int8_codes_in_range_and_invertible(spark):
             mn[d] = min(mn[d], x)
             mx[d] = max(mx[d], x)
     for r in codes:
-        assert 0 <= r.code <= fs.QUANT_LEVELS
+        assert -128 <= r.code <= 127
         step = (mx[r.dim] - mn[r.dim]) / fs.QUANT_LEVELS
-        recon = mn[r.dim] + r.code * step
+        recon = mn[r.dim] + (r.code + 128) * step
         assert abs(recon - emb[r.vec_id][r.dim - 1]) <= step / 2 + 1e-9
 
 def test_quality_resample_is_nested_and_quality_biased(spark):
@@ -310,7 +311,9 @@ def test_quality_resample_is_nested_and_quality_biased(spark):
     half = {
         d
         for d in kept
-        if ((d % fp.LEHMER_P) * fp.LEHMER_A % fp.LEHMER_P) % fp.RESAMPLE_BUCKETS
+        if ((d % fp.LEHMER_P) * fp.LEHMER_A % fp.LEHMER_P) * fp.LEHMER_A
+        % fp.LEHMER_P
+        % fp.RESAMPLE_BUCKETS
         < all_q[d] * (fp.RESAMPLE_SCALE / 2) * fp.RESAMPLE_BUCKETS
     }
     assert half <= set(kept)

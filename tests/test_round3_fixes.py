@@ -123,3 +123,31 @@ def test_local_canon_is_driver_strict():
 
     with pytest.raises(TypeError, match="unhashable"):
         canon(pd.DataFrame({"v": [[0.5, 0.95]]}))
+
+
+def test_ntz_events_load_is_session_zone_independent(spark):
+    """events.ts (TIMESTAMP_NTZ parquet) must land on the same instants
+    even when the session zone is non-UTC and the conf pin is refused
+    (locked-down sessions): the cast's session-zone offset is cancelled
+    by from_utc_timestamp(current_timezone())."""
+    from unittest import mock
+
+    from dnstap2clickhouse_spark.sources import tables
+
+    SF = "/root/testdata/sf0.001"
+    ref = [
+        r.ts.timestamp()
+        for r in tables.load_table(spark, SF, "events")
+        .select("ts").orderBy("ts").limit(20).collect()
+    ]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with mock.patch.object(tables, "_ensure_session_confs", lambda s: None):
+            got = [
+                r.ts.timestamp()
+                for r in tables.load_table(spark, SF, "events")
+                .select("ts").orderBy("ts").limit(20).collect()
+            ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == ref
