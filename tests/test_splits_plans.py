@@ -131,3 +131,28 @@ def test_write_partitioned_dataset_prunes_split_reads(spark, tmp_path):
     got = {r.doc_id for r in back.collect()}
     expect = {r.doc_id for r in df.collect() if r.split == "train"}
     assert got == expect and got
+
+def test_write_partitioned_dataset_spreads_without_sort(spark, tmp_path):
+    """The no-sort path must still parallelize within a partition value
+    (hash-spread column): a dominant partition lands as multiple files,
+    and round-trip content is intact."""
+    import glob
+    from dnstap2clickhouse_spark.sinks.writers import write_partitioned_dataset
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CASE WHEN id % 10 = 0 THEN 'small' ELSE 'big' END AS part"
+    )
+    out = str(tmp_path / "spread")
+    # at test scale AQE's advisory size coalesces the whole shuffle into
+    # one partition (the right small-data behavior); disable it to
+    # observe the at-scale spread
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        write_partitioned_dataset(df, out, ["part"])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    big_files = glob.glob(f"{out}/part=big/*.parquet")
+    assert len(big_files) > 1, "dominant partition must not be a single file"
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    assert back.filter("part = 'big'").count() == 1800
