@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (micro-batch file source), oracle-checked because statelessness
         # makes stream output == batch gate composition
         "streaming_curation": stp.streaming_curation_query,
+        # new in round 3: Q13/Q15-analogue join shapes (outer join with
+        # ON-clause filter + histogram-of-counts; scalar-subquery max)
+        "tpch_customer_dist": tpch.customer_order_distribution,
+        "tpch_top_supplier": tpch.top_supplier,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -306,6 +310,8 @@ def oracle_sql() -> dict[str, str]:
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
         "streaming_curation": stp.streaming_curation_sql(),
+        "tpch_customer_dist": tpch.customer_order_distribution_sql(),
+        "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

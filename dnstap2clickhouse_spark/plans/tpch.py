@@ -383,3 +383,64 @@ FROM (
   GROUP BY o_year)
 ORDER BY o_year
 """
+
+# ------------------------------------------- Q13/Q15-analogue join shapes
+
+def _customer_order_dist_sql() -> str:
+    """TPC-H Q13 analogue — the two shapes it exists to exercise:
+    a LEFT OUTER join whose filter lives in the ON clause (a WHERE would
+    delete the zero-order customers the query is about), and a
+    group-on-an-aggregate (histogram of customers per order count).
+
+    Scale shape: outer join shuffles on the customer key (map-side
+    partials on both grouped stages); the second groupBy keys on the
+    tiny c_count domain — partial aggregation collapses it before the
+    exchange, so the skew of popular counts never moves data."""
+    return """
+WITH co AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (Q13 analogue)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_customer_order_dist_sql())
+
+def customer_order_distribution_sql() -> str:
+    return _customer_order_dist_sql()
+
+def _top_supplier_sql() -> str:
+    """TPC-H Q15 analogue: revenue-per-supplier view over a shipping
+    quarter, then the supplier(s) achieving the maximum via a scalar
+    subquery (Catalyst computes the 1-row max once and broadcasts it —
+    no self-join of the aggregate). Revenue compares on the scaled-int
+    sum, so the max test is exact in both engines."""
+    return f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_DISC_E4}) AS BIGINT) AS total_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_e4 AS DOUBLE) / 10000 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue (Q15 analogue)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_top_supplier_sql())
+
+def top_supplier_sql() -> str:
+    return _top_supplier_sql()

@@ -88,3 +88,23 @@ def test_decontaminate_train_side_not_shuffled_by_gram(spark):
     keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     gram_only = [k for k in keys if "gram" in k and "doc_id" not in k]
     assert len(gram_only) <= 1
+
+
+def test_customer_dist_outer_join_preserves_zero_counts(spark):
+    """Q13 shape: the ON-clause filter must keep zero-order customers
+    (LEFT OUTER, not inner), and the histogram must include c_count=0."""
+    plan = _plan(spark, "tpch_customer_dist")
+    assert "LeftOuter" in plan
+    rows = {r.c_count: r.custdist for r in
+            entrymod.queries()["tpch_customer_dist"](spark, SF).collect()}
+    # every customer must survive the outer join into exactly one bucket
+    # (an inner join would silently drop zero-order customers)
+    n_customers = spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert sum(rows.values()) == n_customers
+
+
+def test_top_supplier_scalar_subquery_not_self_join(spark):
+    """Q15 shape: the max-revenue threshold compiles to a (reused)
+    scalar subquery, not a shuffled self-join of the aggregate."""
+    plan = _plan(spark, "tpch_top_supplier")
+    assert "Subquery" in plan or "scalar-subquery" in plan
