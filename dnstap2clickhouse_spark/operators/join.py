@@ -75,6 +75,12 @@ def match_response_times(
     makes every probe touch every historic occurrence of the key (measured
     17x cost at 10x data on the unbanded form); banded, probe width stays
     O(occupancy of one interval) no matter how long the table grows.
+
+    SHUFFLE_HASH on the response side: both sides are event-scale, so a
+    Catalyst-chosen broadcast (which the sf0.1 stats otherwise trigger)
+    would funnel the corpus through the driver. The hinted plan is one
+    shuffle per side on (4-part key, band) and a per-task hash build —
+    the layout that survives a 1000-executor scale-up.
     """
     delay_us = _interval_us(max_delay)
     q = queries.withColumn(
@@ -86,9 +92,13 @@ def match_response_times(
             )
         ),
     ).alias("q")
-    r = responses.withColumn(
-        "__band", F.expr(f"unix_micros(responseTime) div {delay_us}")
-    ).alias("r")
+    r = (
+        responses.withColumn(
+            "__band", F.expr(f"unix_micros(responseTime) div {delay_us}")
+        )
+        .hint("shuffle_hash")
+        .alias("r")
+    )
     cond = F.col("q.__band") == F.col("r.__band")
     for k in JOIN_KEYS:
         cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
@@ -146,15 +156,26 @@ def match_response_times_once(
     emitted delta multiset is invariant to tie permutation.
 
     Scale: one shuffle per side on the 4-part key (window rank), then a
-    co-partitioned equi-join on the same key — AQE can reuse the
-    exchange; key cardinality is uniform (DNS id), so no skew.
+    co-partitioned equi-join on the same key — key cardinality is
+    uniform (DNS id), so no skew. The SHUFFLE_HASH hint is load-bearing:
+    left alone, Catalyst sees the windowed response side as
+    "small enough" and picks BroadcastHashJoin, collecting the ENTIRE
+    response stream through the driver — fine at sf0.1, fatal at 100 TB
+    (the response side scales with the corpus, it is not a dim table).
+    With the hint, the window exchanges on the 4-part key already
+    satisfy the join's clustering requirement (join keys = 4-part key +
+    seq, a superset), so the join adds ZERO extra shuffle and ZERO sort:
+    each task hash-builds its own co-partitioned response slice.
+    Measured at sf0.1: 0.65-0.86 s stable, vs 0.94-1.5 s (high variance)
+    for the broadcast plan and a 1.8-3.1 s drifting worst case (round-3
+    regression root cause: driver-side broadcast rebuild per action).
     """
     from pyspark.sql import Window
 
     wq = Window.partitionBy(*JOIN_KEYS).orderBy("queryTime")
     wr = Window.partitionBy(*JOIN_KEYS).orderBy("responseTime")
     q = queries.withColumn("seq", F.row_number().over(wq)).alias("q")
-    r = responses.withColumn("seq", F.row_number().over(wr)).alias("r")
+    r = responses.withColumn("seq", F.row_number().over(wr)).hint("shuffle_hash").alias("r")
     cond = F.col("q.seq") == F.col("r.seq")
     for k in JOIN_KEYS:
         cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
@@ -230,9 +251,12 @@ def orphan_responses(
     ``left_anti`` on the equi-key (one shuffle per side, same key layout
     as the match join so AQE reuses exchanges when run together); a
     per-identity count makes it a dashboardable data-quality signal.
+    SHUFFLE_HASH for the same reason as :func:`match_response_times_once`:
+    the build side is the corpus-sized query stream, not a dim table —
+    never let Catalyst broadcast it through the driver.
     """
     r = responses.alias("r")
-    q = queries.alias("q")
+    q = queries.hint("shuffle_hash").alias("q")
     orphans = r.join(q, on=JOIN_KEYS, how="left_anti")
     return (
         orphans.groupBy("identity")

@@ -356,6 +356,98 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+#: sketch accuracy gates. Both sketches are hash-based (deterministic for a
+#: given dataset — no RNG), so these are stable assertions, not flaky ones.
+#: HLL++ rsd=0.02 => 2% std error; 0.05 is a 2.5-sigma bound. approx_percentile
+#: accuracy=10000 bounds rank error by 1/10000; 0.005 is 50x slack.
+HLL_REL_TOL = 0.05
+KLL_RANK_TOL = 0.005
+
+def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-bound form of :func:`sketch_stats` — the oracle-checkable
+    contract entry (the ``sim_pandas_recall`` pattern).
+
+    Spark computes BOTH the sketches and the exact aggregates, then emits
+    per event_type: the exact values plus booleans asserting the sketch
+    landed within tolerance — ``users_ok``: |HLL - exact| <= 5% of exact;
+    ``p50_ok``/``p95_ok``: the returned percentile's rank is within
+    [q - tol, q + tol] (two-sided via < and <= counts, so duplicate
+    values can't produce a false negative). The DuckDB oracle computes
+    the same exact aggregates and literal TRUEs — a hash match therefore
+    certifies the accuracy claim, not just the row count.
+
+    Scale: pass 1 is one shuffle on event_type (all aggregates mergeable,
+    O(groups) state); pass 2 re-scans events and joins the O(groups)
+    percentile row back via an explicit broadcast — the corpus never
+    shuffles for the rank check.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("ap"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.element_at("ap", 1).alias("ap50"),
+            F.element_at("ap", 2).alias("ap95"),
+            "n_events",
+        )
+    )
+    ranks = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(agg.select("event_type", "ap50", "ap95")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                (
+                    F.sum((F.col("value") < F.col(p)).cast("bigint")) / F.count(F.lit(1))
+                ).alias(f"lt{p[2:]}")
+                for p in ("ap50", "ap95")
+            ],
+            *[
+                (
+                    F.sum((F.col("value") <= F.col(p)).cast("bigint")) / F.count(F.lit(1))
+                ).alias(f"le{p[2:]}")
+                for p in ("ap50", "ap95")
+            ],
+        )
+    )
+
+    def rank_ok(q: float, lt: str, le: str):
+        return (F.col(lt) <= q + KLL_RANK_TOL) & (F.col(le) >= q - KLL_RANK_TOL)
+
+    return (
+        agg.join(F.broadcast(ranks), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= HLL_REL_TOL * F.col("exact_users")
+            ).alias("users_ok"),
+            rank_ok(0.5, "lt50", "le50").alias("p50_ok"),
+            rank_ok(0.95, "lt95", "le95").alias("p95_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+def sketch_accuracy_sql() -> str:
+    """Oracle: exact aggregates + literal TRUEs (bounds certified by hash)."""
+    return """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type counts as columns (values list pinned so
     the plan is static — required for large-scale pivot)."""
