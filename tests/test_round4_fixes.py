@@ -127,6 +127,29 @@ def test_observe_progress_from_real_streaming_state(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+# -------------------------------------------- CC pointer-doubling rounds
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """A 100-edge chain (diameter 100) must converge in O(log d) rounds —
+    the pointer-jumping step, not diameter-many shuffles (round-3 verdict:
+    plain propagation is pathological on chain-shaped components)."""
+    import math
+
+    from dnstap2clickhouse_spark.functions import dedup
+
+    n = 101
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+    labels = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"]).selectExpr(
+        "doc_id", "doc_id AS cluster_id"
+    )
+    rounds: list[int] = []
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.propagate_min_labels(labels, pairs, rounds).collect()
+    }
+    assert set(out.values()) == {0} and len(out) == n
+    assert rounds[0] <= math.ceil(math.log2(n - 1)) + 3, rounds  # 9 measured
+
 # ------------------------------------------------------- sketch accuracy
 
 def test_sketch_accuracy_bounds_hold(spark):
