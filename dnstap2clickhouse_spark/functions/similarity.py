@@ -82,15 +82,19 @@ def _brute_force_sql(dialect: str) -> str:
     dot = _dot("q.embedding", "c.embedding", dialect)
     # broadcast the tiny query set, NOT the corpus: the non-equi join is
     # a nested loop whose build side must be the small one, or the plan
-    # ships the whole corpus to every executor at scale
+    # ships the whole corpus to every executor at scale. The LIMIT is a
+    # no-op on the rows (vec_id is unique, the filter matches exactly
+    # N_QUERIES ids) but puts a GlobalLimit in the broadcast subtree —
+    # the physical plan itself then proves the build side is O(1) in
+    # corpus size (tools/audit_plans.py checks exactly this).
     hint = f"/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     return f"""
 WITH e AS ({_normed(dialect)}),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
 scored AS (
   SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {dot} / sqrt(q.nrm * c.nrm) AS cosine
-  FROM e q JOIN e c ON q.vec_id <> c.vec_id
-  WHERE q.vec_id < {N_QUERIES}),
+  FROM qs q JOIN e c ON q.vec_id <> c.vec_id),
 ranked AS (
   SELECT query_id, neighbor_id, cosine,
          row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -191,13 +195,15 @@ def _lsh_sql(dialect: str) -> str:
         branches.append(
             f"SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id, "
             f"{dot} / sqrt(q.nrm * c.nrm) AS cosine\n"
-            f"  FROM e q JOIN e c\n"
-            f"    ON q.vec_id <> c.vec_id AND q.b{t} = c.b{t}\n"
-            f"  WHERE q.vec_id < {N_QUERIES}"
+            f"  FROM qs q JOIN e c\n"
+            f"    ON q.vec_id <> c.vec_id AND q.b{t} = c.b{t}"
         )
     union = "\nUNION\n".join(branches)
+    # LIMIT on the query CTE: row no-op, plan-visible boundedness (see
+    # _brute_force_sql)
     return f"""
 WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
 scored AS (
 {union}),
 ranked AS (

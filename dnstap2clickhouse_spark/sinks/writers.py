@@ -49,13 +49,16 @@ def jdbc_writer(
     batchsize: int = 100_000,
     driver: str | None = None,
     properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch JDBC writer (K2/K3 equivalent), driver-agnostic.
 
     Connection options mirror the reference's client setup
     (clickhouse.go:94-104): batching replaces ``batch.Send``; JDBC
-    ``batchsize`` is the micro-batch row granularity; retries come from
-    Spark task retry + checkpoint replay rather than the K4 queue.
+    ``batchsize`` is the micro-batch row granularity; ``num_partitions``
+    caps concurrent connections (the JDBC writer opens one per partition
+    — this is the reference's ``MaxOpenConns`` analogue); retries come
+    from Spark task retry + checkpoint replay rather than the K4 queue.
     Exercised in tests against embedded Derby (on Spark's classpath), the
     same code path a ClickHouse deployment takes with its jar.
     """
@@ -65,15 +68,17 @@ def jdbc_writer(
 
     def write(df: DataFrame, epoch_id: int) -> None:
         out = apply_column_config(df, mapping) if mapping else df
-        (
+        w = (
             out.write.format("jdbc")
             .option("url", url)
             .option("dbtable", table)
             .option("batchsize", str(batchsize))
             .options(**props)
             .mode("append")
-            .save()
         )
+        if num_partitions is not None:
+            w = w.option("numPartitions", str(num_partitions))
+        w.save()
 
     return write
 
@@ -103,18 +108,31 @@ def clickhouse_properties(
     lz4: bool = True,
     max_execution_time_s: int = 60,
     socket_timeout_ms: int = 30_000,
+    dial_timeout_ms: int = 5_000,
+    secure: bool = False,
+    insecure_skip_verify: bool = False,
 ) -> dict[str, str]:
     """Connection properties mirroring the reference's client options
-    (clickhouse.go:94-104: LZ4 compression, ``max_execution_time``
-    setting, dial timeout). Keys are the public clickhouse-jdbc property
+    (clickhouse.go:86-110): LZ4 compression, ``max_execution_time=60``,
+    5 s dial timeout, and the Secure/InsecureSkipVerify TLS pair
+    (clickhouse.go:107-110). Keys are the public clickhouse-jdbc property
     names; they ride the generic JDBC ``properties`` passthrough."""
     props = {
         "max_execution_time": str(max_execution_time_s),
         "socket_timeout": str(socket_timeout_ms),
+        "connect_timeout": str(dial_timeout_ms),
     }
     if lz4:
         props["compress_algorithm"] = "lz4"
+    if secure:
+        props["ssl"] = "true"
+        if insecure_skip_verify:
+            props["sslmode"] = "NONE"  # skip chain verification
     return props
+
+#: clickhouse.go:101 MaxOpenConns — one JDBC connection per write
+#: partition, so capping partitions caps the pool
+CLICKHOUSE_MAX_OPEN_CONNS = 2
 
 def clickhouse_writer(
     url: str,
@@ -122,11 +140,13 @@ def clickhouse_writer(
     mapping: dict[str, str] | None = None,
     batchsize: int = 100_000,
     properties: dict[str, str] | None = None,
+    max_open_conns: int = CLICKHOUSE_MAX_OPEN_CONNS,
 ) -> Callable[[DataFrame, int], None]:
     """ClickHouse flavor of ``jdbc_writer`` (requires the ClickHouse JDBC
     jar on the classpath + a reachable server; clickhouse.go:86-114).
     Defaults the connection properties to :func:`clickhouse_properties`
-    (LZ4 + max_execution_time), overridable per call."""
+    (LZ4 + max_execution_time + dial timeout) and connection count to the
+    reference's pool size, both overridable per call."""
     props = clickhouse_properties()
     props.update(properties or {})
     return jdbc_writer(
@@ -136,6 +156,7 @@ def clickhouse_writer(
         batchsize,
         driver="com.clickhouse.jdbc.ClickHouseDriver",
         properties=props,
+        num_partitions=max_open_conns,
     )
 
 def write_sorted_parquet(
@@ -182,12 +203,16 @@ def write_partitioned_dataset(
       :func:`write_sorted_parquet`);
     - the pre-write repartition groups rows by partition value WITHOUT
       collapsing each value into one task: ``repartitionByRange`` over
-      (partition_cols + sort_cols) — or a hash-spread column when no
-      sort is asked for — gives many tasks per partition value, so a
-      dominant partition (train = 80% of the corpus) parallelizes
-      instead of funneling through a single writer task, while each
-      task still writes into only one directory (no tasks × partitions
-      small-files explosion).
+      (partition_cols + sort_cols) — or over (partition_cols + a
+      hash-spread column) when no sort is asked for — gives many tasks
+      per partition value, so a dominant partition (train = 80% of the
+      corpus) parallelizes instead of funneling through a single writer
+      task. Range partitioning keeps each partition value's spread
+      groups contiguous, so a task writes into one directory except at
+      range boundaries (at most tasks + partition-values files total —
+      no tasks × partitions small-files explosion; plain hash
+      ``repartition`` would NOT give this, as one reducer can hold
+      arbitrary (value, spread) combos).
     """
     if sort_cols:
         parted = df.repartitionByRange(
@@ -197,5 +222,5 @@ def write_partitioned_dataset(
         spread = df.sparkSession.sparkContext.defaultParallelism
         parted = df.withColumn(
             "__spread", F.abs(F.hash(*df.columns)) % spread
-        ).repartition(*partition_cols, "__spread").drop("__spread")
+        ).repartitionByRange(*partition_cols, "__spread").drop("__spread")
     parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -62,18 +62,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) under nanosAsLong: integer div (floor) to micros
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif dtypes.get(c) == "timestamp_ntz":
-            # NTZ wall-clock == UTC instant. A bare cast interprets the wall
-            # clock in the SESSION zone — correct only because
-            # _ensure_session_confs pins UTC, which it is allowed to fail at
-            # (locked-down sessions). Composing with
-            # from_utc_timestamp(.., current_timezone()) cancels the session
-            # offset (cast: instant = wall - off(Z); from_utc_timestamp:
-            # + off(Z)), so the wall clock lands as a UTC instant under ANY
-            # session zone (identity when the session is UTC).
+            # NTZ wall-clock == UTC instant. Any cast-based route
+            # (cast-to-timestamp, to/from_utc_timestamp, timestampdiff)
+            # interprets the wall clock in the SESSION zone somewhere, and
+            # a non-UTC zone with DST mangles wall times inside a
+            # transition window (a spring-forward gap time doesn't exist,
+            # so the cast shifts it before any compensating offset is
+            # applied). Extracting the wall FIELDS (pure NTZ arithmetic,
+            # zone-free) and rebuilding with make_timestamp(..., 'UTC') is
+            # exact under ANY session zone, DST included; microseconds ride
+            # date_part('SECOND') which keeps the fraction.
             df = df.withColumn(
                 c,
-                F.from_utc_timestamp(
-                    F.col(c).cast("timestamp"), F.expr("current_timezone()")
+                F.expr(
+                    f"make_timestamp(year(`{c}`), month(`{c}`), day(`{c}`), "
+                    f"hour(`{c}`), minute(`{c}`), date_part('SECOND', `{c}`), 'UTC')"
                 ),
             )
     return df

@@ -17,8 +17,9 @@ section 2.9):
 
 The file source here stands in for the dnstap unix socket (a bridge
 daemon would tail the socket into files/Kafka — SURVEY.md section 2.1);
-swapping ``readStream.parquet`` for ``readStream.format('kafka')`` is the
-only change a production deployment makes.
+the Kafka transport is concrete code, not a comment:
+``sources.kafka.read_events_kafka`` returns the same projected schema,
+so it swaps in for ``read_events_stream`` with no downstream change.
 """
 
 from __future__ import annotations

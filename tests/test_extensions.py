@@ -385,13 +385,20 @@ def test_kgrams_and_decontaminate_handle_short_docs(spark):
     ]
     cols = ["doc_id", "text", "lang", "source", "n_chars"]
     spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
-    got = {r.doc_id: (r.n_shared, r.contaminated)
-           for r in spark.sql(ft._decontaminate_sql("spark")).collect()}
-    assert got == {2: (0, False), 3: (0, False), 4: (0, False)}
-    con = duckdb.connect()
-    con.register("documents", pd.DataFrame(rows, columns=cols))
-    oracle = {
-        int(r.doc_id): (int(r.n_shared), bool(r.contaminated))
-        for _, r in con.execute(ft._decontaminate_sql("duckdb")).df().iterrows()
-    }
-    assert oracle == got
+    try:
+        got = {r.doc_id: (r.n_shared, r.contaminated)
+               for r in spark.sql(ft._decontaminate_sql("spark")).collect()}
+        assert got == {2: (0, False), 3: (0, False), 4: (0, False)}
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=cols))
+        oracle = {
+            int(r.doc_id): (int(r.n_shared), bool(r.contaminated))
+            for _, r in con.execute(ft._decontaminate_sql("duckdb")).df().iterrows()
+        }
+        assert oracle == got
+    finally:
+        # the fixture view is session-wide: restore the real table so
+        # later tests in the shared session don't silently run on toy data
+        from dnstap2clickhouse_spark.sources.tables import load_table
+
+        load_table(spark, SF, "documents").createOrReplaceTempView("documents")

@@ -150,6 +150,267 @@ def test_cc_long_chain_converges_in_log_rounds(spark):
     assert set(out.values()) == {0} and len(out) == n
     assert rounds[0] <= math.ceil(math.log2(n - 1)) + 3, rounds  # 9 measured
 
+# ----------------------------------------- ClickHouse dialect end-to-end
+
+class _RecordingWriter:
+    """DataFrameWriter stand-in: records the exact option surface the
+    writer function pushes, so ClickHouse-only options are asserted
+    end-to-end without a server/jar."""
+
+    def __init__(self):
+        self.fmt = None
+        self.opts: dict[str, str] = {}
+        self.mode_ = None
+        self.saves = 0
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def options(self, **kw):
+        self.opts.update(kw)
+        return self
+
+    def mode(self, m):
+        self.mode_ = m
+        return self
+
+    def save(self):
+        self.saves += 1
+
+def test_clickhouse_writer_options_reach_dataframewriter(spark, monkeypatch):
+    """Every reference client option (clickhouse.go:86-110) must reach the
+    DataFrameWriter: multi-host URL, driver class, LZ4, max_execution_time,
+    dial timeout, pool cap (numPartitions), caller overrides."""
+    from dnstap2clickhouse_spark.sinks import writers
+
+    rec = _RecordingWriter()
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    # patch the CONCRETE class (pyspark.sql.classic.dataframe.DataFrame) —
+    # its own `write` property shadows the abstract base's
+    monkeypatch.setattr(type(df), "write", property(lambda self: rec))
+    url = writers.clickhouse_url(["ch1:8123", "ch2:8123"], "dns")
+    fn = writers.clickhouse_writer(
+        url, "clientQuery", batchsize=5000, properties={"socket_timeout": "1234"}
+    )
+    fn(df, 0)
+    assert rec.saves == 1 and rec.fmt == "jdbc" and rec.mode_ == "append"
+    assert rec.opts["url"] == "jdbc:clickhouse://ch1:8123,ch2:8123/dns"
+    assert rec.opts["dbtable"] == "clientQuery"
+    assert rec.opts["driver"] == "com.clickhouse.jdbc.ClickHouseDriver"
+    assert rec.opts["batchsize"] == "5000"
+    assert rec.opts["compress_algorithm"] == "lz4"
+    assert rec.opts["max_execution_time"] == "60"
+    assert rec.opts["connect_timeout"] == "5000"  # 5 s dial timeout
+    assert rec.opts["socket_timeout"] == "1234"  # caller override wins
+    assert rec.opts["numPartitions"] == str(writers.CLICKHOUSE_MAX_OPEN_CONNS)
+
+def test_clickhouse_tls_properties():
+    """Secure / InsecureSkipVerify pair (clickhouse.go:107-110)."""
+    from dnstap2clickhouse_spark.sinks.writers import clickhouse_properties
+
+    plain = clickhouse_properties()
+    assert "ssl" not in plain and "sslmode" not in plain
+    tls = clickhouse_properties(secure=True)
+    assert tls["ssl"] == "true" and "sslmode" not in tls
+    lax = clickhouse_properties(secure=True, insecure_skip_verify=True)
+    assert lax["ssl"] == "true" and lax["sslmode"] == "NONE"
+
+def test_insert_statement_reference_table_shapes():
+    """The three INSERTs the reference synthesizes (initQueryStmt /
+    initResponseStmt / initResponseTimeStmt, clickhouse.go:139-175), with
+    mid-list pruning in each shape."""
+    from dnstap2clickhouse_spark.sinks.writers import insert_statement
+
+    q = insert_statement(
+        "clientQuery",
+        {
+            "queryTime": "ts",
+            "identity": "identity",
+            "queryAddress": "",
+            "questionName": "qname",
+            "questionType": "qtype",
+            "counter": "c",
+        },
+    )
+    assert q == "INSERT INTO clientQuery (ts, identity, qname, qtype, c) VALUES (?, ?, ?, ?, ?)"
+    r = insert_statement(
+        "clientResponse",
+        {
+            "responseTime": "ts",
+            "identity": "",
+            "responseStatus": "status",
+            "queryAddress": "addr",
+            "questionName": "",
+            "questionType": "qtype",
+            "counter": "c",
+        },
+    )
+    assert r == "INSERT INTO clientResponse (ts, status, addr, qtype, c) VALUES (?, ?, ?, ?, ?)"
+    rt = insert_statement(
+        "clientQueryResponseTime",
+        {"responseTime": "ts", "identity": "identity", "responseTimeDelta": "delta"},
+    )
+    assert rt == "INSERT INTO clientQueryResponseTime (ts, identity, delta) VALUES (?, ?, ?)"
+
+def test_jdbc_num_partitions_round_trip(spark, tmp_path):
+    """numPartitions (the MaxOpenConns analogue) rides the real JDBC path:
+    a multi-partition frame written with a 1-connection cap lands intact
+    in embedded Derby."""
+    from dnstap2clickhouse_spark.sinks import writers
+
+    df = spark.range(0, 40, 1, 8).selectExpr("id", "CAST(id AS STRING) AS name")
+    url = f"jdbc:derby:{tmp_path}/npdb;create=true"
+    derby = "org.apache.derby.jdbc.EmbeddedDriver"
+    writers.jdbc_writer(url, "t1", driver=derby, num_partitions=1)(df, 0)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "t1").option("driver", derby)
+        .load()
+    )
+    assert back.count() == 40
+
+# ------------------------------------------------------ plan-hazard audit
+
+def test_plan_auditor_subset():
+    """tools/audit_plans.py (scale-regime audit: auto-broadcast disabled,
+    code-forced plans only) must pass on a representative subset and
+    waive the documented all-pairs verifier."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "tools", "audit_plans.py"),
+            SF,
+            "dns_match_once",
+            "dns_response_time_join",
+            "sim_cosine_topk",
+            "sim_lsh_ann",
+            "text_decontaminate",
+            "dedup_embedding_cosine",
+            "curate_corpus_v2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-1000:]
+    assert "hazard failures: 0" in proc.stdout
+    assert "WAIVE dedup_embedding_cosine" in proc.stdout
+
+def test_audit_plan_detects_hazards():
+    """The detector itself: a fact-scan broadcast without a reducer is
+    flagged; with a limit/aggregate in the subtree it is not."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from audit_plans import audit_plan
+
+    bad = (
+        "BroadcastHashJoin\n"
+        ":- Scan parquet [a] Location [file:/x/part.parquet]\n"
+        "+- BroadcastExchange\n"
+        "   +- Filter isnotnull(b)\n"
+        "      +- Scan parquet [b] Location [file:/x/events.parquet]\n"
+    )
+    assert audit_plan(bad) == ["broadcast-of-fact"]
+    good = bad.replace("Filter isnotnull(b)", "HashAggregate(keys=[b])")
+    assert audit_plan(good) == []
+    limited = bad.replace("Filter isnotnull(b)", "GlobalLimit 8")
+    assert audit_plan(limited) == []
+    nl = (
+        "BroadcastNestedLoopJoin BuildRight, Inner\n"
+        ":- Scan parquet [a] Location [file:/x/documents.parquet]\n"
+        "+- BroadcastExchange\n"
+        "   +- Scan parquet [b] Location [file:/x/documents.parquet]\n"
+    )
+    assert "nested-loop" in audit_plan(nl)
+
+# --------------------------------------------------- kafka-shaped source
+
+def _kafka_wire_rows(spark, sf_dir):
+    """Events rows -> Kafka record doubles (value = JSON frame payload)."""
+    import json as _json
+
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_id", "unix_micros(ts) AS ts_us", "user_id", "event_type", "value", "props"
+    )
+    return [
+        (
+            None,
+            _json.dumps(r.asDict()).encode(),
+            "events",
+            0,
+            i,
+        )
+        for i, r in enumerate(ev.collect())
+    ]
+
+_KAFKA_DDL = "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT"
+
+def test_kafka_json_decode_matches_events_table(spark):
+    """read_events_kafka(codec='json') over a wire-schema double must
+    reproduce the events table exactly — the schema contract that makes
+    the file->kafka swap a drop-in."""
+    from dnstap2clickhouse_spark.sources.kafka import read_events_kafka
+
+    raw = spark.createDataFrame(_kafka_wire_rows(spark, SF), _KAFKA_DDL)
+    got = read_events_kafka(spark, "unused:9092", "events", source_df=raw)
+    want = load_table(spark, SF, "events")
+    assert got.schema.simpleString() == want.schema.simpleString()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+def test_kafka_auto_codec_streams_through_pipeline(spark):
+    """codec='auto' (sniffing mapInPandas path) under a REAL streaming
+    source double: same rows out, and the stream binds to a downstream
+    aggregation unchanged."""
+    from dnstap2clickhouse_spark.sources.kafka import read_events_kafka
+
+    d = tempfile.mkdtemp(prefix="kafka_")
+    try:
+        spark.createDataFrame(_kafka_wire_rows(spark, SF), _KAFKA_DDL).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+        sdf = spark.readStream.schema(_KAFKA_DDL).parquet(d)
+        ev = read_events_kafka(spark, "unused:9092", "events", codec="auto", source_df=sdf)
+        assert ev.isStreaming
+        agg = ev.groupBy("event_type").count()
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory").queryName("kafka_auto_agg")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.event_type: r["count"]
+            for r in spark.sql("SELECT * FROM kafka_auto_agg").collect()
+        }
+        want = {
+            r.event_type: r["count"]
+            for r in load_table(spark, SF, "events").groupBy("event_type").count().collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+def test_kafka_bad_codec_rejected(spark):
+    from dnstap2clickhouse_spark.sources.kafka import decode_event_values
+
+    raw = spark.createDataFrame([], _KAFKA_DDL)
+    with pytest.raises(ValueError, match="codec"):
+        decode_event_values(raw, codec="avro")
+
 # ------------------------------------------------------- sketch accuracy
 
 def test_sketch_accuracy_bounds_hold(spark):

@@ -40,6 +40,41 @@ def test_load_table_survives_vanilla_confs(spark):
         spark.conf.set("spark.sql.session.timeZone", tz)
 
 
+def test_ntz_normalization_exact_in_dst_gap(spark, tmp_path):
+    """The NTZ wall->UTC-instant normalization must be exact even for wall
+    clocks inside a DST transition window of a non-UTC session zone
+    (2025-03-09 02:30 does not exist in America/New_York; the old
+    cast-then-from_utc_timestamp route shifted it by the DST delta)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    # us since epoch for wall clocks read AS UTC
+    gap = 1741487400123456  # 2025-03-09T02:30:00.123456 (inside NY gap)
+    normal = 1751371200000000  # 2025-07-01T12:00:00
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([gap, normal], pa.timestamp("us")),  # NTZ
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # simulate a locked-down session where the UTC pin didn't stick:
+        # normalization must not depend on the session zone at all
+        df = load_table(spark, str(tmp_path), "events")
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = {
+            r.event_id: r.us
+            for r in df.selectExpr("event_id", "unix_micros(ts) AS us").collect()
+        }
+        assert got == {0: gap, 1: normal}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
 def test_queries_on_bare_session_subprocess():
     """One query per family through the vanilla-session oracle checker."""
     sample = [
