@@ -80,6 +80,8 @@ _ROTATE_FRONT_R4 = (
     "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_topk", "sim_ann_recall",
     "sim_label_centroids",
     "mm_media_metadata", "mm_media_features", "mm_frame_sample",
+    # new in round 4 (never adjudicated): PII scrub + duplicated-span gate
+    "text_pii_scrub", "text_dup_span_fraction",
 )
 
 def _rotate(qdict: dict) -> dict:
@@ -150,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decontamination (broadcast overlap vs a held-out eval split)
         "text_top_ngrams": ftext.top_ngrams,
         "text_decontaminate": ftext.decontaminate,
+        # new in round 4: C4-style PII redaction (self-certifying — the
+        # query injects deterministic PII, scrubs it, and proves zero
+        # residue) and the RefinedWeb-style duplicated-span fraction
+        "text_pii_scrub": ftext.pii_scrub,
+        "text_dup_span_fraction": ftext.dup_span_fraction,
         # new in round 3: int8 storage quantization for the ANN scan path
         # and deterministic quality-weighted corpus resampling
         "sim_quantize_int8": fsim.quantize_int8,
@@ -329,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_canonical_corpus": fdedup.canonical_corpus_sql(),
         "text_top_ngrams": ftext.top_ngrams_sql(),
         "text_decontaminate": ftext.decontaminate_sql(),
+        "text_pii_scrub": ftext.pii_scrub_sql(),
+        "text_dup_span_fraction": ftext.dup_span_fraction_sql(),
         "sim_quantize_int8": fsim.quantize_int8_sql(),
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),

@@ -325,3 +325,124 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decontaminate_sql() -> str:
     return _decontaminate_sql("duckdb")
+
+# --------------------------------------------------------------- PII scrub
+
+#: C4/Dolma-style PII redaction classes. Patterns stay in the RE2 ∩ Java
+#: regex subset so both dialects compile them identically.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}(\.\d{1,3}){3}\b"),
+    ("PHONE", r"\+\d{1,2} \d{3}-\d{4}"),
+)
+
+def _re_lit(dialect: str, pat: str) -> str:
+    """Regex as a SQL string literal: Spark single-quoted strings process
+    backslash escapes (so ``\\`` must be doubled), DuckDB's are standard
+    SQL (left alone)."""
+    return "'" + (pat.replace("\\", "\\\\") if dialect == "spark" else pat) + "'"
+
+def _pii_scrub_sql(dialect: str) -> str:
+    """The synthetic corpus carries no PII, so the query INJECTS a
+    deterministic specimen of each class per document before scrubbing —
+    both dialects inject identically, so the oracle hash certifies the
+    redaction logic itself (found counts, replacement, zero residue),
+    not a no-op pass over clean text."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    inject = (
+        "text || ' contact user' || CAST(doc_id AS {s}) || '@mail.example.com'"
+        " || ' ip 10.' || CAST(doc_id % 256 AS {s}) || '.0.' || CAST(doc_id % 251 AS {s})"
+        " || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS {s}), 4, '0')"
+    ).format(s=s)
+    count = (
+        (lambda pat: f"size(regexp_extract_all(injected, {_re_lit('spark', pat)}, 0))")
+        if dialect == "spark"
+        else (lambda pat: f"len(regexp_extract_all(injected, {_re_lit('duckdb', pat)}))")
+    )
+    scrub = "injected"
+    for name, pat in PII_PATTERNS:
+        lit = _re_lit(dialect, pat)
+        scrub = (
+            f"regexp_replace({scrub}, {lit}, '<{name}>')"
+            if dialect == "spark"
+            else f"regexp_replace({scrub}, {lit}, '<{name}>', 'g')"
+        )
+    residual = " + ".join(
+        c.replace("injected", "scrubbed") for c in (count(p) for _, p in PII_PATTERNS)
+    )
+    counts = ",\n       ".join(
+        f"CAST({count(pat)} AS BIGINT) AS n_{name.lower()}" for name, pat in PII_PATTERNS
+    )
+    return f"""
+WITH inj AS (SELECT doc_id, {inject} AS injected FROM documents),
+scr AS (SELECT doc_id, injected, {scrub} AS scrubbed FROM inj)
+SELECT doc_id,
+       {counts},
+       md5(scrubbed) AS scrub_hash,
+       ({residual}) = 0 AS clean
+FROM scr ORDER BY doc_id
+"""
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate (emails / IPv4 / phone numbers -> typed
+    placeholder tokens) with per-class found-counts and a zero-residue
+    proof column.
+
+    Scale shape: pure per-row regexp work fused into the scan — zero
+    shuffles except the test-stability ORDER BY; Java regex runs inside
+    whole-stage codegen, no Python anywhere. At 100 TB this is mapper
+    throughput, the same cost class as the C4 cleaning pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_pii_scrub_sql("spark"))
+
+def pii_scrub_sql() -> str:
+    return _pii_scrub_sql("duckdb")
+
+# ------------------------------------------------- duplicated-span fraction
+
+DUPSPAN_K = 8  # word 8-grams, the decontamination granularity
+
+def _dup_span_sql(dialect: str) -> str:
+    rows = _kgram_rows(dialect, DUPSPAN_K)
+    return f"""
+WITH g AS (SELECT DISTINCT doc_id, gram FROM ({rows})),
+cnt AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams
+  FROM g JOIN cnt c ON g.gram = c.gram
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       coalesce(p.n_shared_grams, CAST(0 AS BIGINT)) AS n_shared_grams,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(p.n_shared_grams AS DOUBLE) / p.n_grams
+            ELSE CAST(0 AS DOUBLE) END AS dup_fraction,
+       coalesce(CAST(p.n_shared_grams AS DOUBLE) / p.n_grams > 0.5, FALSE) AS mostly_dup
+FROM documents d
+LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a doc's
+    distinct word 8-grams that appear in at least one OTHER document
+    (RefinedWeb/Dolma-style exact-span duplication gate — catches
+    templated/boilerplate-heavy pages that whole-doc dedup misses).
+
+    Scale shape: per-doc DISTINCT grams (one shuffle on (doc_id, gram)),
+    gram document-frequency (one shuffle on gram, map-side partials
+    absorb hot boilerplate grams), fetch-join of counts back onto the
+    gram rows (equi on gram, co-partitioned with the count aggregate so
+    the exchange is reused), then a doc_id-keyed aggregate. Every stage
+    is an equi-shuffle on a bounded-width key — no all-pairs anywhere,
+    unlike shingle-Jaccard; this is the exact-span analogue of the
+    banded LSH candidate structure."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_dup_span_sql("spark"))
+
+def dup_span_fraction_sql() -> str:
+    return _dup_span_sql("duckdb")

@@ -411,6 +411,68 @@ def test_kafka_bad_codec_rejected(spark):
     with pytest.raises(ValueError, match="codec"):
         decode_event_values(raw, codec="avro")
 
+# ---------------------------------------------- new round-4 text operators
+
+def test_pii_scrub_redacts_every_class(spark):
+    """Crafted fixture: each PII class is found, replaced with its typed
+    token, and leaves zero residue — checked on text we control, not just
+    the in-query injection."""
+    from dnstap2clickhouse_spark.functions import text as ft
+
+    rows = [
+        (1, "mail me at a.b+c@foo-bar.org today", "en", "src1", 30),
+        (2, "server at 192.168.001.12 down", "en", "src1", 29),
+        (3, "call +1 555-0199 now", "en", "src1", 20),
+        (4, "clean document with no pii", "en", "src1", 26),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
+    try:
+        got = {r.doc_id: r for r in spark.sql(ft._pii_scrub_sql("spark")).collect()}
+        # injection adds exactly one of each class to every doc
+        for d, r in got.items():
+            assert r.clean, (d, r)
+        assert got[1].n_email == 2 and got[2].n_email == 1
+        assert got[2].n_ip == 2 and got[1].n_ip == 1
+        assert got[3].n_phone == 2 and got[4].n_phone == 1
+        # duckdb dialect agrees verbatim
+        import duckdb
+        import pandas as pd
+
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(rows, columns=cols))
+        odf = con.execute(ft._pii_scrub_sql("duckdb")).df()
+        want = {int(r.doc_id): r for _, r in odf.iterrows()}
+        for d in got:
+            assert got[d].scrub_hash == want[d].scrub_hash
+            assert "<EMAIL>" not in got[d].scrub_hash  # hash, not text
+    finally:
+        load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+
+def test_dup_span_fraction_known_graph(spark):
+    """Two identical 10-token docs share every 8-gram; a disjoint doc
+    shares none; a short doc has no grams at all."""
+    from dnstap2clickhouse_spark.functions import text as ft
+
+    dup = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(10))
+    rows = [
+        (1, dup, "en", "s", 1),
+        (2, dup, "en", "s", 1),
+        (3, other, "en", "s", 1),
+        (4, "too short", "en", "s", 1),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
+    try:
+        got = {r.doc_id: r for r in spark.sql(ft._dup_span_sql("spark")).collect()}
+        assert got[1].n_grams == 3 and got[1].dup_fraction == 1.0 and got[1].mostly_dup
+        assert got[2].dup_fraction == 1.0
+        assert got[3].n_grams == 3 and got[3].dup_fraction == 0.0 and not got[3].mostly_dup
+        assert got[4].n_grams == 0 and got[4].dup_fraction == 0.0 and not got[4].mostly_dup
+    finally:
+        load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+
 # ------------------------------------------------------- sketch accuracy
 
 def test_sketch_accuracy_bounds_hold(spark):
