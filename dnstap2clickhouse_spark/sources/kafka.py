@@ -114,3 +114,59 @@ def _decode_auto(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         out = pd.DataFrame(rows)
         out["ts"] = pd.to_datetime(out.pop("ts_us"), unit="us", utc=True)
         yield out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+# --------------------------------------------------- dnstap frame flavor
+
+#: the bridge's raw-frame chunk schema (bridge.py _DNSTAP_SCHEMA) as DDL —
+#: the decode chain's input shape
+DNSTAP_DDL = (
+    "frameType STRING, messageType STRING, hasPayload BOOLEAN, "
+    "timeSec BIGINT, timeNsec BIGINT, identity STRING, "
+    "queryAddress STRING, queryPort BIGINT, qtypeCode BIGINT, "
+    "rcode BIGINT, id BIGINT, questionNames ARRAY<STRING>, addrBytes BINARY"
+)
+
+_DNSTAP_COLS = [f.strip().split(" ")[0] for f in DNSTAP_DDL.split(",")]
+
+def read_dnstap_kafka(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    source_df: DataFrame | None = None,
+) -> DataFrame:
+    """Raw dnstap frames from Kafka — same schema as the bridge daemon's
+    parquet chunks, so the DNS decode chain binds unchanged. Values are
+    dnstap protobuf frames (or the bridge's JSON/binary codecs — the
+    sniffing decoder handles all three); decode runs in Arrow batches
+    (``mapInPandas``), the protobuf work parallelizing across Kafka
+    partitions exactly like the bridge's reader fan-in (cap story in
+    sources/bridge.py)."""
+    raw = source_df
+    if raw is None:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    return raw.select("value").mapInPandas(_decode_dnstap_values, DNSTAP_DDL)
+
+def _decode_dnstap_values(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    """Arrow batch -> sniffing codec -> dnstap raw-frame rows (frames that
+    decode to events rows are dropped — they belong to the events chain)."""
+    import pandas as pd
+
+    from .bridge import _decode_frame
+
+    for pdf in batches:
+        rows = []
+        for payload in pdf["value"]:
+            row = _decode_frame(bytes(payload))
+            if "frameType" in row:
+                rows.append(row)
+        if not rows:
+            continue
+        out = pd.DataFrame(rows)
+        yield out[_DNSTAP_COLS]

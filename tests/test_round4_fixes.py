@@ -404,6 +404,47 @@ def test_kafka_auto_codec_streams_through_pipeline(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+def test_kafka_dnstap_frames_decode_to_bridge_schema(spark):
+    """read_dnstap_kafka over real dnstap protobuf frame values yields the
+    bridge's raw-frame chunk schema with full field fidelity — the DNS
+    chain's Kafka transport."""
+    from dnstap2clickhouse_spark.sources import dnswire
+    from dnstap2clickhouse_spark.sources.dnstap_proto import encode_dnstap
+    from dnstap2clickhouse_spark.sources.kafka import read_dnstap_kafka
+
+    def frame(kind, dns_id, rcode=0):
+        dns = dnswire.encode_message(
+            dns_id,
+            [("host9.example.com.", 28)],
+            is_response=kind.endswith("_RESPONSE"),
+            rcode=rcode,
+        )
+        return encode_dnstap(
+            message_type=kind,
+            identity="ns1",
+            query_address=bytes([10, 0, 3, 7]),
+            query_port=5353,
+            time_sec=1_760_000_000,
+            time_nsec=250_000_000,
+            dns_message=dns,
+        )
+
+    wire = [
+        (None, frame("CLIENT_QUERY", 11), "dnstap", 0, 0),
+        (None, frame("CLIENT_RESPONSE", 11, rcode=3), "dnstap", 0, 1),
+    ]
+    raw = spark.createDataFrame(wire, _KAFKA_DDL)
+    rows = {
+        r.messageType: r
+        for r in read_dnstap_kafka(spark, "unused:9092", "dnstap", source_df=raw).collect()
+    }
+    assert set(rows) == {"CLIENT_QUERY", "CLIENT_RESPONSE"}
+    for r in rows.values():
+        assert r.identity == "ns1" and r.queryAddress == "10.0.3.7"
+        assert r.queryPort == 5353 and r.id == 11
+        assert r.questionNames == ["host9.example.com."]
+    assert rows["CLIENT_RESPONSE"].rcode == 3
+
 def test_kafka_bad_codec_rejected(spark):
     from dnstap2clickhouse_spark.sources.kafka import decode_event_values
 
