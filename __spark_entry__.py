@@ -81,7 +81,8 @@ _ROTATE_FRONT_R4 = (
     "sim_label_centroids",
     "mm_media_metadata", "mm_media_features", "mm_frame_sample",
     # new in round 4 (never adjudicated): PII scrub + duplicated-span gate
-    "text_pii_scrub", "text_dup_span_fraction",
+    # + the core aggregation as a real update-mode stream
+    "text_pii_scrub", "text_dup_span_fraction", "dns_streaming_agg",
 )
 
 def _rotate(qdict: dict) -> dict:
@@ -168,6 +169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (micro-batch file source), oracle-checked because statelessness
         # makes stream output == batch gate composition
         "streaming_curation": stp.streaming_curation_query,
+        # new in round 4: the CORE aggregation (A1-A7) as a REAL
+        # update-mode stream, update log collapsed to final state
+        # (monotone per-key sum/min) — shares the batch clientQuery oracle
+        "dns_streaming_agg": stp.streaming_query_agg_query,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -342,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
         "streaming_curation": stp.streaming_curation_sql(),
+        # update-mode stream collapsed to final state == batch clientQuery
+        "dns_streaming_agg": cq,
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

@@ -391,3 +391,43 @@ JOIN dec c ON c.doc_id = s.doc_id AND NOT c.contaminated
 WHERE s.quality >= {QUALITY_MIN}
 ORDER BY s.doc_id
 """
+
+def streaming_query_agg_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Driver-contract wrapper for the CORE aggregation (A1-A7) as a REAL
+    stream: events chunked into time-ordered micro-batch files, the
+    grouping-set + windowed dedup-count pipeline run in UPDATE mode (the
+    reference's flush-every-interval behavior), and the update log
+    collapsed to final state per key.
+
+    Oracle-checkable against the BATCH clientQuery SQL because per-key
+    updates are monotone — ``counter`` (a sum) only grows and
+    ``queryTime`` (a min) only shrinks — so max/min over a key's update
+    history IS its final state, independent of trigger boundaries. The
+    30-day watermark keeps every window in state for the whole bounded
+    run (eviction semantics are pinned separately by the TTL tests);
+    production uses the default 10-minute watermark.
+    """
+    import shutil
+    import tempfile
+
+    from ..operators.dns_pipeline import QUERY_KEYS
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="agg_stream_")
+    try:
+        # ascending time ranges -> in-order micro-batches (file source
+        # processes by path order for equal mtimes)
+        ev.repartitionByRange(n_chunks, "ts").write.mode("overwrite").parquet(d)
+        stream = read_events_stream(spark, d, sf_dir)
+        agg = streaming_client_query_agg(stream, watermark="30 days")
+        updates = run_stream_to_memory(agg, "update", spark)
+        return (
+            updates.groupBy("windowStart", *QUERY_KEYS)
+            .agg(
+                F.min("queryTime").alias("queryTime"),
+                F.max("counter").alias("counter"),
+            )
+            .orderBy("windowStart", *QUERY_KEYS)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
