@@ -83,6 +83,7 @@ _ROTATE_FRONT_R4 = (
     # new in round 4 (never adjudicated): PII scrub + duplicated-span gate
     # + the core aggregation as a real update-mode stream
     "text_pii_scrub", "text_dup_span_fraction", "dns_streaming_agg",
+    "sim_ivf_recall",
 )
 
 def _rotate(qdict: dict) -> dict:
@@ -248,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": fsim.ivf_topk,
         # ANN quality: recall@k of LSH buckets vs exact brute force
         "sim_ann_recall": fsim.ann_recall,
+        # new in round 4: the IVF path gets the same in-engine quality metric
+        "sim_ivf_recall": fsim.ivf_recall,
         # ---- tail (below the 50-entry window this round; freshest green
         # ---- rows, untouched code; rotate forward next round) ----
         "dedup_exact": fdedup.exact_dedup,
@@ -362,5 +365,6 @@ def oracle_sql() -> dict[str, str]:
         "mm_frame_sample": fmm.frame_sample_sql(),
         "text_repetition": ftext.repetition_filter_sql(),
         "sim_ann_recall": fsim.ann_recall_sql(),
+        "sim_ivf_recall": fsim.ivf_recall_sql(),
         "sim_pandas_recall": fsim.pandas_recall_sql(),
     }

@@ -478,3 +478,28 @@ def quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantize_int8_sql() -> str:
     return _quantize_sql("duckdb")
+
+def _ivf_recall_sql(dialect: str) -> str:
+    """recall@k of the IVF ANN against the exact brute-force top-k —
+    the same in-engine quality metric `_ann_recall_sql` provides for the
+    LSH path, so IVF_K/IVF_NPROBE sweeps are a query away. Ground truth
+    is the already-linear brute-force scan; the compare join is a tiny
+    (N_QUERIES x k) equi-join."""
+    return f"""
+WITH brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
+approx AS ({_ivf_sql(dialect).replace("ORDER BY query_id, rank", "")})
+SELECT b.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of ``ivf_topk`` vs ``cosine_topk``."""
+    _register(spark, sf_dir)
+    return spark.sql(_ivf_recall_sql("spark"))
+
+def ivf_recall_sql() -> str:
+    return _ivf_recall_sql("duckdb")

@@ -532,6 +532,19 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# ------------------------------------------------------------ IVF recall
+
+def test_ivf_recall_metric_shape(spark):
+    """One recall row per query vector, bounded in [0,1], nonzero overall
+    (synthetic random embeddings make ANN recall modest by nature — the
+    deliverable is the in-engine metric, mirrored for the LSH path)."""
+    from dnstap2clickhouse_spark.functions import similarity as fsim
+
+    rows = fsim.ivf_recall(spark, SF).collect()
+    assert len(rows) == fsim.N_QUERIES
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    assert sum(r.n_hits for r in rows) > 0
+
 # ------------------------------------------------------- sketch accuracy
 
 def test_sketch_accuracy_bounds_hold(spark):
