@@ -64,38 +64,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return an.top_query_addresses(dp.client_query_table(spark, SF0001))
 
 #: ORDERING POLICY: the external harness adjudicates the FIRST 50 dict
-#: entries per round, so queries() rotates least-recently-adjudicated
-#: entries to the front. This list is the 25 entries NOT in the driver's
-#: round-3 window (= keys(queries()) - keys(CORRECTNESS_r03.json)); they
-#: lead the round-4 window so every entry has driver evidence <= 2 rounds
-#: old. Local `tools/check_correctness.py` verifies ALL entries every
-#: round regardless of the window.
-_ROTATE_FRONT_R4 = (
-    "events_sessionize", "events_session_window", "events_running_totals",
-    "events_value_quantiles", "events_rollup_daily", "events_asof_attribution",
-    "events_funnel", "events_pivot_counts", "events_distinct_users",
-    "events_user_set_ops", "tpch_market_share",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_signatures",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "sim_cosine_topk", "sim_lsh_ann", "sim_ivf_topk", "sim_ann_recall",
-    "sim_label_centroids",
-    "mm_media_metadata", "mm_media_features", "mm_frame_sample",
-    # new in round 4 (never adjudicated): PII scrub + duplicated-span gate
-    # + the core aggregation as a real update-mode stream
-    "text_pii_scrub", "text_dup_span_fraction", "dns_streaming_agg",
-    "sim_ivf_recall",
-)
+#: entries per round, so queries() orders entries least-recently-
+#: adjudicated first. The age of each entry's newest driver evidence is
+#: read from the CORRECTNESS_r*.json files the harness itself writes —
+#: never-adjudicated entries lead, then ascending last-adjudicated round,
+#: declaration order breaking ties. Self-maintaining: when the harness
+#: records round N, round N+1's import rotates automatically. Local
+#: `tools/check_correctness.py` verifies ALL entries every round
+#: regardless of the window.
+
+def _last_adjudicated(names: list[str]) -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last = {n: -1 for n in names}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:
+            continue  # malformed/partial file: ignore, keep rotating
+        for n in data:
+            if n in last:
+                last[n] = max(last[n], rnd)
+    return last
 
 def _rotate(qdict: dict) -> dict:
-    """Reorder so _ROTATE_FRONT_R4 leads (declaration order preserved
-    within each group). A name listed but absent from the dict is a bug —
-    fail loudly rather than silently shrinking the window."""
-    missing = [k for k in _ROTATE_FRONT_R4 if k not in qdict]
-    if missing:
-        raise KeyError(f"rotation list names unknown queries: {missing}")
-    front = {k: qdict[k] for k in _ROTATE_FRONT_R4}
-    front.update((k, v) for k, v in qdict.items() if k not in front)
-    return front
+    """Reorder least-recently-adjudicated first (see policy above)."""
+    names = list(qdict)
+    last = _last_adjudicated(names)
+    order = sorted(names, key=lambda n: (last[n], names.index(n)))
+    return {n: qdict[n] for n in order}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no_agg = AggregatorConfig(aggregate=False)
