@@ -106,8 +106,9 @@ def _rotate(qdict: dict) -> dict:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no_agg = AggregatorConfig(aggregate=False)
 
-    # Declaration order below is round-3's; _rotate() applies the
-    # round-4 adjudication window (see _ROTATE_FRONT_R4 above).
+    # Declaration order is historical (grouped by when entries landed);
+    # _rotate() derives the adjudication-window order from the recorded
+    # CORRECTNESS_r*.json files (policy comment above _last_adjudicated).
     return _rotate({
         # ---- (1) last adjudicated in round 1 ----
         # --- generic relational layer (TPC-H-style) ---
@@ -180,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # update-mode stream, update log collapsed to final state
         # (monotone per-key sum/min) — shares the batch clientQuery oracle
         "dns_streaming_agg": stp.streaming_query_agg_query,
+        # new in round 4: exact dedup under double delivery (the
+        # at-least-once -> effectively-once upgrade, K4 replacement)
+        "streaming_dedup_redelivery": stp.streaming_dedup_query,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -358,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_curation": stp.streaming_curation_sql(),
         # update-mode stream collapsed to final state == batch clientQuery
         "dns_streaming_agg": cq,
+        "streaming_dedup_redelivery": stp.streaming_dedup_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

@@ -431,3 +431,38 @@ def streaming_query_agg_query(spark: SparkSession, sf_dir: str, n_chunks: int = 
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper for exact dedup under REDELIVERY: the
+    events table is delivered TWICE (two micro-batch files with the same
+    rows — the at-least-once failure mode the reference's retry queue
+    creates, clickhouse.go:361-412), and
+    ``dropDuplicatesWithinWatermark`` must collapse the stream back to
+    exactly the table. Oracle: the plain events projection — a hash
+    match proves the duplicate copy was fully absorbed, not just that
+    rows came out.
+
+    All copies of a key are identical rows, so keep-first semantics are
+    deterministic regardless of delivery order.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    d = tempfile.mkdtemp(prefix="dedup_stream_")
+    try:
+        for _ in range(2):  # two identical deliveries, separate files
+            ev.coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        deduped = streaming_exact_dedup(stream, ("event_id",), "ts")
+        out = run_stream_to_memory(deduped, "append", spark)
+        return out.orderBy("event_id")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+def streaming_dedup_sql() -> str:
+    return "SELECT event_id, ts, user_id FROM events ORDER BY event_id"
