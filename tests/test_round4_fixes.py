@@ -532,6 +532,83 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# ------------------------------- property tests for the round-4 text ops
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_h
+
+    _words = st_h.lists(
+        st_h.text(alphabet="abcdefgh", min_size=1, max_size=4),
+        min_size=0,
+        max_size=14,
+    )
+
+    @given(st_h.lists(_words, min_size=1, max_size=5))
+    @settings(max_examples=5, deadline=None)
+    def test_dup_span_fraction_equals_python_ground_truth(docs):
+        """Spark's duplicated-span fraction equals a pure-Python 8-gram
+        computation on random corpora (few examples — each runs Spark)."""
+        from dnstap2clickhouse_spark.functions import text as ft
+        from dnstap2clickhouse_spark.session import get_spark
+        from dnstap2clickhouse_spark.sources.tables import load_table
+
+        spark = get_spark("test")
+        K = ft.DUPSPAN_K
+        texts = [" ".join(w) for w in docs]
+
+        def grams(t):
+            toks = t.split(" ")
+            return {
+                " ".join(toks[i : i + K]) for i in range(len(toks) - K + 1)
+            } if len(toks) >= K else set()
+
+        gsets = [grams(t) for t in texts]
+        from collections import Counter
+
+        df_count = Counter(g for gs in gsets for g in gs)
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
+        try:
+            got = {
+                r.doc_id: (r.n_grams, r.n_shared_grams)
+                for r in spark.sql(ft._dup_span_sql("spark")).collect()
+            }
+        finally:
+            load_table(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView(
+                "documents"
+            )
+        for i, gs in enumerate(gsets):
+            shared = sum(1 for g in gs if df_count[g] > 1)
+            assert got[i] == (len(gs), shared), (i, texts[i])
+
+    @given(_words)
+    @settings(max_examples=5, deadline=None)
+    def test_pii_scrub_clean_on_alpha_text(words):
+        """On PII-free alphabetic text, exactly the injected specimens are
+        found (one per class) and the scrub leaves zero residue."""
+        from dnstap2clickhouse_spark.functions import text as ft
+        from dnstap2clickhouse_spark.session import get_spark
+        from dnstap2clickhouse_spark.sources.tables import load_table
+
+        spark = get_spark("test")
+        text = " ".join(words)
+        rows = [(0, text, "en", "s", len(text))]
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
+        try:
+            [r] = spark.sql(ft._pii_scrub_sql("spark")).collect()
+        finally:
+            load_table(spark, "/root/testdata/sf0.001", "documents").createOrReplaceTempView(
+                "documents"
+            )
+        assert (r.n_email, r.n_ip, r.n_phone) == (1, 1, 1)
+        assert r.clean
+
+except ImportError:  # pragma: no cover
+    pass
+
 # ------------------------------------------------- adjudication rotation
 
 def test_rotation_orders_least_recently_adjudicated_first():
