@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: exact dedup under double delivery (the
         # at-least-once -> effectively-once upgrade, K4 replacement)
         "streaming_dedup_redelivery": stp.streaming_dedup_query,
+        # new in round 4: simhash family completed — banded Hamming pairs
+        "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -363,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         # update-mode stream collapsed to final state == batch clientQuery
         "dns_streaming_agg": cq,
         "streaming_dedup_redelivery": stp.streaming_dedup_sql(),
+        "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

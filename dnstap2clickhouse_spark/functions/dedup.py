@@ -488,3 +488,52 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_signatures_sql() -> str:
     return _simhash_sql("duckdb")
+
+SIMHASH_HAMMING_MAX = 3  # near-dup threshold
+SIMHASH_BANDS = SIMHASH_HAMMING_MAX + 1  # pigeonhole: <=3 flips -> 1 equal band
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+
+def _simhash_pairs_sql(dialect: str) -> str:
+    """Near-dup pairs from SimHash signatures, LSH-banded.
+
+    Pigeonhole: hamming(a, b) <= 3 implies at least one of the 4
+    disjoint 15-bit bands is bit-identical, so candidate generation is a
+    UNION of per-band equi-joins on (band, band_value) — the same
+    O(colliding pairs) shape as the MinHash banding, never all-pairs.
+    Verification is exact: bit_count(xor) <= 3 on the 60-bit signatures,
+    per candidate. At 100 TB the band value is the natural bucket/
+    partition key for the signature table.
+    """
+    sigs = _simhash_sql(dialect).replace("ORDER BY doc_id", "")
+    if dialect == "spark":
+        series = f"explode(sequence(0, {SIMHASH_BANDS - 1}))"
+        bval = f"shiftright(simhash, band * {_SIMHASH_BAND_BITS}) & {_SIMHASH_BAND_MASK}"
+        ham = "bit_count(a.simhash ^ b.simhash)"
+    else:
+        series = f"unnest(generate_series(0, {SIMHASH_BANDS - 1}))"
+        bval = f"(simhash >> (band * {_SIMHASH_BAND_BITS})) & {_SIMHASH_BAND_MASK}"
+        ham = "bit_count(xor(a.simhash, b.simhash))"
+    return f"""
+WITH sigs AS ({sigs}),
+bands AS (
+  SELECT doc_id, simhash, band, {bval} AS bval
+  FROM (SELECT doc_id, simhash, {series} AS band FROM sigs)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({ham.replace('a.simhash', 'sig_a').replace('b.simhash', 'sig_b')} AS BIGINT) AS hamming
+FROM cand
+WHERE {ham.replace('a.simhash', 'sig_a').replace('b.simhash', 'sig_b')} <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-verified SimHash near-dup pairs (banded candidates)."""
+    _register(spark, sf_dir)
+    return spark.sql(_simhash_pairs_sql("spark"))
+
+def simhash_pairs_sql() -> str:
+    return _simhash_pairs_sql("duckdb")

@@ -532,6 +532,45 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# ----------------------------------------------------- simhash pair gen
+
+def test_simhash_pairs_bands_catch_identical_docs(spark):
+    """Identical docs -> hamming 0, found through banding; disjoint-vocab
+    docs -> far signatures, no pair. Verified against brute-force hamming
+    over the signatures themselves (catches band-extraction bugs)."""
+    from dnstap2clickhouse_spark.functions import dedup
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text_a, "en", "s", 1),
+        (2, text_a, "en", "s", 1),
+        (3, "one two three four five six seven eight", "en", "s", 1),
+    ]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    spark.createDataFrame(rows, cols).createOrReplaceTempView("documents")
+    try:
+        sigs = {
+            r.doc_id: r.simhash
+            for r in spark.sql(dedup._simhash_sql("spark")).collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in spark.sql(dedup._simhash_pairs_sql("spark")).collect()
+        }
+        # brute-force expectation over the 3 signatures
+        want = {}
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= dedup.SIMHASH_HAMMING_MAX:
+                    want[(a, b)] = h
+        assert got == want
+        assert got[(1, 2)] == 0  # the identical pair must be present
+    finally:
+        load_table(spark, SF, "documents").createOrReplaceTempView("documents")
+
 # ------------------------------- property tests for the round-4 text ops
 
 try:
