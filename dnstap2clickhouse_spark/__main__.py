@@ -68,12 +68,31 @@ BRIDGE_SCHEMA = StructType(
     ]
 )
 
+def read_events_source(
+    spark: SparkSession, cfg: EngineConfig, bridge_dir: str
+) -> DataFrame:
+    """The configured input transport: bridge chunk files (default) or a
+    Kafka topic carrying the same frames ([source] kind = 'kafka')."""
+    if cfg.source.kind == "kafka":
+        from .sources.kafka import read_events_kafka
+
+        return read_events_kafka(
+            spark,
+            cfg.source.bootstrap,
+            cfg.source.topic,
+            starting_offsets=cfg.source.starting_offsets,
+            codec=cfg.source.codec,
+        )
+    if cfg.source.kind != "files":
+        raise ValueError(f"source.kind {cfg.source.kind!r}: expected 'files' or 'kafka'")
+    return spark.readStream.schema(BRIDGE_SCHEMA).parquet(bridge_dir)
+
 def build_streams(
     spark: SparkSession, cfg: EngineConfig, bridge_dir: str
 ) -> dict[str, DataFrame]:
     """F3 static plan gating (dnstap.go:253-255; aggregator.go:553-573):
     construct only the enabled branches, streaming flavor."""
-    events = spark.readStream.schema(BRIDGE_SCHEMA).parquet(bridge_dir)
+    events = read_events_source(spark, cfg, bridge_dir)
     out: dict[str, DataFrame] = {}
     agg = cfg.aggregator
     if agg.client_queries:

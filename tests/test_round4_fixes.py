@@ -532,6 +532,51 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# ------------------------------------------------ daemon source config
+
+def test_toml_source_section_selects_kafka(tmp_path):
+    """[source] kind='kafka' parses and survives CLI-override patching;
+    default stays the bridge file source."""
+    from dnstap2clickhouse_spark.toml_config import load_config
+
+    cfgfile = tmp_path / "engine.toml"
+    cfgfile.write_text(
+        '[source]\nkind = "kafka"\nbootstrap = "k1:9092,k2:9092"\n'
+        'topic = "frames"\ncodec = "auto"\n'
+        "[aggregator]\nwrite_interval = 30\n"
+    )
+    cfg = load_config(str(cfgfile))
+    assert cfg.source.kind == "kafka"
+    assert cfg.source.bootstrap == "k1:9092,k2:9092"
+    assert cfg.source.topic == "frames" and cfg.source.codec == "auto"
+    assert cfg.aggregator.write_interval_s == 30
+    assert load_config(None).source.kind == "files"
+
+def test_daemon_kafka_source_binds_pipeline(spark, tmp_path, monkeypatch):
+    """build_streams with kind='kafka' routes through read_events_kafka
+    and still constructs the gated aggregation branches (source doubled
+    with a wire-schema batch frame)."""
+    from dnstap2clickhouse_spark import __main__ as daemon
+    from dnstap2clickhouse_spark.sources import kafka as ksrc
+    from dnstap2clickhouse_spark.toml_config import load_config
+
+    raw = spark.createDataFrame(_kafka_wire_rows(spark, SF), _KAFKA_DDL)
+    calls = {}
+
+    def fake_kafka(spark_, bootstrap, topic, starting_offsets="latest", codec="json", source_df=None):
+        calls["args"] = (bootstrap, topic, starting_offsets, codec)
+        return ksrc.decode_event_values(raw, codec="json")
+
+    monkeypatch.setattr("dnstap2clickhouse_spark.sources.kafka.read_events_kafka", fake_kafka)
+    cfgfile = tmp_path / "engine.toml"
+    cfgfile.write_text('[source]\nkind = "kafka"\nbootstrap = "k:9092"\ntopic = "t"\n')
+    cfg = load_config(str(cfgfile))
+    streams = daemon.build_streams(spark, cfg, str(tmp_path))
+    assert calls["args"] == ("k:9092", "t", "latest", "json")
+    assert set(streams) == {"clientQuery", "clientResponse"}
+    # the doubled source is batch, so the branch is directly collectable
+    assert streams["clientQuery"].count() > 0
+
 # ----------------------------------------------------- simhash pair gen
 
 def test_simhash_pairs_bands_catch_identical_docs(spark):
