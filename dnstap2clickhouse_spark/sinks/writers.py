@@ -224,3 +224,47 @@ def write_partitioned_dataset(
             "__spread", F.abs(F.hash(*df.columns)) % spread
         ).repartitionByRange(*partition_cols, "__spread").drop("__spread")
     parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+def compact_dataset(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 256,
+    sort_cols: list[str] | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Small-files compaction — the maintenance pass every long-running
+    ingest needs (micro-batch sinks and bridge chunk writers emit one
+    file per trigger; a day of 20 s triggers is 4320 tiny files whose
+    open/footer overhead dominates scans).
+
+    Rewrites ``src_dir`` into ``n_files`` parquet files (derived from the
+    source's on-disk bytes / ``target_file_mb`` when not given;
+    explicit ``n_files`` covers non-local filesystems). With
+    ``sort_cols`` the rewrite is range-partitioned + within-file sorted
+    (the :func:`write_sorted_parquet` layout, so compaction doubles as a
+    zone-map optimization pass); without, a plain repartition. Returns
+    the file count written.
+
+    Scale shape: one shuffle, output size bounded by target file size —
+    the standard bin-packing rewrite; idempotent, so it can run as a
+    periodic job over live append dirs (write to a fresh dst, swap).
+    """
+    import math
+    import os
+
+    df = spark.read.parquet(src_dir)
+    if n_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, names in os.walk(src_dir)
+            for f in names
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    if sort_cols:
+        out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_dir)
+    return n_files

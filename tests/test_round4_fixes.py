@@ -532,6 +532,47 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# ---------------------------------------------------------- compaction
+
+def test_compact_dataset_merges_small_files(spark, tmp_path):
+    """20 micro-batch-sized files compact to the computed bin count with
+    identical rows; sorted flavor leaves non-overlapping file key ranges."""
+    import glob
+
+    from dnstap2clickhouse_spark.sinks.writers import compact_dataset
+
+    src = str(tmp_path / "src")
+    for i in range(20):
+        spark.range(i * 50, (i + 1) * 50).selectExpr(
+            "id", "CAST(id % 7 AS STRING) AS k"
+        ).coalesce(1).write.mode("append").parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+
+    dst = str(tmp_path / "dst")
+    n = compact_dataset(spark, src, dst, target_file_mb=256)
+    assert n == 1  # 20 tiny files ≪ 256 MB -> one bin
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).orderBy("id").collect() == (
+        spark.read.parquet(src).orderBy("id").collect()
+    )
+
+    dst2 = str(tmp_path / "dst2")
+    compact_dataset(spark, src, dst2, sort_cols=["id"], n_files=4)
+    files = sorted(glob.glob(f"{dst2}/*.parquet"))
+    assert len(files) == 4
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col = md.row_group(0).column(0).statistics
+        lo = min(md.row_group(g).column(0).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(0).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, "sorted compaction must leave disjoint key ranges"
+
 # ------------------------------------------------ daemon source config
 
 def test_toml_source_section_selects_kafka(tmp_path):
