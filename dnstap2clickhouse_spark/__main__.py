@@ -166,15 +166,26 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dnstap2clickhouse_spark")
     p.add_argument("-config", dest="config", default=None, help="TOML config path")
     p.add_argument("-loglevel", dest="loglevel", default="WARN")
-    p.add_argument("--socket", required=True, help="dnstap unix-socket path")
+    p.add_argument(
+        "--socket",
+        default=None,
+        help="dnstap unix-socket path (required unless [source] kind = 'kafka')",
+    )
     p.add_argument("--work-dir", required=True, help="bridge + output root")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
     bridge_dir = os.path.join(args.work_dir, "bridge")
     out_dir = os.path.join(args.work_dir, "tables")
-    bridge = SocketBridge(args.socket, bridge_dir)
-    bridge.start()
+    # the socket bridge exists to feed the file source; under a kafka
+    # source it would tail the socket into chunks nobody reads (and grow
+    # the disk unboundedly), so it only runs for kind='files'
+    bridge = None
+    if cfg.source.kind == "files":
+        if not args.socket:
+            p.error("--socket is required when [source] kind = 'files'")
+        bridge = SocketBridge(args.socket, bridge_dir)
+        bridge.start()
 
     spark = get_spark("dnstap2clickhouse_spark")
     spark.sparkContext.setLogLevel(args.loglevel)
@@ -196,7 +207,8 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         for q in queries:
             q.stop()
-        bridge.stop()
+        if bridge is not None:
+            bridge.stop()
         print("stats:", listener.read_and_reset(), file=sys.stderr)
         spark.stop()
     return 0

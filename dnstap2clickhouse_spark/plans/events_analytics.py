@@ -357,10 +357,15 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 #: sketch accuracy gates. Both sketches are hash-based (deterministic for a
-#: given dataset — no RNG), so these are stable assertions, not flaky ones.
-#: HLL++ rsd=0.02 => 2% std error; 0.05 is a 2.5-sigma bound. approx_percentile
-#: accuracy=10000 bounds rank error by 1/10000; 0.005 is 50x slack.
-HLL_REL_TOL = 0.05
+#: given dataset — no RNG), so for a FIXED corpus these are stable
+#: assertions. But the test corpus regenerates every round, which re-rolls
+#: the effective HLL error: rsd=0.02 at a 2.5-sigma bound (5%) leaves
+#: ~1% failure odds per group per regeneration — a contract entry that
+#: red-flags with no code change. 0.10 is a 5-sigma bound (~1e-6/group):
+#: still a meaningful accuracy claim, no dice roll. approx_percentile
+#: accuracy=10000 bounds rank error deterministically at 1/10000; 0.005
+#: is 50x slack.
+HLL_REL_TOL = 0.10
 KLL_RANK_TOL = 0.005
 
 def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,9 +382,12 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the accuracy claim, not just the row count.
 
     Scale: pass 1 is one shuffle on event_type (all aggregates mergeable,
-    O(groups) state); pass 2 re-scans events and joins the O(groups)
-    percentile row back via an explicit broadcast — the corpus never
-    shuffles for the rank check.
+    O(groups) state), COLLECTED once — the O(groups) result re-enters as
+    a local table so the two downstream joins don't re-run the heavy
+    countDistinct/percentile aggregation; pass 2 re-scans events and
+    joins the O(groups) percentile row back via an explicit broadcast —
+    the corpus never shuffles for the rank check. Net: 2 scans + 1
+    aggregation (was 3 + 2 when ``agg`` was referenced lazily twice).
     """
     ev = load_table(spark, sf_dir, "events")
     agg = (
@@ -399,6 +407,8 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    # one evaluation of the aggregation; 5 rows re-enter as a local table
+    agg = spark.createDataFrame(agg.collect(), agg.schema)
     ranks = (
         ev.select("event_type", "value")
         .join(F.broadcast(agg.select("event_type", "ap50", "ap95")), "event_type")

@@ -214,16 +214,24 @@ def write_partitioned_dataset(
       ``repartition`` would NOT give this, as one reducer can hold
       arbitrary (value, spread) combos).
     """
-    if sort_cols:
-        parted = df.repartitionByRange(
-            *partition_cols, *sort_cols
-        ).sortWithinPartitions(*partition_cols, *sort_cols)
-    else:
-        spread = df.sparkSession.sparkContext.defaultParallelism
-        parted = df.withColumn(
-            "__spread", F.abs(F.hash(*df.columns)) % spread
-        ).repartitionByRange(*partition_cols, "__spread").drop("__spread")
-    parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    # repartitionByRange runs a sampling job over the input to pick range
+    # boundaries, then the shuffle re-evaluates it — persist so an
+    # expensive upstream plan (the normal case: a full curation pipeline)
+    # is computed once, not twice
+    df = df.persist()
+    try:
+        if sort_cols:
+            parted = df.repartitionByRange(
+                *partition_cols, *sort_cols
+            ).sortWithinPartitions(*partition_cols, *sort_cols)
+        else:
+            spread = df.sparkSession.sparkContext.defaultParallelism
+            parted = df.withColumn(
+                "__spread", F.abs(F.hash(*df.columns)) % spread
+            ).repartitionByRange(*partition_cols, "__spread").drop("__spread")
+        parted.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        df.unpersist()
 
 def compact_dataset(
     spark,
@@ -255,13 +263,21 @@ def compact_dataset(
 
     df = spark.read.parquet(src_dir)
     if n_files is None:
-        total = sum(
+        sizes = [
             os.path.getsize(os.path.join(root, f))
             for root, _, names in os.walk(src_dir)
             for f in names
             if f.endswith(".parquet")
-        )
-        n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        ]
+        if not sizes:
+            # os.walk found nothing: non-local path (s3a://, hdfs://) or
+            # empty dir — silently defaulting to 1 file would funnel a
+            # multi-TB dataset through one task
+            raise ValueError(
+                f"cannot size {src_dir!r} locally (no .parquet files found); "
+                "pass n_files explicitly for non-local filesystems"
+            )
+        n_files = max(1, math.ceil(sum(sizes) / (target_file_mb * 1024 * 1024)))
     if sort_cols:
         out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(*sort_cols)
     else:

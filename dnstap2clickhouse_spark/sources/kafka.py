@@ -111,7 +111,12 @@ def _decode_auto(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
                 rows.append(row)
         if not rows:
             continue
-        out = pd.DataFrame(rows)
+        # reindex null-fills missing optional keys — same semantics as the
+        # bridge file path (pa.Table.from_pylist), so a record omitting
+        # e.g. 'props' degrades to NULL instead of killing the stream
+        out = pd.DataFrame(rows).reindex(
+            columns=["event_id", "ts_us", "user_id", "event_type", "value", "props"]
+        )
         out["ts"] = pd.to_datetime(out.pop("ts_us"), unit="us", utc=True)
         yield out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
 
@@ -168,5 +173,6 @@ def _decode_dnstap_values(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.Dat
                 rows.append(row)
         if not rows:
             continue
-        out = pd.DataFrame(rows)
-        yield out[_DNSTAP_COLS]
+        # reindex: null-fill missing optional fields (bridge file-path
+        # semantics) instead of KeyError-ing the stream
+        yield pd.DataFrame(rows).reindex(columns=_DNSTAP_COLS)

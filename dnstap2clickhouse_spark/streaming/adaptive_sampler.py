@@ -102,9 +102,11 @@ class AdaptiveSampler:
         ``sum(stateOperators[*].numRowsTotal) > state_rows_cap`` — actual
         observed state pressure, not a caller-supplied boolean. Sample
         count resolution order: explicit ``n_samples`` arg, then the
-        foreachBatch tap's single-count (``last_batch_rows``), then the
-        progress event's ``sink.numOutputRows`` (clamped at 0 because
-        foreachBatch sinks report -1).
+        foreachBatch tap's single-count (``last_batch_rows``, consumed
+        exactly once so an idle stream's empty progress events can't
+        re-observe a stale count), then the progress event's
+        ``sink.numOutputRows`` (clamped at 0 because foreachBatch sinks
+        report -1).
         """
         p = _progress_dict(progress)
         if p is None:
@@ -114,7 +116,7 @@ class AdaptiveSampler:
         )
         overflowed = self.state_rows_cap is not None and state_rows > self.state_rows_cap
         if n_samples is None:
-            n_samples = self.last_batch_rows
+            n_samples, self.last_batch_rows = self.last_batch_rows, None
         if n_samples is None:
             n_samples = max(0, int((p.get("sink") or {}).get("numOutputRows") or 0))
         self.observe(int(n_samples), overflowed)

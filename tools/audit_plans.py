@@ -98,7 +98,6 @@ def audit_plan(plan: str) -> list[str]:
     hazards: list[str] = []
     lines = plan.split("\n")
     for i, line in enumerate(lines):
-        head = line.strip(" :+-*(0123456789)")
         if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line:
             body = "\n".join(_subtree(lines, i))
             # bounded if ANY side is literal/reduced; a corpus x corpus
@@ -109,7 +108,6 @@ def audit_plan(plan: str) -> list[str]:
             body = "\n".join(_subtree(lines, i))
             if _scans_fact(body) and not _bounded(body) and "broadcast-of-fact" not in hazards:
                 hazards.append("broadcast-of-fact")
-        del head
     if re.search(r"\bBatchEvalPython\b", plan):
         hazards.append("python-row-udf")
     return hazards
@@ -124,13 +122,13 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("audit_plans")
         .config("spark.sql.shuffle.partitions", "8")
-        # model the 100 TB regime: size-triggered broadcasts don't exist
-        # there, so disable them — remaining broadcasts are code-forced
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # model the 100 TB regime: size-triggered broadcasts don't exist
+    # there, so disable them — remaining broadcasts are code-forced.
+    # Set post-hoc (runtime confs) so a pre-existing session in the same
+    # process is also covered, not just a freshly built one.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
@@ -152,7 +150,8 @@ def main() -> int:
             failures += 1
             print(f"FAIL  {name}: {', '.join(flagged)}")
         elif waived:
-            print(f"WAIVE {name}: {', '.join(waived)} ({WAIVED[(name, waived[0])]})")
+            reasons = "; ".join(f"{h}: {WAIVED[(name, h)]}" for h in waived)
+            print(f"WAIVE {name}: {reasons}")
         else:
             print(f"ok    {name}")
     print(f"\nhazard failures: {failures}")
