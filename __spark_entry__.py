@@ -186,6 +186,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_redelivery": stp.streaming_dedup_query,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
+        # new in round 4: GPT-style concat-and-chunk packing offsets via a
+        # distributed prefix sum (oracle: plain single-window cumsum)
+        "split_token_chunks": fsplit.pack_token_chunks,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -366,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "dns_streaming_agg": cq,
         "streaming_dedup_redelivery": stp.streaming_dedup_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
+        "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

@@ -167,3 +167,86 @@ FROM (SELECT doc_id, {_quality_expr()} AS quality,
 WHERE b < quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS}
 ORDER BY doc_id
 """
+
+# ------------------------------------------------------ sequence packing
+
+SEQ_LEN = 64  # tokens per training chunk (small so the test corpus spans many)
+
+def pack_token_chunks(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
+    """GPT-style sequence packing offsets: concatenate all documents in
+    doc_id order into one token stream, cut it into fixed ``seq_len``
+    chunks, and emit each document's placement — global start offset and
+    the [first, last] chunk ids it spans. This is the concat-and-chunk
+    packing used for pretraining shards; the offsets are what a shard
+    writer needs to route each doc's tokens.
+
+    The global running total is computed as a DISTRIBUTED PREFIX SUM —
+    the scale-correct form of a cumsum that a single unpartitioned
+    window (one task holding the corpus) cannot provide:
+
+    1. ``repartitionByRange(doc_id)`` gives ordered, disjoint partitions;
+    2. a window cumsum WITHIN each partition (parallel, partition-local);
+    3. per-partition totals (one tiny aggregate, O(partitions) rows)
+       are collected, prefix-summed on the driver, and broadcast back
+       as per-partition base offsets — one scalar join per partition.
+
+    Output is partitioning-independent: a document's global prefix does
+    not depend on where range boundaries land, only on the doc_id order.
+    The DuckDB oracle is the plain single-window cumsum — small scale
+    lets the oracle do what the engine must not.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
+    )
+    parts = docs.repartitionByRange("doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy("doc_id")
+    local = parts.withColumn(
+        "__local_end", F.sum("n_tokens").over(w)
+    )
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in local.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
+    )
+    base, offsets = 0, {}
+    for pid, t in totals:
+        offsets[pid] = base
+        base += t
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid INT, __base BIGINT"
+        )
+    )
+    return (
+        local.join(off_df, "__pid")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "__base + __local_end - n_tokens AS start_tok",
+            f"(__base + __local_end - n_tokens) div {seq_len} AS start_chunk",
+            # empty docs occupy no chunk span: pin end = start
+            f"CASE WHEN n_tokens > 0 THEN (__base + __local_end - 1) div {seq_len} "
+            f"ELSE (__base + __local_end - n_tokens) div {seq_len} END AS end_chunk",
+        )
+        .orderBy("doc_id")
+    )
+
+def pack_token_chunks_sql(seq_len: int = SEQ_LEN) -> str:
+    """Oracle: the plain global-window cumsum (fine at oracle scale)."""
+    return f"""
+SELECT doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_tok,
+       CAST((cum - n_tokens) // {seq_len} AS BIGINT) AS start_chunk,
+       CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // {seq_len}
+            ELSE (cum - n_tokens) // {seq_len} END AS BIGINT) AS end_chunk
+FROM (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents))
+ORDER BY doc_id
+"""

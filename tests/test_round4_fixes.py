@@ -532,6 +532,32 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# ------------------------------------------------- sequence packing
+
+def test_pack_token_chunks_invariants(spark):
+    """Packing offsets must be contiguous (each doc starts where the
+    previous ended), chunk spans consistent with seq_len, and identical
+    under different shuffle-partition settings (the distributed prefix
+    sum is partitioning-independent)."""
+    from dnstap2clickhouse_spark.functions import splits as fs
+
+    rows = fs.pack_token_chunks(spark, SF).collect()
+    expect_start = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.start_tok == expect_start
+        expect_start += r.n_tokens
+        assert r.start_chunk == r.start_tok // fs.SEQ_LEN
+        if r.n_tokens > 0:
+            assert r.end_chunk == (r.start_tok + r.n_tokens - 1) // fs.SEQ_LEN
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows3 = fs.pack_token_chunks(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(map(tuple, rows3)) == sorted(map(tuple, rows))
+
 # ---------------------------------------------------------- compaction
 
 def test_compact_dataset_merges_small_files(spark, tmp_path):
