@@ -189,6 +189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
         # distributed prefix sum (oracle: plain single-window cumsum)
         "split_token_chunks": fsplit.pack_token_chunks,
+        # new in round 4: arriving-batch dedup vs the existing corpus
+        # (one-sided banded LSH probe + exact-Jaccard verify)
+        "dedup_incremental_ingest": fdedup.incremental_ingest,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -370,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_redelivery": stp.streaming_dedup_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
+        "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

@@ -537,3 +537,75 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_pairs_sql() -> str:
     return _simhash_pairs_sql("duckdb")
+
+# -------------------------------------------------- incremental ingest
+
+#: the "arriving batch" in the incremental demo: one source partition
+#: (a crawl snapshot / date partition in production)
+INGEST_SOURCE = "src19"
+
+def _incremental_ingest_sql(dialect: str) -> str:
+    """Dedup an ARRIVING batch against the EXISTING corpus — the
+    production incremental-ingest shape (one-shot corpus dedup answers
+    "what do I keep"; ingest answers "is this new doc already there").
+
+    Candidate generation is the same banded MinHash join as
+    ``minhash_lsh_pairs`` but ONE-SIDED: new-batch band rows probe
+    existing-corpus band rows, so candidate count is O(new-batch
+    near-dups) and the existing corpus is never self-joined. Exact
+    Jaccard verifies candidates (two doc_id fetch-joins, as in
+    ``_lsh_verified_sql``); each new doc reports its best existing match
+    and an admit/reject flag.
+
+    At 100 TB the corpus band table is the persisted LSH index (bucketed
+    on (band, sig)); a daily batch probes it with one co-bucketed join —
+    this query is exactly that plan at test scale.
+    """
+    pairs = _lsh_pairs_sql(dialect)
+    # reuse the banded CTE bodies, re-sided: swap the self-join tail for a
+    # new-vs-existing join (string surgery on the shared prefix keeps the
+    # band/signature construction literally identical to the audited path)
+    prefix = pairs[: pairs.index("SELECT DISTINCT")].rstrip() + ","
+    sh = _shingle_arrays(dialect)
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    new_pred = f"source = '{INGEST_SOURCE}'"
+    old_pred = f"source <> '{INGEST_SOURCE}'"
+    return f"""{prefix}
+split AS (SELECT doc_id, {new_pred} AS is_new FROM documents),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS corpus_id
+  FROM bands n JOIN split sn ON n.doc_id = sn.doc_id AND sn.is_new
+  JOIN bands o ON n.band = o.band AND n.sig = o.sig
+  JOIN split so ON o.doc_id = so.doc_id AND NOT so.is_new),
+sh2 AS ({sh}),
+scored AS (
+  SELECT c.new_id, c.corpus_id,
+         CAST({size}({inter}(a.sh, b.sh)) AS DOUBLE)
+           / ({size}(a.sh) + {size}(b.sh) - {size}({inter}(a.sh, b.sh))) AS jaccard
+  FROM cand c
+  JOIN sh2 a ON c.new_id = a.doc_id
+  JOIN sh2 b ON c.corpus_id = b.doc_id),
+best AS (
+  SELECT new_id,
+         max(jaccard) AS best_jaccard,
+         min(corpus_id) AS a_match
+  FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+  GROUP BY new_id)
+SELECT d.doc_id,
+       coalesce(b.best_jaccard, CAST(0 AS DOUBLE)) AS best_jaccard,
+       coalesce(b.a_match, CAST(-1 AS BIGINT)) AS matched_corpus_id,
+       b.new_id IS NULL AS admit
+FROM (SELECT doc_id FROM documents WHERE {new_pred}) d
+LEFT JOIN best b ON d.doc_id = b.new_id
+ORDER BY d.doc_id
+"""
+
+def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admit/reject decisions for an arriving batch vs the existing
+    corpus (banded LSH probe + exact-Jaccard verification)."""
+    _register(spark, sf_dir)
+    return spark.sql(_incremental_ingest_sql("spark"))
+
+def incremental_ingest_sql() -> str:
+    return _incremental_ingest_sql("duckdb")

@@ -532,6 +532,33 @@ def test_dup_span_fraction_known_graph(spark):
     finally:
         load_table(spark, SF, "documents").createOrReplaceTempView("documents")
 
+# --------------------------------------------------- incremental ingest
+
+def test_incremental_ingest_decisions_consistent_with_verified_pairs(spark):
+    """Every rejected new doc must have a verified near-dup partner in
+    the existing corpus (consistency with the two-sided ground truth),
+    and every admitted one must have none."""
+    from dnstap2clickhouse_spark.functions import dedup
+
+    rows = {r.doc_id: r for r in dedup.incremental_ingest(spark, SF).collect()}
+    assert rows, "ingest batch must be non-empty"
+    # ground truth: full verified pair list, filtered to new-vs-old pairs
+    pairs = dedup.lsh_verified_pairs(spark, SF).collect()
+    new_ids = set(rows)
+    partners: dict[int, set] = {}
+    for p in pairs:
+        for a, b in ((p.doc_a, p.doc_b), (p.doc_b, p.doc_a)):
+            if a in new_ids and b not in new_ids:
+                partners.setdefault(a, set()).add(b)
+    for doc_id, r in rows.items():
+        if r.admit:
+            assert doc_id not in partners, (doc_id, partners.get(doc_id))
+            assert r.matched_corpus_id == -1 and r.best_jaccard == 0.0
+        else:
+            assert doc_id in partners
+            assert r.matched_corpus_id in partners[doc_id]
+            assert r.best_jaccard >= dedup.JACCARD_THRESHOLD
+
 # ------------------------------------------------- sequence packing
 
 def test_pack_token_chunks_invariants(spark):
