@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
+        # new in round 4: weekly cohort retention matrix
+        "events_cohort_retention": evan.cohort_retention,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -374,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
+        "events_cohort_retention": evan.cohort_retention_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

@@ -512,3 +512,46 @@ SELECT 'clicked_never_purchased', count(*) FROM (
   SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
 ORDER BY cohort
 """
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic product-analytics
+    self-join: users bucketed by first-seen week (their cohort), then
+    counted as retained for every later week they appear in.
+
+    Scale shape: distinct (user, week) activity — one shuffle on
+    user_id (the cohort min folds into the same aggregate); the
+    cohort-to-activity join is keyed on user_id (co-partitioned with the
+    aggregate above it, exchange reused); the final matrix groupBy is
+    O(weeks²) rows. No corpus-sized broadcast, no cross join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.selectExpr("user_id", "date_trunc('week', ts) AS week")
+        .distinct()
+    )
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .selectExpr(
+            "cohort_week",
+            "CAST((unix_timestamp(week) - unix_timestamp(cohort_week)) div 604800 AS BIGINT) AS week_offset",
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+def cohort_retention_sql() -> str:
+    return """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id)
+SELECT c.cohort_week,
+       CAST((epoch(w.week) - epoch(c.cohort_week)) // 604800 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY c.cohort_week, week_offset
+"""
