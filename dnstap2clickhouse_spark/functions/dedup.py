@@ -540,9 +540,13 @@ def simhash_pairs_sql() -> str:
 
 # -------------------------------------------------- incremental ingest
 
-#: the "arriving batch" in the incremental demo: one source partition
-#: (a crawl snapshot / date partition in production)
-INGEST_SOURCE = "src19"
+#: the "arriving batch" in the incremental demo: one source partition (a
+#: crawl snapshot / date partition in production), picked IN-QUERY as the
+#: lexicographic max source so the entry survives test-corpus
+#: regenerations that change the source count — a hardcoded name would
+#: silently degrade to a 0-row batch (both dialects fold the same scalar
+#: subquery, so the oracle stays exact)
+INGEST_SOURCE_SQL = "(SELECT max(source) FROM documents)"
 
 def _incremental_ingest_sql(dialect: str) -> str:
     """Dedup an ARRIVING batch against the EXISTING corpus — the
@@ -569,8 +573,7 @@ def _incremental_ingest_sql(dialect: str) -> str:
     sh = _shingle_arrays(dialect)
     size = "size" if dialect == "spark" else "len"
     inter = "array_intersect" if dialect == "spark" else "list_intersect"
-    new_pred = f"source = '{INGEST_SOURCE}'"
-    old_pred = f"source <> '{INGEST_SOURCE}'"
+    new_pred = f"source = {INGEST_SOURCE_SQL}"
     return f"""{prefix}
 split AS (SELECT doc_id, {new_pred} AS is_new FROM documents),
 cand AS (

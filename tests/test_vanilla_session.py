@@ -86,6 +86,12 @@ def test_queries_on_bare_session_subprocess():
         "dedup_minhash_lsh",
         "sim_cosine_topk",
         "mm_media_features",
+        # round-4 families: streaming contract entry, PII gate,
+        # incremental ingest, sequence packing
+        "dns_streaming_agg",
+        "text_pii_scrub",
+        "dedup_incremental_ingest",
+        "split_token_chunks",
     ]
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), SF_SMOKE, *sample],
