@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_ingest": fdedup.incremental_ingest,
         # new in round 4: weekly cohort retention matrix
         "events_cohort_retention": evan.cohort_retention,
+        # new in round 4: Q20-analogue correlated-agg-threshold semi-join
+        "tpch_dominant_suppliers": tpch.dominant_suppliers,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -377,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
+        "tpch_dominant_suppliers": tpch.dominant_suppliers_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

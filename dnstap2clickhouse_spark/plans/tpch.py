@@ -444,3 +444,56 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_supplier_sql() -> str:
     return _top_supplier_sql()
+
+#: dominance = supplier's shipped share of a part exceeds this multiple
+#: of the part's fair share (1 / its supplier count) — scale-robust where
+#: a fixed share threshold is not (more suppliers per part at larger SF
+#: dilutes every absolute share toward zero)
+DOMINANCE_FACTOR = 4
+
+def _dominant_suppliers_sql() -> str:
+    """Q20-analogue: the correlated-aggregate-threshold decorrelation
+    shape — suppliers whose shipped quantity of some part exceeds
+    ``DOMINANCE_FACTOR`` times that part's fair share (the reference
+    dataset has no partsupp table, so Q20's availqty predicate becomes a
+    shipped-share predicate over lineitem).
+
+    The inner correlated aggregates (per-part total + supplier count)
+    decorrelate into a join of two aggregates over the same fact table —
+    at 100 TB both aggregates shuffle once on their grouping key and the
+    threshold compare is a co-keyed join on l_partkey, with the supplier
+    semi-join at the top. The dominance compare is exact-integer
+    (quantities scaled e2, counts integral): ``n_supp * sq > F * tq`` —
+    no float thresholds, bit-identical across engines.
+
+    Identical ANSI text runs on DuckDB — the oracle is the same string.
+    """
+    qty_e2 = "CAST(round(l_quantity * 100) AS BIGINT)"
+    return f"""
+WITH per AS (
+  SELECT l_suppkey, l_partkey, CAST(sum({qty_e2}) AS BIGINT) AS sq_e2
+  FROM lineitem GROUP BY l_suppkey, l_partkey),
+tot AS (
+  SELECT l_partkey,
+         CAST(sum({qty_e2}) AS BIGINT) AS tq_e2,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+  FROM lineitem GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT per.l_suppkey
+  FROM per JOIN tot ON per.l_partkey = tot.l_partkey
+  WHERE tot.n_supp * per.sq_e2 > {DOMINANCE_FACTOR} * tot.tq_e2)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping a majority share of any part (Q20 analogue)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_dominant_suppliers_sql())
+
+def dominant_suppliers_sql() -> str:
+    return _dominant_suppliers_sql()
