@@ -194,8 +194,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_ingest": fdedup.incremental_ingest,
         # new in round 4: weekly cohort retention matrix
         "events_cohort_retention": evan.cohort_retention,
+        # new in round 4 (batch 2): typed JSON extraction from the props
+        # payload (from_json — the JVM semi-structured path) and
+        # per-user inter-arrival gap profile (lag window + 5-key agg)
+        "events_json_props": evan.json_props_stats,
+        "events_interarrival": evan.interarrival_stats,
         # new in round 4: Q20-analogue correlated-agg-threshold semi-join
         "tpch_dominant_suppliers": tpch.dominant_suppliers,
+        # new in round 4 (batch 2): the remaining classic join/predicate
+        # shapes — conditional-agg ratio (Q14), OR-of-conjunctions
+        # predicate (Q19), self-normalizing fraction-of-total HAVING
+        # (Q11), IN-over-grouped-HAVING (Q18), and scalar-avg subquery +
+        # NOT EXISTS cohorts (Q22)
+        "tpch_promo_revenue": tpch.promo_revenue,
+        "tpch_disjunctive_revenue": tpch.disjunctive_revenue,
+        "tpch_important_parts": tpch.important_parts,
+        "tpch_large_volume_customers": tpch.large_volume_customers,
+        "tpch_sales_opportunity": tpch.sales_opportunity,
         # new in round 3: Q13/Q15-analogue join shapes (outer join with
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
@@ -379,7 +394,14 @@ def oracle_sql() -> dict[str, str]:
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
+        "events_json_props": evan.json_props_stats_sql(),
+        "events_interarrival": evan.interarrival_stats_sql(),
         "tpch_dominant_suppliers": tpch.dominant_suppliers_sql(),
+        "tpch_promo_revenue": tpch.promo_revenue_sql(),
+        "tpch_disjunctive_revenue": tpch.disjunctive_revenue_sql(),
+        "tpch_important_parts": tpch.important_parts_sql(),
+        "tpch_large_volume_customers": tpch.large_volume_customers_sql(),
+        "tpch_sales_opportunity": tpch.sales_opportunity_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),

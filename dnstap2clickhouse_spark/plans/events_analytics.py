@@ -555,3 +555,95 @@ FROM weekly w JOIN cohort c ON w.user_id = c.user_id
 GROUP BY c.cohort_week, week_offset
 ORDER BY c.cohort_week, week_offset
 """
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON extraction: parse the ``props`` payload with
+    a TYPED ``from_json`` schema (the JVM scale path — no Python in the
+    loop, the parse inlines into whole-stage codegen) and aggregate the
+    extracted field per event type.
+
+    ``from_json`` yields NULL for missing/corrupt payloads, so the
+    aggregate is robust to dirty data; the oracle mirrors that with a
+    ``json_valid`` guard. ``avg_k`` is one division of two exact integer
+    aggregates — deterministic across engines. At scale this is a single
+    map-side-partial aggregate over a 5-key domain: no data moves beyond
+    the final combine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "struct<k:bigint>").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            (F.sum("k") / F.count("k")).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+def json_props_stats_sql() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) / CAST(count(k) AS DOUBLE) AS avg_k
+FROM (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps (lag over event time), aggregated per
+    event type of the LATER event — the think-time / burstiness profile.
+
+    One shuffle (partition by user for the lag window), then a 5-key
+    aggregate with map-side partials. Gaps are exact integer
+    microseconds (``unix_micros`` difference), so sum/min/max and the
+    single avg division are bit-identical across engines. The window
+    tiebreak is (ts, event_id) — total order, partitioning-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", F.unix_micros("ts") - F.unix_micros("prev_ts"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("total_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            (F.sum("gap_us") / F.count(F.lit(1))).alias("avg_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+def interarrival_stats_sql() -> str:
+    return """
+SELECT event_type,
+       count(*) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_gap_us
+FROM (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

@@ -497,3 +497,210 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dominant_suppliers_sql() -> str:
     return _dominant_suppliers_sql()
+
+# ------------------------------------- Q14/Q19: conditional + disjunctive
+
+PROMO_MONTH = ("1996-03-01", "1996-04-01")
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: promotion revenue share for one ship month.
+
+    Conditional aggregation over a broadcast part join — the month filter
+    is pushed into the lineitem scan, part broadcasts, and the whole query
+    is one map-side-partial aggregate with NO shuffle of the fact beyond
+    the final 1-row combine. The percentage is a single division of two
+    exact scaled-int sums, so the double is bit-identical across engines.
+    """
+    lo, hi = PROMO_MONTH
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.expr(_DISC_E4)).otherwise(F.lit(0))
+            ).alias("promo_e4"),
+            F.sum(F.expr(_DISC_E4)).alias("total_e4"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_e4") / F.col("total_e4")).alias("promo_pct"),
+            (F.col("promo_e4") / F.lit(10000.0)).alias("promo_revenue"),
+            (F.col("total_e4") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+def promo_revenue_sql() -> str:
+    lo, hi = PROMO_MONTH
+    return f"""
+SELECT 100.0 * promo_e4 / total_e4 AS promo_pct,
+       CAST(promo_e4 AS BIGINT) / CAST(10000 AS DOUBLE) AS promo_revenue,
+       CAST(total_e4 AS BIGINT) / CAST(10000 AS DOUBLE) AS total_revenue
+FROM (
+  SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_E4} ELSE 0 END) AS BIGINT) AS promo_e4,
+         CAST(sum({_DISC_E4}) AS BIGINT) AS total_e4
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{lo}' AND l_shipdate < TIMESTAMP '{hi}')
+"""
+
+#: Q19's three (brand, size-band, quantity-band) conjunctive clauses,
+#: adapted to the synthetic part columns (no container attribute)
+DISJUNCTIVE_CLAUSES = (
+    ("Brand#12", (1, 15), (1, 11)),
+    ("Brand#23", (1, 25), (10, 20)),
+    ("Brand#34", (1, 35), (20, 30)),
+)
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: OR-of-conjunctions predicate over a part join.
+
+    The interesting plan property: Catalyst factors the common
+    brand/size/quantity column set, pushes the disjunction below the join
+    where possible (each side's clause columns prune to the scan), and the
+    join itself stays a broadcast hash join on p_partkey with the residual
+    OR evaluated post-probe. No shuffle of lineitem at any scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pred = None
+    for brand, (s_lo, s_hi), (q_lo, q_hi) in DISJUNCTIVE_CLAUSES:
+        clause = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        pred = clause if pred is None else (pred | clause)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(pred)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(F.expr(_DISC_E4)) / F.lit(10000.0)).alias("revenue"),
+        )
+    )
+
+def disjunctive_revenue_sql() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+        f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, (slo, shi), (qlo, qhi) in DISJUNCTIVE_CLAUSES
+    )
+    return f"""
+SELECT count(*) AS n_lines,
+       CAST(sum({_DISC_E4}) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""
+
+# ------------------------- Q11/Q18/Q22: scalar-subquery threshold shapes
+
+STOCK_NATION = 3
+STOCK_FACTOR = 2  # "important" = part value > 2x the average part value
+
+def _important_parts_sql() -> str:
+    """Q11 analogue (no partsupp table): per-part shipped value from one
+    nation's suppliers, kept where the value exceeds ``STOCK_FACTOR``
+    times the average part value — Q11's fraction-of-total HAVING with a
+    self-normalizing threshold (robust to scale factor, like Q20's fair
+    share). The compare is exact-integer: ``n_parts * v > F * total``.
+
+    Scale shape: one lineitem⋈supplier broadcast join, one groupBy on
+    l_partkey, and the 1-row total both decorrelate into a broadcast —
+    the fact table shuffles once on the part key."""
+    return f"""
+WITH val AS (
+  SELECT l_partkey, CAST(sum({_DISC_E4}) AS BIGINT) AS v_e4
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = {STOCK_NATION}
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(v_e4 AS BIGINT) / CAST(10000 AS DOUBLE) AS part_value
+FROM val
+WHERE (SELECT count(*) FROM val) * v_e4 >
+      {STOCK_FACTOR} * (SELECT CAST(sum(v_e4) AS BIGINT) FROM val)
+ORDER BY v_e4 DESC, l_partkey
+"""
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-value parts per supplier nation (Q11 analogue)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier"))
+    return spark.sql(_important_parts_sql())
+
+def important_parts_sql() -> str:
+    return _important_parts_sql()
+
+LARGE_QTY_THRESHOLD = 250
+
+def _large_volume_customers_sql() -> str:
+    """Q18 analogue: orders whose total quantity tops the threshold,
+    joined back to customer — the IN-over-grouped-HAVING decorrelation.
+    Catalyst turns the IN into a semi-join against the aggregate; at
+    scale that is one lineitem shuffle on the order key (map-side
+    partials), then two key-co-located joins. Quantities are integral
+    doubles, so the e2-scaled HAVING compare is exact."""
+    qty_e2 = "CAST(round(l_quantity * 100) AS BIGINT)"
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum({qty_e2}) AS BIGINT) AS qty_e2
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING CAST(sum({qty_e2}) AS BIGINT) > {LARGE_QTY_THRESHOLD} * 100)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(qty_e2 AS BIGINT) / CAST(100 AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers behind the largest-quantity orders (Q18 analogue)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders", "customer"))
+    return spark.sql(_large_volume_customers_sql())
+
+def large_volume_customers_sql() -> str:
+    return _large_volume_customers_sql()
+
+IDLE_PRIORITY = "1-URGENT"
+N_CODE_BUCKETS = 7
+
+def _sales_opportunity_sql() -> str:
+    """Q22 analogue: above-average-balance customers with no urgent
+    order, bucketed by a derived customer code (the synthetic schema has
+    no phone column, so the country-code substring becomes a modulo
+    bucket). Exercises BOTH Q22 shapes at once: a scalar aggregate
+    subquery feeding an inequality (decorrelated to a broadcast 1-row
+    cross input) and a NOT EXISTS anti-join against orders. The
+    above-average compare cross-multiplies exact ints (``n * bal_e2 >
+    sum_e2``) — no float average anywhere."""
+    bal_e2 = "CAST(round(c_acctbal * 100) AS BIGINT)"
+    return f"""
+SELECT CAST(c_custkey % {N_CODE_BUCKETS} AS BIGINT) AS code_bucket,
+       count(*) AS n_cust,
+       CAST(sum({bal_e2}) AS BIGINT) AS total_bal_e2
+FROM customer c
+WHERE (SELECT count(*) FROM customer WHERE c_acctbal > 0.0) * {bal_e2} >
+      (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{IDLE_PRIORITY}')
+GROUP BY code_bucket
+ORDER BY code_bucket
+"""
+
+def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle high-balance customer cohorts (Q22 analogue)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_sales_opportunity_sql())
+
+def sales_opportunity_sql() -> str:
+    return _sales_opportunity_sql()
