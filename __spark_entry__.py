@@ -28,6 +28,7 @@ from dnstap2clickhouse_spark.operators import dns_pipeline as dp
 from dnstap2clickhouse_spark.operators import analytics as an
 from dnstap2clickhouse_spark.operators import prep
 from dnstap2clickhouse_spark.plans import tpch, events_analytics as evan
+from dnstap2clickhouse_spark.plans import graph as pgraph
 from dnstap2clickhouse_spark.plans import curation as pcur
 from dnstap2clickhouse_spark.functions import text as ftext
 from dnstap2clickhouse_spark.functions import dedup as fdedup
@@ -166,6 +167,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # residue) and the RefinedWeb-style duplicated-span fraction
         "text_pii_scrub": ftext.pii_scrub,
         "text_dup_span_fraction": ftext.dup_span_fraction,
+        # new in round 4 (batch 2): the span-dedup REWRITE (C4-style) —
+        # duplicated word segments keep only their first global
+        # occurrence; cleaned text reassembled per document
+        "text_segment_dedup": ftext.segment_dedup,
         # new in round 3: int8 storage quantization for the ANN scan path
         # and deterministic quality-weighted corpus resampling
         "sim_quantize_int8": fsim.quantize_int8,
@@ -199,6 +204,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user inter-arrival gap profile (lag window + 5-key agg)
         "events_json_props": evan.json_props_stats,
         "events_interarrival": evan.interarrival_stats,
+        # new in round 4 (batch 3): native CUBE grouping sets, exact
+        # integer-binned histogram, cross-multiplied z-score outliers,
+        # and deterministic integer PageRank (iterative graph analytics)
+        "tpch_cube_summary": tpch.cube_summary,
+        "events_value_histogram": evan.value_histogram,
+        "events_anomaly_zscore": evan.anomaly_zscore,
+        "graph_pagerank": pgraph.pagerank_top,
         # new in round 4: Q20-analogue correlated-agg-threshold semi-join
         "tpch_dominant_suppliers": tpch.dominant_suppliers,
         # new in round 4 (batch 2): the remaining classic join/predicate
@@ -288,6 +300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_recall": fsim.ann_recall,
         # new in round 4: the IVF path gets the same in-engine quality metric
         "sim_ivf_recall": fsim.ivf_recall,
+        # new in round 4 (batch 2): iterative ML on the engine — two
+        # unrolled Lloyd iterations with exact-integer centroid state
+        "sim_kmeans": fsim.kmeans_assign,
         # ---- tail (below the 50-entry window this round; freshest green
         # ---- rows, untouched code; rotate forward next round) ----
         "dedup_exact": fdedup.exact_dedup,
@@ -383,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         "text_decontaminate": ftext.decontaminate_sql(),
         "text_pii_scrub": ftext.pii_scrub_sql(),
         "text_dup_span_fraction": ftext.dup_span_fraction_sql(),
+        "text_segment_dedup": ftext.segment_dedup_sql(),
         "sim_quantize_int8": fsim.quantize_int8_sql(),
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
@@ -396,6 +412,10 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),
         "events_interarrival": evan.interarrival_stats_sql(),
+        "tpch_cube_summary": tpch.cube_summary_sql(),
+        "events_value_histogram": evan.value_histogram_sql(),
+        "events_anomaly_zscore": evan.anomaly_zscore_sql(),
+        "graph_pagerank": pgraph.pagerank_top_sql(),
         "tpch_dominant_suppliers": tpch.dominant_suppliers_sql(),
         "tpch_promo_revenue": tpch.promo_revenue_sql(),
         "tpch_disjunctive_revenue": tpch.disjunctive_revenue_sql(),
@@ -416,5 +436,6 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": ftext.repetition_filter_sql(),
         "sim_ann_recall": fsim.ann_recall_sql(),
         "sim_ivf_recall": fsim.ivf_recall_sql(),
+        "sim_kmeans": fsim.kmeans_assign_sql(),
         "sim_pandas_recall": fsim.pandas_recall_sql(),
     }

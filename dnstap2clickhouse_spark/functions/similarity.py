@@ -503,3 +503,91 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_recall_sql() -> str:
     return _ivf_recall_sql("duckdb")
+
+# ------------------------------------------------------- k-means (Lloyd)
+
+KMEANS_K = 4  # seeds = vec_id 0..3 (deterministic init, no global sort)
+KMEANS_DIMS = 64
+_E9 = 1_000_000_000
+
+def _kmeans_sql(dialect: str) -> str:
+    """Two unrolled Lloyd iterations of k-means, bit-deterministic.
+
+    The iterative-ML pattern on the engine: centroids live as EXACT
+    per-dimension integer sums ``(sv, n)`` (embeddings quantized once at
+    e9, the `_centroid_sql` idiom), so the update step is order-free.
+    The assignment distance is computed per (vector, centroid) as a
+    fixed-order left fold over dims of ``(q*n - s)^2`` doubles, then one
+    division by ``n^2`` — every FP op has a fixed operand order, so both
+    engines produce identical doubles and identical argmins (ties break
+    to the lowest cluster id via exact equality with the per-vector min).
+
+    Scale shape per iteration: the centroid table is K rows — a
+    broadcast nested loop against the corpus scan (bounded build side),
+    then one (cluster, dim)-keyed shuffle for the update sums. Nothing
+    corpus-sized ever broadcasts or sorts globally; at 100 TB you run
+    the same two CTE shapes in a driver loop with the centroid table
+    checkpointed between rounds.
+    """
+    k, nd, e9 = KMEANS_K, KMEANS_DIMS, _E9
+    if dialect == "spark":
+        qarr = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
+        dist = (
+            f"aggregate(zip_with(q.qv, c.sv, (a, b) -> "
+            f"CAST(a * c.n - b AS DOUBLE) * CAST(a * c.n - b AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
+        )
+        series = f"explode(sequence(1, {nd}))"
+        elem = "element_at(qv, CAST(dim AS INT))"
+        collect = "transform(sort_array(collect_list(struct(dim, s))), x -> x.s)"
+        hint = "/*+ BROADCAST(c) */ "
+    else:
+        qarr = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
+        dist = (
+            f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
+            f"CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE) * CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
+        )
+        series = f"unnest(generate_series(1, {nd}))"
+        elem = "qv[CAST(dim AS INT)]"
+        collect = "list(s ORDER BY dim)"
+        hint = ""
+
+    def assign(cent: str) -> str:
+        return f"""
+  SELECT vec_id, CAST(min(cluster) FILTER (WHERE d = md) AS BIGINT) AS cluster
+  FROM (
+    SELECT vec_id, cluster, d, min(d) OVER (PARTITION BY vec_id) AS md
+    FROM (
+      SELECT {hint}q.vec_id, c.cluster, {dist} AS d
+      FROM q CROSS JOIN {cent} c))
+  GROUP BY vec_id"""
+
+    def update(assigned: str) -> str:
+        return f"""
+  SELECT cluster, {collect} AS sv, CAST(min(n) AS BIGINT) AS n
+  FROM (
+    SELECT cluster, CAST(dim AS BIGINT) AS dim,
+           CAST(sum({elem}) AS BIGINT) AS s, count(*) AS n
+    FROM (SELECT q.qv, a.cluster, {series} AS dim
+          FROM q JOIN {assigned} a ON a.vec_id = q.vec_id)
+    GROUP BY cluster, dim)
+  GROUP BY cluster"""
+
+    return f"""
+WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, qv AS sv, CAST(1 AS BIGINT) AS n
+       FROM q WHERE vec_id < {k} LIMIT {k}),
+a1 AS ({assign("c0")}),
+c1 AS ({update("a1")}),
+a2 AS ({assign("c1")})
+SELECT vec_id, cluster FROM a2 ORDER BY vec_id
+"""
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment after two Lloyd iterations (k=KMEANS_K)."""
+    _register(spark, sf_dir)
+    return spark.sql(_kmeans_sql("spark"))
+
+def kmeans_assign_sql() -> str:
+    return _kmeans_sql("duckdb")

@@ -446,3 +446,70 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dup_span_fraction_sql() -> str:
     return _dup_span_sql("duckdb")
+
+SEGMENT_WORDS = 10  # C4 dedups ~3-sentence spans; word windows here
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span REMOVAL (the rewrite, where
+    ``dup_span_fraction`` only measures): each document splits into
+    consecutive ``SEGMENT_WORDS``-word segments, every duplicated segment
+    keeps only its globally-first occurrence (ordered by doc_id, pos),
+    and the surviving segments reassemble into the cleaned text.
+
+    Scale shape: two equi-shuffles — one on the segment string for the
+    first-occurrence rank (row_number over the segment partition; at
+    100 TB hash the segment first to keep exchange rows narrow), one on
+    doc_id for reassembly. The reassembly sort is per-document
+    (array_sort over that doc's kept segments), never global. Reference
+    scope: corpus rewrite ops sit beyond dnstap2clickhouse (README.md:1);
+    semantics follow the public C4 paper's span dedup.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    n = SEGMENT_WORDS
+    docs = load_table(spark, sf_dir, "documents")
+    seglist = (
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {n}.0) AS INT) - 1), "
+        f"i -> struct(i AS pos, array_join(slice(split(text, ' '), i * {n} + 1, {n}), ' ') AS seg))"
+    )
+    segs = docs.select("doc_id", F.explode(F.expr(seglist)).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg")
+    )
+    rn = F.row_number().over(W.partitionBy("seg").orderBy("doc_id", "pos"))
+    return (
+        segs.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN struct(pos, seg) END)), x -> x.seg)"
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+def segment_dedup_sql() -> str:
+    n = SEGMENT_WORDS
+    return f"""
+WITH segs AS (
+  SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, CAST(ceil(len(string_split(text, ' ')) / {n}.0) AS INT)),
+                  i -> {{'pos': i, 'seg': array_to_string(list_slice(string_split(text, ' '), i * {n} + 1, i * {n} + {n}), ' ')}})) AS s
+    FROM documents)),
+kept AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs)
+SELECT doc_id,
+       count(*) AS n_segments,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

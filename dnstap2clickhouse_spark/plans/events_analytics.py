@@ -647,3 +647,73 @@ FROM (
 WHERE gap_us IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+HIST_BUCKET_E2 = 5000  # $50-wide value buckets (cents-scaled)
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type. The bucket id is an
+    exact integer division of the cents-scaled value — no float binning
+    drift — and the aggregate is a tiny-domain groupBy with map-side
+    partials (the classic distributed histogram: nothing but the
+    per-bucket counts ever crosses the wire)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.expr(
+        f"CAST(CAST(round(value * 100) AS BIGINT) div {HIST_BUCKET_E2} AS BIGINT)"
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+def value_histogram_sql() -> str:
+    return f"""
+SELECT event_type,
+       CAST(CAST(round(value * 100) AS BIGINT) // {HIST_BUCKET_E2} AS BIGINT) AS bucket,
+       count(*) AS n
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+ZSCORE_Z2 = 4.0  # flag |z| > 2 (z^2 > 4)
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier counts WITHOUT a float mean/variance:
+    the compare ``(x - mean)^2 > Z2 * var`` cross-multiplies to
+    ``(x*n - s1)^2 > Z2 * (n*s2 - s1^2)`` over exact cents-scaled
+    integer sums (s1, s2), evaluated in fixed-operand-order doubles —
+    bit-identical across engines, no accumulation-order dependence.
+
+    Scale shape: two passes over events (stats, then flag), both keyed
+    on the 5-value event_type domain — the stats side decorrelates to a
+    broadcast. At 100 TB the flag pass is a scan + broadcast probe.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_anomaly_zscore_sql())
+
+def _anomaly_zscore_sql() -> str:
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS ve2 FROM events),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(ve2) AS BIGINT) AS s1,
+         CAST(sum(ve2 * ve2) AS BIGINT) AS s2
+  FROM v GROUP BY event_type)
+SELECT v.event_type,
+       count(*) AS n_events,
+       CAST(count(*) FILTER (WHERE
+         CAST(v.ve2 * st.n - st.s1 AS DOUBLE) * CAST(v.ve2 * st.n - st.s1 AS DOUBLE) >
+         {ZSCORE_Z2} * (CAST(st.n AS DOUBLE) * CAST(st.s2 AS DOUBLE)
+                        - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE))
+       ) AS BIGINT) AS n_outliers
+FROM v JOIN stats st ON st.event_type = v.event_type
+GROUP BY v.event_type
+ORDER BY v.event_type
+"""
+
+def anomaly_zscore_sql() -> str:
+    return _anomaly_zscore_sql()

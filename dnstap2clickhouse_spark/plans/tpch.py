@@ -704,3 +704,40 @@ def sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sales_opportunity_sql() -> str:
     return _sales_opportunity_sql()
+
+def cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CUBE aggregation: all four grouping-set combinations of
+    (returnflag, linestatus) in ONE pass with map-side partials (the
+    expand-based form of operators/grouping_sets.py, run by the engine
+    itself), with ``grouping_id`` disambiguating the rollup levels.
+    Rolled-up keys render as ``__ALL__`` (never NULL) so the output is
+    canonicalizer-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+def cube_summary_sql() -> str:
+    return """
+SELECT coalesce(l_returnflag, '__ALL__') AS returnflag,
+       coalesce(l_linestatus, '__ALL__') AS linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, returnflag, linestatus
+"""
