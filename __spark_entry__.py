@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # duplicated word segments keep only their first global
         # occurrence; cleaned text reassembled per document
         "text_segment_dedup": ftext.segment_dedup,
+        # new in round 4 (batch 4): keyword relevance search with
+        # exact-integer idf-monotone scoring (no libm logs)
+        "text_keyword_search": ftext.keyword_search,
         # new in round 3: int8 storage quantization for the ANN scan path
         # and deterministic quality-weighted corpus resampling
         "sim_quantize_int8": fsim.quantize_int8,
@@ -189,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: exact dedup under double delivery (the
         # at-least-once -> effectively-once upgrade, K4 replacement)
         "streaming_dedup_redelivery": stp.streaming_dedup_query,
+        # new in round 4 (batch 4): watermark late-data DROP semantics —
+        # out-of-order delivery, oracle replays the eviction rule
+        "streaming_late_data": stp.streaming_late_data_query,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -211,6 +217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_histogram": evan.value_histogram,
         "events_anomaly_zscore": evan.anomaly_zscore,
         "graph_pagerank": pgraph.pagerank_top,
+        # new in round 4 (batch 4): CDC MERGE/upsert as one keyed
+        # full-outer join (the Delta/Iceberg MERGE INTO physical shape)
+        "events_upsert_merge": evan.upsert_merge,
         # new in round 4: Q20-analogue correlated-agg-threshold semi-join
         "tpch_dominant_suppliers": tpch.dominant_suppliers,
         # new in round 4 (batch 2): the remaining classic join/predicate
@@ -399,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_scrub": ftext.pii_scrub_sql(),
         "text_dup_span_fraction": ftext.dup_span_fraction_sql(),
         "text_segment_dedup": ftext.segment_dedup_sql(),
+        "text_keyword_search": ftext.keyword_search_sql(),
         "sim_quantize_int8": fsim.quantize_int8_sql(),
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
@@ -406,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         # update-mode stream collapsed to final state == batch clientQuery
         "dns_streaming_agg": cq,
         "streaming_dedup_redelivery": stp.streaming_dedup_sql(),
+        "streaming_late_data": stp.streaming_late_data_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
@@ -416,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": evan.value_histogram_sql(),
         "events_anomaly_zscore": evan.anomaly_zscore_sql(),
         "graph_pagerank": pgraph.pagerank_top_sql(),
+        "events_upsert_merge": evan.upsert_merge_sql(),
         "tpch_dominant_suppliers": tpch.dominant_suppliers_sql(),
         "tpch_promo_revenue": tpch.promo_revenue_sql(),
         "tpch_disjunctive_revenue": tpch.disjunctive_revenue_sql(),

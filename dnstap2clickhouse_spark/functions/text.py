@@ -513,3 +513,62 @@ SELECT doc_id,
        coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '') AS clean_text
 FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+SEARCH_TERMS = ("dup", "vector", "spark")  # rare + mid + common
+SEARCH_TOP = 10
+_IDF_SCALE = 1_000_000
+
+def _keyword_search_sql(dialect: str) -> str:
+    """Keyword relevance search with EXACT integer scoring.
+
+    Classic tf-idf ranking needs log(N/df) — but libm logs are not
+    bit-portable across engines, so the weight uses the idf-monotone
+    rational ``(N - df + 1) * SCALE div (df + 1)`` (the BM25 idf
+    numerator/denominator, log dropped): exact integer division, same
+    ranking direction, deterministic everywhere. Score = Σ tf · w(term).
+
+    Scale shape: df/N is ONE tiny aggregate over the corpus
+    (decorrelated to a broadcast scalar row); tf scoring is pure mapper
+    work fused into the scan; top-k is TakeOrderedAndProject. The
+    corpus never shuffles.
+    """
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        tf = lambda t: f"size(filter({toks}, x -> x = '{t}'))"
+        div = "div"
+    else:
+        toks = "string_split(text, ' ')"
+        tf = lambda t: f"len(list_filter({toks}, x -> x = '{t}'))"
+        div = "//"
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE {tf(t)} > 0) AS BIGINT) AS df{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    weights = ", ".join(
+        f"((n - df{i} + 1) * {_IDF_SCALE}) {div} (df{i} + 1) AS w{i}"
+        for i in range(len(SEARCH_TERMS))
+    )
+    score = " + ".join(
+        f"CAST({tf(t)} AS BIGINT) * s.w{i}" for i, t in enumerate(SEARCH_TERMS)
+    )
+    return f"""
+WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS n, {df_cols} FROM documents),
+weights AS (SELECT {weights} FROM stats),
+scored AS (
+  SELECT d.doc_id, {score} AS score
+  FROM documents d CROSS JOIN weights s)
+SELECT doc_id, score FROM scored
+WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {SEARCH_TOP}
+"""
+
+def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``SEARCH_TOP`` documents for the fixed term set."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_keyword_search_sql("spark"))
+
+def keyword_search_sql() -> str:
+    return _keyword_search_sql("duckdb")

@@ -717,3 +717,62 @@ ORDER BY v.event_type
 
 def anomaly_zscore_sql() -> str:
     return _anomaly_zscore_sql()
+
+UPSERT_UPDATE_MOD = 10  # every 10th event gets a value correction
+UPSERT_INSERT_MOD = 5000  # and a sparse set of brand-new rows arrives
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE/upsert as a declarative plan — the mutable-state-on-
+    immutable-storage shape (Delta/Iceberg MERGE INTO compiles to
+    exactly this): a deterministic change batch (updates for every
+    ``UPSERT_UPDATE_MOD``-th key, inserts on fresh keys) full-outer
+    joins the base table on the key; matched rows take the new value,
+    unmatched-left rows pass through, unmatched-right rows insert.
+
+    Scale shape: ONE equi-join shuffle on the key (or zero with
+    co-bucketed storage); the op column is a post-join projection.
+    Values stay cents-scaled ints end to end. Reference analogue: the
+    sink's upsert-by-(key, min-time) semantics, aggregator.go A1.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("ve2")
+    )
+    updates = ev.filter(F.expr(f"event_id % {UPSERT_UPDATE_MOD} = 0")).select(
+        "event_id", (F.col("ve2") + F.lit(10000)).alias("new_ve2")
+    )
+    inserts = ev.filter(F.expr(f"event_id % {UPSERT_INSERT_MOD} = 0")).select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+        (F.col("ve2") * F.lit(2)).alias("new_ve2"),
+    )
+    changes = updates.unionAll(inserts)
+    merged = ev.alias("b").join(
+        changes.alias("c"), F.col("b.event_id") == F.col("c.event_id"), "full_outer"
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("b.event_id"), F.col("c.event_id")).alias("event_id"),
+            F.coalesce(F.col("c.new_ve2"), F.col("b.ve2")).alias("ve2"),
+            F.when(F.col("b.event_id").isNull(), "inserted")
+            .when(F.col("c.event_id").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("op"),
+        )
+        .orderBy("event_id")
+    )
+
+def upsert_merge_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS ve2 FROM events),
+changes AS (
+  SELECT event_id, ve2 + 10000 AS new_ve2 FROM base WHERE event_id % {UPSERT_UPDATE_MOD} = 0
+  UNION ALL
+  SELECT event_id + 10000000, ve2 * 2 FROM base WHERE event_id % {UPSERT_INSERT_MOD} = 0)
+SELECT coalesce(b.event_id, c.event_id) AS event_id,
+       coalesce(c.new_ve2, b.ve2) AS ve2,
+       CASE WHEN b.event_id IS NULL THEN 'inserted'
+            WHEN c.event_id IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS op
+FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id
+ORDER BY event_id
+"""

@@ -466,3 +466,113 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_dedup_sql() -> str:
     return "SELECT event_id, ts, user_id FROM events ORDER BY event_id"
+
+# --------------------------------------------- watermark late-data drops
+
+LATE_WATERMARK = "3 days"
+LATE_CHUNKS = 4
+
+def streaming_late_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics, driver-verified: events are
+    delivered in ``LATE_CHUNKS`` micro-batches keyed by ``event_id %
+    LATE_CHUNKS`` — each batch spans the full 30-day corpus, so after
+    batch 0 the watermark jumps to (corpus max − 3 days) and every later
+    batch's rows for hour windows that closed before it MUST be dropped
+    by the windowed aggregation. The oracle replays Spark's documented
+    rule exactly: watermark before batch b = max event time of batches
+    < b minus the delay (updated at batch completion, effective next
+    batch); a row survives iff its window end is above that watermark.
+
+    Chunk assignment (id mod), delivery order (ascending append,
+    maxFilesPerTrigger=1), and the drop predicate are all deterministic,
+    so the update log collapsed per key (counts/sums are monotone)
+    hash-matches the oracle — certifying the ONE streaming semantic the
+    other entries don't: state eviction actually discarding late rows
+    (reference analogue: the TTL eviction F8, aggregator.go flush
+    windows).
+    """
+    import shutil
+    import tempfile
+
+    import glob
+    import os
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="late_stream_")
+    try:
+        # ascending append -> in-order batches. The file source orders by
+        # mtime; rapid appends could tie and fall back to (random uuid)
+        # path order, so each chunk's files get an EXPLICIT strictly
+        # increasing mtime — batch order is deterministic by construction.
+        base_t = time.time()
+        seen: set = set()
+        for i in range(LATE_CHUNKS):
+            ev.filter(F.expr(f"event_id % {LATE_CHUNKS} = {i}")).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            for p in glob.glob(os.path.join(d, "part-*")):
+                if p not in seen:
+                    seen.add(p)
+                    os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        agg = (
+            stream.withWatermark("ts", LATE_WATERMARK)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_e2"),
+            )
+            .select(
+                F.col("window.start").alias("windowStart"),
+                "event_type",
+                "n",
+                F.col("sum_e2").cast("long").alias("sum_e2"),
+            )
+        )
+        updates = run_stream_to_memory(agg, "update", spark)
+        # update-log collapse: counts and (non-negative) sums are monotone
+        return (
+            updates.groupBy("windowStart", "event_type")
+            .agg(F.max("n").alias("n"), F.max("sum_e2").alias("sum_e2"))
+            .orderBy("windowStart", "event_type")
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+def streaming_late_data_sql() -> str:
+    secs = 3 * 86400  # LATE_WATERMARK in seconds
+    return f"""
+WITH x AS (
+  SELECT ts, event_type, CAST(round(value * 100) AS BIGINT) AS ve2,
+         CAST(event_id % {LATE_CHUNKS} AS BIGINT) AS chunk
+  FROM events),
+chunk_max AS (
+  SELECT chunk, max(ts) AS mx FROM x GROUP BY chunk),
+wm AS (
+  -- Watermark APPLIED to batch b's input. Empirically pinned (progress
+  -- log + key-set equality): the late filter in batch b uses the
+  -- watermark derived from batches <= b-2 — one batch LATER than the
+  -- value the progress line reports for b (Spark advances the
+  -- watermark from a batch's max event time only when PLANNING the
+  -- batch after next). Hence "2 PRECEDING", not 1.
+  SELECT chunk,
+         max(mx) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - INTERVAL {secs} SECOND AS watermark
+  FROM chunk_max),
+kept AS (
+  SELECT x.ts, x.event_type, x.ve2
+  FROM x JOIN wm ON wm.chunk = x.chunk
+  WHERE wm.watermark IS NULL
+     OR date_trunc('hour', x.ts) + INTERVAL 1 HOUR > wm.watermark)
+SELECT date_trunc('hour', ts) AS windowStart, event_type,
+       count(*) AS n, CAST(sum(ve2) AS BIGINT) AS sum_e2
+FROM kept GROUP BY windowStart, event_type
+ORDER BY windowStart, event_type
+"""

@@ -244,3 +244,95 @@ def test_pagerank_mass_and_shape(spark):
     # suppliers are far fewer than customers, so they concentrate rank:
     # the top of the list should be supplier vertices
     assert rows[0].vertex.startswith("s:")
+
+# ---------------------------------------------- batch 4: late data, search
+
+def test_streaming_late_data_actually_drops(spark):
+    """Out-of-order delivery must LOSE late windows: the streamed result
+    has strictly fewer keys than the no-watermark batch aggregation, and
+    every emitted key exists in the batch result with counts <= batch."""
+    from dnstap2clickhouse_spark.sources.tables import load_table
+    from dnstap2clickhouse_spark.streaming.pipeline import (
+        streaming_late_data_query,
+    )
+
+    got = {
+        (r.windowStart, r.event_type): r.n
+        for r in streaming_late_data_query(spark, SF).collect()
+    }
+    full = {
+        (r.windowStart, r.event_type): r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("windowStart"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(got) < set(full)  # strict subset: drops happened
+    assert all(got[k] <= full[k] for k in got)
+
+def test_keyword_search_relevance(spark):
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    rows = ftext.keyword_search(spark, SF).collect()
+    assert 0 < len(rows) <= ftext.SEARCH_TOP
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in rows]))
+        .collect()
+    }
+    # every hit contains at least one query term
+    for r in rows:
+        toks = set(texts[r.doc_id].split(" "))
+        assert toks & set(ftext.SEARCH_TERMS)
+    # the rare term dominates the ranking (idf-monotone weighting)
+    assert "dup" in texts[rows[0].doc_id].split(" ")
+
+def test_upsert_merge_op_counts(spark):
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    rows = evan.upsert_merge(spark, SF).collect()
+    n_base = load_table(spark, SF, "events").count()
+    ops = {}
+    for r in rows:
+        ops[r.op] = ops.get(r.op, 0) + 1
+    n_upd = sum(
+        1
+        for r in load_table(spark, SF, "events").collect()
+        if r.event_id % evan.UPSERT_UPDATE_MOD == 0
+    )
+    n_ins = sum(
+        1
+        for r in load_table(spark, SF, "events").collect()
+        if r.event_id % evan.UPSERT_INSERT_MOD == 0
+    )
+    assert ops.get("updated", 0) == n_upd
+    assert ops.get("inserted", 0) == n_ins
+    assert ops.get("unchanged", 0) == n_base - n_upd
+    assert len(rows) == n_base + n_ins
+
+def test_pagerank_mass_conservation(spark):
+    """Integer PageRank loses only floor-division dust: after any round,
+    total rank is <= R_E12 and within |V| * (teleport dust + damping
+    dust + per-edge division dust) of it."""
+    from dnstap2clickhouse_spark.plans import graph as pgraph
+    from dnstap2clickhouse_spark.sources.tables import load_table, register_views
+
+    register_views(spark, SF, ("orders", "lineitem"))
+    full = spark.sql(
+        pgraph._pagerank_sql("spark").replace(
+            f"WHERE pos <= {pgraph.PAGERANK_TOP}", ""
+        )
+    )
+    total = full.agg(F.sum("rank_e12")).collect()[0][0]
+    n_v = full.count()
+    # every vertex floors at most ~1 unit in each of: base split, teleport
+    # term, damped term, and each of its out-contributions (bounded by
+    # total degree = 2 * |edges|; use a generous linear bound in |V|)
+    assert total <= pgraph.R_E12
+    assert total >= pgraph.R_E12 - 200 * n_v
