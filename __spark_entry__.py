@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
         # distributed prefix sum (oracle: plain single-window cumsum)
         "split_token_chunks": fsplit.pack_token_chunks,
+        # new in round 4 (batch 5): Dolma/DCLM-style domain mixing to
+        # exact integer target proportions
+        "curate_domain_mix": fsplit.domain_mix,
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
@@ -236,6 +239,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ON-clause filter + histogram-of-counts; scalar-subquery max)
         "tpch_customer_dist": tpch.customer_order_distribution,
         "tpch_top_supplier": tpch.top_supplier,
+        # new in round 4 (batch 5): the last classic shapes — pushdown
+        # scan-sum (Q6), bilateral nation-pair volume (Q7), part-family
+        # profit (Q9), conditional two-way counts (Q12), NOT-IN
+        # exclusion + count-distinct (Q16), double-correlated
+        # EXISTS/NOT EXISTS (Q21), correlated scalar-MIN (Q2)
+        "tpch_forecast_revenue": tpch.forecast_revenue,
+        "tpch_volume_shipping": tpch.volume_shipping,
+        "tpch_product_profit": tpch.product_profit,
+        "tpch_shipmode_priority": tpch.shipmode_priority,
+        "tpch_supplier_cnt": tpch.supplier_cnt,
+        "tpch_waiting_suppliers": tpch.waiting_suppliers,
+        "tpch_min_cost_supplier": tpch.min_cost_supplier,
         # rcode fallback now matches dns.RcodeToString ('' for unmapped)
         "dns_decode_queries": lambda s, d: prep.decode_frames(
             prep.raw_frames(s, d), "CLIENT_QUERY"
@@ -419,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_late_data": stp.streaming_late_data_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
+        "curate_domain_mix": fsplit.domain_mix_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),
@@ -436,6 +452,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_sales_opportunity": tpch.sales_opportunity_sql(),
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
+        "tpch_forecast_revenue": tpch.forecast_revenue_sql(),
+        "tpch_volume_shipping": tpch.volume_shipping_sql(),
+        "tpch_product_profit": tpch.product_profit_sql(),
+        "tpch_shipmode_priority": tpch.shipmode_priority_sql(),
+        "tpch_supplier_cnt": tpch.supplier_cnt_sql(),
+        "tpch_waiting_suppliers": tpch.waiting_suppliers_sql(),
+        "tpch_min_cost_supplier": tpch.min_cost_supplier_sql(),
         "dedup_simhash": fdedup.simhash_signatures_sql(),
         "sim_cosine_topk": fsim.cosine_topk_sql(),
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),

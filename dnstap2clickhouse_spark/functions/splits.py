@@ -250,3 +250,102 @@ FROM (
         FROM documents))
 ORDER BY doc_id
 """
+
+# ------------------------------------------------------- domain mixing
+
+#: mixing weight per source-domain index (idx mod 4 → weight 1..4) —
+#: a stand-in for the per-domain weights a Dolma/DCLM-style mixture
+#: config would supply; integer weights keep every proportion exact
+def _domain_weight_sql(idx: str) -> str:
+    return f"(1 + ({idx}) % 4)"
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing to target proportions (the Dolma/DCLM "mixer"):
+    choose the LARGEST corpus that hits the configured per-domain
+    weights exactly without upsampling any domain, then keep exactly
+    that many documents per domain, deterministically.
+
+    All arithmetic is exact-integer rational:
+
+    - per-domain counts ``n_s`` (one groupBy over the tiny source
+      domain — map-side partials collapse it before the exchange);
+    - budget ``B = min_s floor(n_s * W_tot / W_s)`` — the bottleneck
+      domain caps the mixture (1-row aggregate, broadcast back);
+    - quota ``keep_s = floor(B * W_s / W_tot)``;
+    - the kept docs are the ``keep_s`` lowest (hash-bucket, doc_id)
+      ranks within each domain — a per-domain window whose partition
+      count equals the number of domains. Domains are few and bounded
+      by config (not by corpus size), so the window is as skewed as the
+      mixture itself; for corpus-sized key domains use the
+      hash-threshold form (:func:`stratified_sample`) instead.
+
+    Deterministic under any partitioning, RNG-free, and identical in
+    DuckDB — the doc-level selection is by hash rank, not row order.
+    """
+    return domain_mix_df(load_table(spark, sf_dir, "documents"))
+
+def domain_mix_df(documents: DataFrame) -> DataFrame:
+    """Core of :func:`domain_mix` over an injected documents frame
+    (needs ``doc_id`` and ``source`` columns) — the partitioning of the
+    input cannot change the survivor set."""
+    from pyspark.sql import Window
+
+    docs = documents.selectExpr(
+        "doc_id",
+        "source",
+        "CAST(substring(source, 4) AS BIGINT) AS src_idx",
+    ).withColumn("w", F.expr(_domain_weight_sql("src_idx")))
+    counts = docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_s"))
+    # W_tot over domains PRESENT (a missing domain can't constrain the mix)
+    wtot = counts.agg(F.sum("w").alias("w_tot"))
+    budget = (
+        counts.crossJoin(F.broadcast(wtot))
+        .selectExpr("CAST(n_s * w_tot AS BIGINT) div w AS b_s", "w_tot")
+        .groupBy("w_tot")
+        .agg(F.min("b_s").alias("budget"))
+    )
+    quota = (
+        counts.crossJoin(F.broadcast(budget))
+        .selectExpr("source", "n_s", "CAST(budget * w AS BIGINT) div w_tot AS keep_s")
+    )
+    ranked = docs.withColumn(
+        "rk_bucket", hash_bucket2(F.col("doc_id"), RESAMPLE_BUCKETS)
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("rk_bucket", "doc_id")
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rn") <= F.col("keep_s"))
+        .select("doc_id", "source", "keep_s", "n_s")
+        .orderBy("doc_id")
+    )
+
+def domain_mix_sql() -> str:
+    w = _domain_weight_sql("CAST(substring(source, 4) AS BIGINT)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, {w} AS w FROM documents),
+counts AS (
+  SELECT source, w, count(*) AS n_s FROM d GROUP BY source, w),
+tot AS (SELECT sum(w) AS w_tot FROM counts),
+budget AS (
+  SELECT w_tot, min(CAST(n_s * w_tot AS BIGINT) // w) AS budget
+  FROM counts, tot GROUP BY w_tot),
+quota AS (
+  SELECT source, n_s, CAST(budget * w AS BIGINT) // w_tot AS keep_s
+  FROM counts, budget),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_bucket2_sql('doc_id', RESAMPLE_BUCKETS)}, doc_id)
+           AS rn
+  FROM d)
+SELECT r.doc_id, r.source, CAST(q.keep_s AS BIGINT) AS keep_s,
+       CAST(q.n_s AS BIGINT) AS n_s
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rn <= q.keep_s
+ORDER BY r.doc_id
+"""

@@ -741,3 +741,335 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY gid, returnflag, linestatus
 """
+
+# ---------------------------------------- round-4 batch 5: the remaining
+# classic TPC-H query shapes (Q2/Q6/Q7/Q9/Q12/Q16/Q21 analogues). The
+# synthetic schema has no partsupp/commitdate/receiptdate/shipmode, so
+# each analogue reproduces the reference query's PLAN SHAPE (the part
+# that matters for a 100 TB engine) on the columns that exist; the
+# scaled-integer money pattern keeps every aggregate bit-deterministic.
+
+Q6_YEAR = "1996"
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: single-table filtered sum — the pushdown
+    benchmark. All three predicates (shipdate range, discount band,
+    quantity cap) reach the parquet scan as PushedFilters; the plan is
+    scan → partial sum → one-row exchange. Discounts are compared on
+    ``round(l_discount*100)`` (exact integers) rather than raw doubles,
+    so the band edges can't flap on representation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{int(Q6_YEAR)+1}-01-01").cast("timestamp"))
+            & F.expr("CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7")
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)"))
+            .alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+def forecast_revenue_sql() -> str:
+    return f"""
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
+         AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{int(Q6_YEAR)+1}-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+#: Q7's two trading partners, lifted to the region level — the nation
+#: tables are sparse at tiny SF (a named nation can have zero suppliers
+#: after a corpus regeneration), regions are always populated
+Q7_REGION_A = "EUROPE"
+Q7_REGION_B = "ASIA"
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: bilateral trade volume between two regions per
+    nation pair and ship-year. Plan shape: the supplier→nation→region
+    and customer→nation→region dimension chains broadcast; the only
+    shuffles are lineitem⋈orders on the order key and the final
+    groupBy. The OR-of-region-pairs is a join residual, evaluated after
+    the broadcasts prune everything else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    ndim = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+    supp_n = supp.join(
+        F.broadcast(
+            ndim.select(
+                "n_nationkey",
+                F.col("n_name").alias("supp_nation"),
+                F.col("r_name").alias("supp_region"),
+            )
+        ),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation", "supp_region")
+    cust_n = cust.join(
+        F.broadcast(
+            ndim.select(
+                F.col("n_nationkey").alias("cnk"),
+                F.col("n_name").alias("cust_nation"),
+                F.col("r_name").alias("cust_region"),
+            )
+        ),
+        cust.c_nationkey == F.col("cnk"),
+    ).select("c_custkey", "cust_nation", "cust_region")
+    pair = (
+        (F.col("supp_region") == Q7_REGION_A) & (F.col("cust_region") == Q7_REGION_B)
+    ) | ((F.col("supp_region") == Q7_REGION_B) & (F.col("cust_region") == Q7_REGION_A))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cust_n), orders.o_custkey == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(F.expr(_DISC_E4)).alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+def volume_shipping_sql() -> str:
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(sum({_DISC_E4}) AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+WHERE (sr.r_name = '{Q7_REGION_A}' AND cr.r_name = '{Q7_REGION_B}')
+   OR (sr.r_name = '{Q7_REGION_B}' AND cr.r_name = '{Q7_REGION_A}')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+Q9_PART_LIKE = "%widget%"
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: profit by supplier nation and order year for a
+    part-name family. The schema has no partsupp, so cost is
+    ``p_retailprice * l_quantity`` instead of ``ps_supplycost *
+    l_quantity`` — same expression tree, same plan shape: part (name
+    LIKE) and supplier→nation broadcast onto lineitem, one order-key
+    shuffle against orders, then a (nation × year) groupBy. The profit
+    amount is computed per-row in IEEE doubles with identical
+    association in both dialects, then scaled to e4 integers so the sum
+    is order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like(Q9_PART_LIKE))
+
+    supp_n = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    amount_e4 = (
+        "CAST(round((l_extendedprice * (1 - l_discount)"
+        " - p_retailprice * l_quantity) * 10000) AS BIGINT)"
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), li.l_suppkey == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(F.expr(amount_e4)).alias("profit_e4"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+def product_profit_sql() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+             - p_retailprice * l_quantity) * 10000) AS BIGINT)) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{Q9_PART_LIKE}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+Q12_YEAR = "1997"
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+def _shipmode_priority_sql() -> str:
+    hp = ", ".join(f"'{p}'" for p in HIGH_PRIORITIES)
+    return f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hp}) THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ({hp}) THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+  AND l.l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01'
+  AND l.l_shipdate < TIMESTAMP '{int(Q12_YEAR)+1}-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+def shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: conditional two-way counts over a fact-fact
+    join (returnflag stands in for the absent shipmode; "late" is the
+    shared shipdate > orderdate + 60d rule, since there are no
+    commit/receipt dates). Plan: the shipdate-year range prunes the
+    lineitem scan BEFORE the order-key shuffle; the non-equi lateness
+    bound is the join residual; the CASE pair aggregates in one pass
+    with map-side partials over a 3-value key."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_shipmode_priority_sql())
+
+def shipmode_priority_sql() -> str:
+    return _shipmode_priority_sql()
+
+#: suppliers in "complaint" state (the Q16 NOT-IN exclusion set);
+#: acctbal is the only supplier attribute that can encode it here
+COMPLAINT_BAL = 1000.0
+Q16_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+def _supplier_cnt_sql() -> str:
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{SMALL_QTY_BRAND}'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN ({sizes})
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {COMPLAINT_BAL})
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+def supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct-supplier counts per part class with a
+    NOT IN exclusion subquery (the lineitem pairs stand in for the
+    absent partsupp relation; low acctbal stands in for the comment
+    scan). Catalyst plans NOT IN as a null-aware anti join — broadcast
+    here because the exclusion set is tiny, and s_suppkey is never null
+    so the null-aware path degenerates to a plain anti join. The
+    count(DISTINCT) keys the exchange on the full group so partial
+    dedup happens map-side."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_supplier_cnt_sql())
+
+def supplier_cnt_sql() -> str:
+    return _supplier_cnt_sql()
+
+#: Q21 scopes to one nation; lifted to a region for the same sparsity
+#: reason as Q7 (a named nation can lose all its suppliers when the
+#: tiny-SF corpus regenerates; a region can't)
+Q21_REGION = "EUROPE"
+
+def _waiting_suppliers_sql() -> str:
+    return f"""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE o.o_orderstatus = 'F'
+  AND r.r_name = '{Q21_REGION}'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order — the double-correlated EXISTS / NOT
+    EXISTS shape, the hardest decorrelation in the classic suite (the
+    NOT EXISTS additionally references the outer query's o_orderdate).
+    Catalyst rewrites the pair into a left semi then a left anti join,
+    both keyed on l_orderkey — at scale three order-key shuffles of the
+    (pruned) lineitem columns, with every correlated predicate a join
+    residual. Nation is a broadcast."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation", "region"))
+    return spark.sql(_waiting_suppliers_sql())
+
+def waiting_suppliers_sql() -> str:
+    return _waiting_suppliers_sql()
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "LARGE"
+Q2_MIN_SIZE = 10
+
+def _min_cost_supplier_sql() -> str:
+    # unit cost: cheapest observed per-unit price of that (part, supplier)
+    # pair across all lineitems, in exact integer cents
+    return f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS unit_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}')
+SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, c.unit_cents
+FROM part p
+JOIN cost c ON p.p_partkey = c.l_partkey
+JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+WHERE p.p_type = '{Q2_TYPE}' AND p.p_size >= {Q2_MIN_SIZE}
+  AND c.unit_cents = (
+    SELECT min(c2.unit_cents)
+    FROM cost c2 JOIN eu_supp s2 ON c2.l_suppkey = s2.s_suppkey
+    WHERE c2.l_partkey = p.p_partkey)
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+"""
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue: for each part of a type/size class, the
+    region-local supplier(s) offering the minimum unit cost — the
+    correlated scalar-MIN subquery shape (partsupp is absent, so the
+    (part, supplier) cost relation is derived from lineitem; unit cost
+    compares in exact integer cents so the equality can't flap).
+    Catalyst decorrelates the scalar MIN into an aggregate-then-join on
+    the part key; the cost CTE is one (part,supplier)-keyed shuffle
+    reused by both sides, the region-supplier dim broadcasts, and the
+    candidate part list is p_type/p_size-pruned at the scan."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("part", "supplier", "nation", "region", "lineitem"))
+    return spark.sql(_min_cost_supplier_sql())
+
+def min_cost_supplier_sql() -> str:
+    return _min_cost_supplier_sql()

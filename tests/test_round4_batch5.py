@@ -1,0 +1,243 @@
+"""Round-4 batch-5 operators: the last classic TPC-H query shapes
+(Q2/Q6/Q7/Q9/Q12/Q16/Q21 analogues), pinned by semantic invariants at
+smoke scale. The oracle gate proves value-exactness; these tests pin
+what each shape MEANS, so a refactor that also changes the oracle can't
+silently change semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dnstap2clickhouse_spark.plans import tpch
+from dnstap2clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_forecast_revenue_matches_manual_filter(spark):
+    """Q6: the one-row sum equals a hand-rolled recomputation of the
+    same predicate band (discount compared on exact integer percent)."""
+    row = tpch.forecast_revenue(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem")
+    manual = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.round(F.col("l_discount") * 100).cast("bigint").between(5, 7))
+            & (F.col("l_quantity") < 24)
+        )
+        .select(F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("bigint").alias("e4"))
+        .agg(F.sum("e4").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert row.n_lines == manual.n > 0
+    assert row.revenue_e4 == manual.s
+
+
+def test_volume_shipping_is_bilateral_and_disjoint(spark):
+    """Q7: every returned nation pair crosses the two regions in one of
+    the two directions, and no pair appears with a nation trading with
+    its own region."""
+    rows = tpch.volume_shipping(spark, SF).collect()
+    assert rows
+    nation = {
+        r.n_name: r.r_name
+        for r in load_table(spark, SF, "nation")
+        .join(load_table(spark, SF, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_name", "r_name")
+        .collect()
+    }
+    for r in rows:
+        sr, cr = nation[r.supp_nation], nation[r.cust_nation]
+        assert {sr, cr} == {tpch.Q7_REGION_A, tpch.Q7_REGION_B}
+        assert r.revenue_e4 > 0
+
+
+def test_product_profit_part_family_only(spark):
+    """Q9: the aggregate only covers lineitems whose part name matches
+    the family pattern — group count equals a manual recount."""
+    df = tpch.product_profit(spark, SF)
+    rows = df.collect()
+    assert rows
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part").filter(F.col("p_name").like(tpch.Q9_PART_LIKE))
+    n_groups = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(load_table(spark, SF, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(load_table(spark, SF, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load_table(spark, SF, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("n_name", F.year("o_orderdate").alias("y"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_groups
+
+
+def test_shipmode_priority_partitions_lines(spark):
+    """Q12: high + low counts partition the late-shipped lines of the
+    window year — totals add up and no flag is double counted."""
+    rows = tpch.shipmode_priority(spark, SF).collect()
+    assert rows
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {tpch.LATE_SHIP_DAYS} DAY"))
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == late > 0
+
+
+def test_supplier_cnt_excludes_complaint_suppliers(spark):
+    """Q16: no excluded (low-acctbal) supplier contributes to any
+    group's distinct count."""
+    rows = tpch.supplier_cnt(spark, SF).collect()
+    assert rows
+    supp = load_table(spark, SF, "supplier")
+    excluded = {
+        r.s_suppkey for r in supp.filter(F.col("s_acctbal") < tpch.COMPLAINT_BAL).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    pairs = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("p_brand") != tpch.SMALL_QTY_BRAND)
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(*tpch.Q16_SIZES)
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    manual = {}
+    for p in pairs:
+        if p.l_suppkey in excluded:
+            continue
+        manual.setdefault((p.p_brand, p.p_type, p.p_size), set()).add(p.l_suppkey)
+    got = {(r.p_brand, r.p_type, r.p_size): r.supplier_cnt for r in rows}
+    assert got == {k: len(v) for k, v in manual.items()}
+
+
+def test_waiting_suppliers_sole_late_semantics(spark):
+    """Q21: every counted (supplier, order) incident has (a) another
+    supplier on the order and (b) no OTHER supplier late on it —
+    recomputed imperatively from the raw tables."""
+    rows = tpch.waiting_suppliers(spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").collect()
+    orders = {r.o_orderkey: r for r in load_table(spark, SF, "orders").collect()}
+    region_supp = {
+        r.s_suppkey: r.s_name
+        for r in load_table(spark, SF, "supplier")
+        .join(load_table(spark, SF, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load_table(spark, SF, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == tpch.Q21_REGION)
+        .collect()
+    }
+    import datetime
+
+    by_order: dict = {}
+    for l in li:
+        by_order.setdefault(l.l_orderkey, []).append(l)
+    expected: dict = {}
+    late = lambda l, o: l.l_shipdate > o.o_orderdate + datetime.timedelta(days=tpch.LATE_SHIP_DAYS)
+    for ok, lines in by_order.items():
+        o = orders[ok]
+        if o.o_orderstatus != "F":
+            continue
+        for l1 in lines:
+            if l1.l_suppkey not in region_supp or not late(l1, o):
+                continue
+            others = [l for l in lines if l.l_suppkey != l1.l_suppkey]
+            if others and not any(late(l, o) for l in others):
+                name = region_supp[l1.l_suppkey]
+                expected[name] = expected.get(name, 0) + 1
+    assert {r.s_name: r.numwait for r in rows} == expected
+    assert expected  # non-degenerate at this SF
+
+
+def test_min_cost_supplier_achieves_minimum(spark):
+    """Q2: each returned (part, supplier) pair's unit cost equals the
+    minimum over ALL region-local suppliers of that part, and every
+    returned part belongs to the type/size class."""
+    rows = tpch.min_cost_supplier(spark, SF).collect()
+    assert rows
+    part = {
+        r.p_partkey: r
+        for r in load_table(spark, SF, "part")
+        .filter((F.col("p_type") == tpch.Q2_TYPE) & (F.col("p_size") >= tpch.Q2_MIN_SIZE))
+        .collect()
+    }
+    eu = {
+        r.s_suppkey
+        for r in load_table(spark, SF, "supplier")
+        .join(load_table(spark, SF, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load_table(spark, SF, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == tpch.Q2_REGION)
+        .collect()
+    }
+    cost: dict = {}
+    for l in load_table(spark, SF, "lineitem").collect():
+        if l.l_suppkey not in eu or l.l_partkey not in part:
+            continue
+        c = round(l.l_extendedprice / l.l_quantity * 100)
+        k = (l.l_partkey, l.l_suppkey)
+        cost[k] = min(cost.get(k, c), c)
+    per_part_min: dict = {}
+    for (pk, _), c in cost.items():
+        per_part_min[pk] = min(per_part_min.get(pk, c), c)
+    for r in rows:
+        assert r.p_partkey in part
+        assert r.unit_cents == per_part_min[r.p_partkey]
+    # completeness: every part with an achievable min appears
+    assert {r.p_partkey for r in rows} == set(per_part_min)
+
+
+def test_domain_mix_quotas_and_proportions(spark):
+    """Domain mix: per-source kept counts equal the integer quota
+    formula, no source is upsampled, and the realized mixture tracks
+    the weights (exact up to the documented floor)."""
+    from dnstap2clickhouse_spark.functions import splits as fsplit
+
+    rows = fsplit.domain_mix(spark, SF).collect()
+    assert rows
+    kept: dict = {}
+    for r in rows:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    # recompute quotas from raw counts
+    docs = load_table(spark, SF, "documents").groupBy("source").count().collect()
+    n = {r.source: r["count"] for r in docs}
+    w = {s: 1 + int(s[3:]) % 4 for s in n}
+    w_tot = sum(w.values())
+    budget = min(c * w_tot // w[s] for s, c in n.items())
+    quota = {s: budget * w[s] // w_tot for s in n}
+    assert kept == {s: q for s, q in quota.items() if q > 0}
+    for s in kept:
+        assert kept[s] <= n[s]  # never upsamples
+    # keep_s/n_s ratio is monotone in weight for equal-sized sources
+    by_w: dict = {}
+    for s, q in quota.items():
+        by_w.setdefault(w[s], set()).add(q)
+    ws = sorted(by_w)
+    assert all(max(by_w[a]) <= min(by_w[b]) for a, b in zip(ws, ws[1:]))
+
+
+def test_domain_mix_partitioning_independent(spark):
+    """The survivor set is identical after an adversarial repartition
+    (hash-rank selection, not row order)."""
+    from dnstap2clickhouse_spark.functions import splits as fsplit
+
+    base = {r.doc_id for r in fsplit.domain_mix(spark, SF).collect()}
+    # same computation over a deliberately reshuffled input frame
+    shuffled = (
+        load_table(spark, SF, "documents")
+        .repartition(17, "lang")
+        .sortWithinPartitions(F.desc("doc_id"))
+    )
+    again = {r.doc_id for r in fsplit.domain_mix_df(shuffled).collect()}
+    assert base == again
