@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 5): Dolma/DCLM-style domain mixing to
         # exact integer target proportions
         "curate_domain_mix": fsplit.domain_mix,
+        # new in round 4 (batch 5): count-min-sketch frequency summary
+        # with in-hash overestimate certification
+        "events_heavy_hitters": evan.heavy_hitters,
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
@@ -435,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),
+        "events_heavy_hitters": evan.heavy_hitters_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),

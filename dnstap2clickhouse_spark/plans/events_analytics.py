@@ -776,3 +776,110 @@ SELECT coalesce(b.event_id, c.event_id) AS event_id,
 FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id
 ORDER BY event_id
 """
+
+# --------------------------------------------- count-min heavy hitters
+
+#: CMS geometry: depth 4 (one Lehmer hash row each, classic public
+#: multipliers), width 4096 — 16384 counters total, a fixed-size
+#: mergeable summary regardless of corpus size
+CMS_P = 2_147_483_647
+CMS_MULTIPLIERS = (48271, 16807, 69621, 40692)
+CMS_WIDTH = 4096
+#: heavy-hitter gate: estimated count ≥ 105% of the mean per-user count
+#: (both sides of the ratio computed in-query as exact integers)
+HH_NUM, HH_DEN = 105, 100
+
+def _cms_hash_sql(key: str, a: int) -> str:
+    return f"((({key} % {CMS_P}) * {a}) % {CMS_P}) % {CMS_WIDTH}"
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by count-min sketch — the canonical fixed-size
+    mergeable frequency summary (Cormode & Muthukrishnan 2005).
+
+    Why this shape at 100 TB: the sketch is ``depth x width`` counters
+    (16384 here) REGARDLESS of corpus size — built in one pass with
+    map-side partial sums (each event expands to ``depth`` (row,
+    bucket) pairs via a JVM ``stack`` generator, then one groupBy over
+    a bounded key domain). Estimating any key is a broadcast-join probe
+    of that tiny table: ``est(k) = min_j counter[j][h_j(k)]``. Exact
+    per-key counts require a corpus-wide shuffle on the key; the sketch
+    answers the same "who is frequent" question from a summary that
+    fits in one executor's L2.
+
+    The demo emits, for every user the SKETCH flags as heavy
+    (est ≥ 1.05 x mean), the estimate next to the exact count plus the
+    CMS guarantee bit ``est >= exact`` — so the oracle hash certifies
+    the overestimate invariant, not just the numbers. Hashes are the
+    same int64-exact Lehmer family as functions/splits.py, so DuckDB
+    builds a bit-identical sketch.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    stack_args = ", ".join(
+        f"{j}, {_cms_hash_sql('user_id', a)}" for j, a in enumerate(CMS_MULTIPLIERS)
+    )
+    pairs = ev.selectExpr(
+        f"stack({len(CMS_MULTIPLIERS)}, {stack_args}) AS (j, bucket)"
+    )
+    sketch = pairs.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    # exact side: per-user counts (the verification column) + probe buckets
+    cand = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = cand.selectExpr(
+        "user_id",
+        "exact_cnt",
+        f"stack({len(CMS_MULTIPLIERS)}, {stack_args}) AS (j, bucket)",
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    # integer threshold: mean per-user count scaled by HH_NUM/HH_DEN
+    totals = cand.agg(
+        F.sum("exact_cnt").alias("total"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        est.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("cms_est") * F.lit(HH_DEN) * F.col("n_users")
+            >= F.lit(HH_NUM) * F.col("total")
+        )
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+        .orderBy("user_id")
+    )
+
+def heavy_hitters_sql() -> str:
+    hashes = [_cms_hash_sql("user_id", a) for a in CMS_MULTIPLIERS]
+    pair_union = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, {h} AS bucket FROM events" for j, h in enumerate(hashes)
+    )
+    probe_union = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, exact_cnt, {j} AS j, {h} AS bucket FROM cand"
+        for j, h in enumerate(hashes)
+    )
+    return f"""
+WITH pairs AS (
+{pair_union}),
+sketch AS (
+  SELECT j, bucket, count(*) AS c FROM pairs GROUP BY j, bucket),
+cand AS (
+  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+probes AS (
+{probe_union}),
+est AS (
+  SELECT p.user_id, p.exact_cnt, min(s.c) AS cms_est
+  FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+  GROUP BY p.user_id, p.exact_cnt),
+totals AS (
+  SELECT sum(exact_cnt) AS total, count(*) AS n_users FROM cand)
+SELECT user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       cms_est >= exact_cnt AS never_underestimates
+FROM est, totals
+WHERE cms_est * {HH_DEN} * n_users >= {HH_NUM} * total
+ORDER BY user_id
+"""

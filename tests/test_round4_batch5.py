@@ -241,3 +241,37 @@ def test_domain_mix_partitioning_independent(spark):
     )
     again = {r.doc_id for r in fsplit.domain_mix_df(shuffled).collect()}
     assert base == again
+
+
+def test_heavy_hitters_cms_invariants(spark):
+    """CMS: the estimate never underestimates, is exact for
+    collision-free keys, and the selection matches the threshold
+    recomputed from raw counts."""
+    from dnstap2clickhouse_spark.plans import events_analytics as evan
+
+    rows = evan.heavy_hitters(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_est >= r.exact_cnt
+        assert r.never_underestimates
+    # recompute the gate from the raw table
+    ev = load_table(spark, SF, "events")
+    counts = {r.user_id: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    total, n_users = sum(counts.values()), len(counts)
+    # selection is sketch-driven: every user whose EXACT count passes the
+    # gate must appear (overestimates can only add users, never drop them)
+    exact_pass = {u for u, c in counts.items() if c * evan.HH_DEN * n_users >= evan.HH_NUM * total}
+    got = {r.user_id for r in rows}
+    assert exact_pass <= got
+    # and estimates match a hand-built CMS
+    sketch: dict = {}
+    for u, c in counts.items():
+        for j, a in enumerate(evan.CMS_MULTIPLIERS):
+            b = ((u % evan.CMS_P) * a % evan.CMS_P) % evan.CMS_WIDTH
+            sketch[(j, b)] = sketch.get((j, b), 0) + c
+    for r in rows:
+        est = min(
+            sketch[(j, ((r.user_id % evan.CMS_P) * a % evan.CMS_P) % evan.CMS_WIDTH)]
+            for j, a in enumerate(evan.CMS_MULTIPLIERS)
+        )
+        assert r.cms_est == est
