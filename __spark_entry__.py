@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 5): count-min-sketch frequency summary
         # with in-hash overestimate certification
         "events_heavy_hitters": evan.heavy_hitters,
+        # new in round 4 (batch 5): product quantization — per-subspace
+        # deterministic k-means codebooks (the ANN compression path)
+        "sim_pq_codes": fsim.pq_codes,
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
@@ -439,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),
         "events_heavy_hitters": evan.heavy_hitters_sql(),
+        "sim_pq_codes": fsim.pq_codes_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),

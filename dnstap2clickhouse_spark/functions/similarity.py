@@ -591,3 +591,94 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kmeans_assign_sql() -> str:
     return _kmeans_sql("duckdb")
+
+# ------------------------------------------------- product quantization
+
+PQ_SUBS = 4  # subspaces (codebooks)
+PQ_SUBDIM = KMEANS_DIMS // PQ_SUBS  # dims per subvector
+PQ_K = 4  # codewords per codebook; seeds = vec_id 0..3's subvectors
+
+def _pq_sql(dialect: str) -> str:
+    """Product quantization (Jégou et al. 2011): split each embedding
+    into ``PQ_SUBS`` subvectors and k-means each subspace independently;
+    a vector's code is its per-subspace nearest-codeword ids. The
+    vector-compression path for ANN at 100 TB — codes are
+    ``PQ_SUBS * log2(PQ_K)`` bits instead of ``dims * 32``.
+
+    Same bit-determinism contract as ``_kmeans_sql`` (exact-integer
+    centroid sums, fixed-order distance folds, ties to the lowest
+    codeword), generalized by a ``sub`` key: every CTE carries
+    (sub, cluster) instead of (cluster), so the ONE plan trains all
+    ``PQ_SUBS`` codebooks simultaneously — the codebook table is
+    ``PQ_SUBS x PQ_K`` rows, broadcast; the update step is one
+    (sub, cluster, dim)-keyed shuffle. Scale shape identical to
+    k-means: nothing corpus-sized broadcasts or globally sorts.
+    """
+    m, sd, k, e9 = PQ_SUBS, PQ_SUBDIM, PQ_K, _E9
+    if dialect == "spark":
+        qarr = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
+        subs = f"explode(sequence(0, {m - 1}))"
+        subvec = f"slice(qv, sub * {sd} + 1, {sd})"
+        dist = (
+            f"aggregate(zip_with(q.sv, c.cv, (a, b) -> "
+            f"CAST(a * c.n - b AS DOUBLE) * CAST(a * c.n - b AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
+        )
+        series = f"explode(sequence(1, {sd}))"
+        elem = "element_at(sv, CAST(dim AS INT))"
+        collect = "transform(sort_array(collect_list(struct(dim, s))), x -> x.s)"
+        hint = "/*+ BROADCAST(c) */ "
+    else:
+        qarr = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
+        subs = f"unnest(generate_series(0, {m - 1}))"
+        subvec = f"list_slice(qv, sub * {sd} + 1, sub * {sd} + {sd})"
+        dist = (
+            f"list_reduce(list_transform(range(1, {sd + 1}), i -> "
+            f"CAST(q.sv[i] * c.n - c.cv[i] AS DOUBLE) * CAST(q.sv[i] * c.n - c.cv[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
+        )
+        series = f"unnest(generate_series(1, {sd}))"
+        elem = "sv[CAST(dim AS INT)]"
+        collect = "list(s ORDER BY dim)"
+        hint = ""
+
+    def assign(cent: str) -> str:
+        return f"""
+  SELECT vec_id, sub, CAST(min(cluster) FILTER (WHERE d = md) AS BIGINT) AS code
+  FROM (
+    SELECT vec_id, sub, cluster, d, min(d) OVER (PARTITION BY vec_id, sub) AS md
+    FROM (
+      SELECT {hint}q.vec_id, q.sub, c.cluster, {dist} AS d
+      FROM qs q JOIN {cent} c ON c.sub = q.sub))
+  GROUP BY vec_id, sub"""
+
+    def update(assigned: str) -> str:
+        return f"""
+  SELECT sub, cluster, {collect} AS cv, CAST(min(n) AS BIGINT) AS n
+  FROM (
+    SELECT sub, cluster, CAST(dim AS BIGINT) AS dim,
+           CAST(sum({elem}) AS BIGINT) AS s, count(*) AS n
+    FROM (SELECT q.sv, q.sub, a.code AS cluster, {series} AS dim
+          FROM qs q JOIN {assigned} a ON a.vec_id = q.vec_id AND a.sub = q.sub)
+    GROUP BY sub, cluster, dim)
+  GROUP BY sub, cluster"""
+
+    return f"""
+WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+qs AS (SELECT vec_id, sub, {subvec} AS sv
+       FROM (SELECT vec_id, qv, {subs} AS sub FROM q)),
+c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cluster, sv AS cv, CAST(1 AS BIGINT) AS n
+       FROM qs WHERE vec_id < {k} LIMIT {k * m}),
+a1 AS ({assign("c0")}),
+c1 AS ({update("a1")}),
+a2 AS ({assign("c1")})
+SELECT vec_id, sub, code FROM a2 ORDER BY vec_id, sub
+"""
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(vector, subspace) PQ code after one Lloyd round per codebook."""
+    _register(spark, sf_dir)
+    return spark.sql(_pq_sql("spark"))
+
+def pq_codes_sql() -> str:
+    return _pq_sql("duckdb")

@@ -275,3 +275,55 @@ def test_heavy_hitters_cms_invariants(spark):
             for j, a in enumerate(evan.CMS_MULTIPLIERS)
         )
         assert r.cms_est == est
+
+
+def test_pq_codes_match_numpy(spark):
+    """PQ: codes reproduce a numpy reimplementation of the same
+    algorithm (e9 quantization, seed init, one exact-integer Lloyd
+    round per subspace, fixed-order distances, ties to lowest id)."""
+    import numpy as np
+
+    from dnstap2clickhouse_spark.functions import similarity as fsim
+
+    rows = fsim.pq_codes(spark, SF).collect()
+    assert rows
+    got = {(r.vec_id, r.sub): r.code for r in rows}
+    emb = {
+        r.vec_id: np.array(
+            [round(float(x) * fsim._E9) for x in r.embedding], dtype=np.int64
+        )
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    m, sd, k = fsim.PQ_SUBS, fsim.PQ_SUBDIM, fsim.PQ_K
+    for sub in range(m):
+        sv = {v: e[sub * sd : (sub + 1) * sd] for v, e in emb.items()}
+        # seed centroids as (sum, n) pairs
+        cent = {c: (sv[c].copy(), 1) for c in range(k)}
+
+        def assign(cent):
+            out = {}
+            for v, x in sv.items():
+                best, bd = None, None
+                for c in sorted(cent):
+                    s, n = cent[c]
+                    diff = (x * n - s).astype(np.float64)
+                    d = 0.0
+                    for t in diff * diff:  # fixed-order left fold
+                        d += t
+                    d /= float(n * n)
+                    if bd is None or d < bd:
+                        best, bd = c, d
+                out[v] = best
+            return out
+
+        a1 = assign(cent)
+        upd: dict = {}
+        for v, c in a1.items():
+            s, n = upd.get(c, (np.zeros(sd, dtype=np.int64), 0))
+            upd[c] = (s + sv[v], n + 1)
+        a2 = assign(upd)
+        for v in sv:
+            assert got[(v, sub)] == a2[v], (v, sub)
+    # every vector has exactly m codes, all within [0, k)
+    assert len(rows) == len(emb) * m
+    assert all(0 <= r.code < k for r in rows)
