@@ -576,3 +576,115 @@ SELECT date_trunc('hour', ts) AS windowStart, event_type,
 FROM kept GROUP BY windowStart, event_type
 ORDER BY windowStart, event_type
 """
+
+SESSION_STREAM_GAP_S = 1800  # 30 min, matches events_analytics.SESSION_GAP_S
+SESSION_STREAM_WM = "1 hour"
+SESSION_STREAM_CHUNKS = 4
+
+def streaming_session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` as a REAL append-mode stream — the one
+    stateful streaming semantic the other entries don't certify:
+    cross-micro-batch session MERGING plus watermark FINALIZATION
+    (append emits a session exactly once, when the watermark passes its
+    end).
+
+    Events are delivered in ``SESSION_STREAM_CHUNKS`` time-ordered
+    micro-batches (chunk = corpus-time quartile, explicit increasing
+    mtimes, one file per trigger). Time-ordering makes the entry
+    deterministic BY CONSTRUCTION: batch b's watermark derives from
+    chunks ≤ b−2, which all end before chunk b−1 begins, so (a) no
+    input row is ever late, and (b) a session spanning a chunk boundary
+    cannot be finalized before its last event arrives — the emitted set
+    is exactly "whole-corpus sessions whose end clears the final
+    watermark", independent of chunking. The oracle is therefore
+    chunk-free: gap-sessionize (the ``>=`` boundary rule pinned by the
+    batch ``events_session_window`` entry) and keep sessions with
+    ``end + gap <= max(ts) − watermark_delay`` (the final no-data batch
+    flushes state at watermark = global max − delay; boundary pinned
+    empirically as ``<=`` → strict ``<`` on the eviction compare).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    return streaming_session_window_df(spark, ev)
+
+def streaming_session_window_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of :func:`streaming_session_window_query` over an injected
+    events frame (``event_id, ts, user_id, value``) — lets tests feed a
+    corpus engineered to place sessions ACROSS chunk boundaries, where
+    the cross-batch merge is observable."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    mn, mx = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    n = SESSION_STREAM_CHUNKS
+    chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
+    d = tempfile.mkdtemp(prefix="session_stream_")
+    try:
+        base_t = time.time()
+        seen: set = set()
+        for i in range(n):
+            ev.filter(F.expr(f"{chunk} = {i}")).coalesce(1).write.mode("append").parquet(d)
+            for p in glob.glob(os.path.join(d, "part-*")):
+                if p not in seen:
+                    seen.add(p)
+                    os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        sessions = (
+            stream.withWatermark("ts", SESSION_STREAM_WM)
+            .groupBy(
+                "user_id",
+                F.session_window("ts", f"{SESSION_STREAM_GAP_S} seconds"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_e2"),
+            )
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("sessionStart"),
+                F.col("session_window.end").alias("sessionEnd"),
+                "n",
+                F.col("sum_e2").cast("long").alias("sum_e2"),
+            )
+        )
+        return run_stream_to_memory(sessions, "append", spark).orderBy(
+            "user_id", "sessionStart"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+def streaming_session_window_sql() -> str:
+    gap_us = SESSION_STREAM_GAP_S * 1_000_000
+    wm_us = 3600 * 1_000_000  # SESSION_STREAM_WM
+    return f"""
+WITH x AS (
+  SELECT user_id, ts, epoch_us(ts) AS tus, CAST(round(value * 100) AS BIGINT) AS ve2,
+         event_id
+  FROM events),
+lagged AS (
+  SELECT *, CAST(prev IS NULL OR tus - prev >= {gap_us} AS BIGINT) AS new_s
+  FROM (SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM x)),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagged),
+sessions AS (
+  SELECT user_id, min(ts) AS sessionStart,
+         max(ts) + INTERVAL {SESSION_STREAM_GAP_S} SECOND AS sessionEnd,
+         max(tus) + {gap_us} AS end_us,
+         count(*) AS n, CAST(sum(ve2) AS BIGINT) AS sum_e2
+  FROM numbered GROUP BY user_id, sid)
+SELECT user_id, sessionStart, sessionEnd, n, sum_e2
+FROM sessions, (SELECT max(tus) AS mx FROM x)
+WHERE end_us <= mx - {wm_us}
+ORDER BY user_id, sessionStart
+"""

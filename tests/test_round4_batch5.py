@@ -327,3 +327,46 @@ def test_pq_codes_match_numpy(spark):
     # every vector has exactly m codes, all within [0, k)
     assert len(rows) == len(emb) * m
     assert all(0 <= r.code < k for r in rows)
+
+
+def test_streaming_session_window_merges_across_batches(spark):
+    """A session engineered to straddle the chunk-1/chunk-2 time
+    boundary arrives split across two micro-batches and MUST come back
+    merged as one session (state-store merge), while the tail session
+    inside the watermark horizon MUST be withheld (append-mode
+    finalization)."""
+    import datetime
+
+    from dnstap2clickhouse_spark.streaming import pipeline as stp
+
+    t0 = datetime.datetime(2001, 1, 1)
+    h = 3600
+
+    def ev(eid, uid, sec):
+        return (eid, t0 + datetime.timedelta(seconds=sec), uid, 1.0)
+
+    # corpus span 0..40000s → 4 chunks of 10000s each. User 1's pair
+    # brackets the 20000s boundary 10 min apart (< 30 min gap): the two
+    # events land in chunk 1 and chunk 2 micro-batches but form ONE
+    # session. User 2's tail event sits at the corpus max (inside the
+    # 1 h watermark horizon) and must not be emitted.
+    rows_in = [
+        ev(0, 1, 0),  # chunk 0 anchor (corpus min)
+        ev(1, 1, 20000 - 300),
+        ev(2, 1, 20000 + 300),
+        ev(3, 2, 5000),
+        ev(4, 2, 40000),  # corpus max; unfinalized tail
+    ]
+    df = spark.createDataFrame(
+        rows_in, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, value DOUBLE"
+    )
+    out = stp.streaming_session_window_df(spark, df).collect()
+    got = {(r.user_id, r.n) for r in out}
+    # user 1: the boundary pair merged into one 2-event session + the anchor
+    assert (1, 2) in got and (1, 1) in got
+    # user 2: only the early session; the tail one is withheld
+    assert (2, 1) in got
+    assert len(out) == 3
+    gap = stp.SESSION_STREAM_GAP_S
+    for r in out:
+        assert (r.sessionEnd - r.sessionStart).total_seconds() >= gap
