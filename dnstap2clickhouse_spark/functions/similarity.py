@@ -663,22 +663,82 @@ def _pq_sql(dialect: str) -> str:
     GROUP BY sub, cluster, dim)
   GROUP BY sub, cluster"""
 
-    return f"""
-WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+    return (
+        f"""WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
 qs AS (SELECT vec_id, sub, {subvec} AS sv
        FROM (SELECT vec_id, qv, {subs} AS sub FROM q)),
 c0 AS (SELECT sub, CAST(vec_id AS BIGINT) AS cluster, sv AS cv, CAST(1 AS BIGINT) AS n
        FROM qs WHERE vec_id < {k} LIMIT {k * m}),
 a1 AS ({assign("c0")}),
 c1 AS ({update("a1")}),
-a2 AS ({assign("c1")})
+a2 AS ({assign("c1")})""",
+        dist,
+        hint,
+    )
+
+def _pq_codes_sql(dialect: str) -> str:
+    ctes, _, _ = _pq_sql(dialect)
+    return f"""
+{ctes}
 SELECT vec_id, sub, code FROM a2 ORDER BY vec_id, sub
 """
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(vector, subspace) PQ code after one Lloyd round per codebook."""
     _register(spark, sf_dir)
-    return spark.sql(_pq_sql("spark"))
+    return spark.sql(_pq_codes_sql("spark"))
 
 def pq_codes_sql() -> str:
-    return _pq_sql("duckdb")
+    return _pq_codes_sql("duckdb")
+
+def _pq_adc_sql(dialect: str) -> str:
+    """PQ search by Asymmetric Distance Computation: the query keeps its
+    full subvectors, the corpus keeps only its codes; per query a
+    ``PQ_SUBS x PQ_K`` lookup table of query↔codeword distances is
+    computed ONCE (the same exact fold as training), and every corpus
+    vector scores as the sum of ``PQ_SUBS`` table entries joined on its
+    codes — the ADC estimator of Jégou et al. 2011.
+
+    Determinism: each LUT entry is a fixed-order fold (identical in
+    both engines); the per-vector total sums the m entries in sub
+    order via an ordered-list fold, so the double is bit-identical.
+
+    Scale shape: the LUT is ``N_QUERIES * PQ_SUBS * PQ_K`` rows —
+    broadcast; the corpus side touches ONLY the integer code table
+    (never the embeddings), which is the entire point of PQ at 100 TB:
+    scoring cost and memory are per-code, not per-dimension. Top-k is
+    a per-query window over the scored codes."""
+    ctes, dist, hint = _pq_sql(dialect)
+    if dialect == "spark":
+        fold = (
+            "aggregate(transform(sort_array(collect_list(struct(a.sub, d))), x -> x.d), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    else:
+        fold = "list_reduce(list(d ORDER BY a.sub), (acc, v) -> acc + v)"
+    return f"""
+{ctes},
+lut AS (
+  SELECT {hint}q.vec_id AS query_id, q.sub, c.cluster, {dist} AS d
+  FROM (SELECT * FROM qs WHERE vec_id < {N_QUERIES}) q
+  JOIN c1 c ON c.sub = q.sub),
+scored AS (
+  SELECT l.query_id, a.vec_id, {fold} AS adc
+  FROM a2 a JOIN lut l ON l.sub = a.sub AND l.cluster = a.code
+  GROUP BY l.query_id, a.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, adc
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k nearest by PQ asymmetric distance (codes-only corpus side)."""
+    _register(spark, sf_dir)
+    return spark.sql(_pq_adc_sql("spark"))
+
+def pq_adc_topk_sql() -> str:
+    return _pq_adc_sql("duckdb")

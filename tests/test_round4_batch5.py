@@ -370,3 +370,73 @@ def test_streaming_session_window_merges_across_batches(spark):
     gap = stp.SESSION_STREAM_GAP_S
     for r in out:
         assert (r.sessionEnd - r.sessionStart).total_seconds() >= gap
+
+
+def test_pq_adc_matches_numpy(spark):
+    """ADC: the top-k per query reproduces a numpy reimplementation
+    (same codebooks, same LUT distances, same in-order sums, same
+    tie-breaks)."""
+    import numpy as np
+
+    from dnstap2clickhouse_spark.functions import similarity as fsim
+
+    rows = fsim.pq_adc_topk(spark, SF).collect()
+    assert rows
+    emb = {
+        r.vec_id: np.array(
+            [round(float(x) * fsim._E9) for x in r.embedding], dtype=np.int64
+        )
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    m, sd, k = fsim.PQ_SUBS, fsim.PQ_SUBDIM, fsim.PQ_K
+
+    def fold_dist(x, s, n):
+        diff = (x * n - s).astype(np.float64)
+        d = 0.0
+        for t in diff * diff:
+            d += t
+        return d / float(n * n)
+
+    codes: dict = {}
+    cbs: dict = {}
+    for sub in range(m):
+        sv = {v: e[sub * sd : (sub + 1) * sd] for v, e in emb.items()}
+        cent = {c: (sv[c].copy(), 1) for c in range(k)}
+
+        def assign(cent):
+            out = {}
+            for v, x in sv.items():
+                best, bd = None, None
+                for c in sorted(cent):
+                    d = fold_dist(x, *cent[c])
+                    if bd is None or d < bd:
+                        best, bd = c, d
+                out[v] = best
+            return out
+
+        a1 = assign(cent)
+        upd: dict = {}
+        for v, c in a1.items():
+            s, n = upd.get(c, (np.zeros(sd, dtype=np.int64), 0))
+            upd[c] = (s + sv[v], n + 1)
+        cbs[sub] = upd
+        for v, c in assign(upd).items():
+            codes[(v, sub)] = c
+    expected = {}
+    for q in range(fsim.N_QUERIES):
+        lut = {
+            (sub, c): fold_dist(emb[q][sub * sd : (sub + 1) * sd], *cbs[sub][c])
+            for sub in range(m)
+            for c in cbs[sub]
+        }
+        scored = []
+        for v in emb:
+            adc = 0.0
+            for sub in range(m):
+                adc += lut[(sub, codes[(v, sub)])]
+            scored.append((adc, v))
+        scored.sort()
+        for rank, (adc, v) in enumerate(scored[: fsim.TOP_K], 1):
+            expected[(q, rank)] = (v, adc)
+    got = {(r.query_id, r.rank): (r.vec_id, r.adc) for r in rows}
+    assert got == expected
