@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exclusion + count-distinct (Q16), double-correlated
         # EXISTS/NOT EXISTS (Q21), correlated scalar-MIN (Q2)
         "tpch_forecast_revenue": tpch.forecast_revenue,
+        "tpch_returned_items": tpch.returned_item_customers,
         "tpch_volume_shipping": tpch.volume_shipping,
         "tpch_product_profit": tpch.product_profit,
         "tpch_shipmode_priority": tpch.shipmode_priority,
@@ -468,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_customer_dist": tpch.customer_order_distribution_sql(),
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "tpch_forecast_revenue": tpch.forecast_revenue_sql(),
+        "tpch_returned_items": tpch.returned_item_customers_sql(),
         "tpch_volume_shipping": tpch.volume_shipping_sql(),
         "tpch_product_profit": tpch.product_profit_sql(),
         "tpch_shipmode_priority": tpch.shipmode_priority_sql(),

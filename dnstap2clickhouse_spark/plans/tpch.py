@@ -1073,3 +1073,58 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def min_cost_supplier_sql() -> str:
     return _min_cost_supplier_sql()
+
+Q10_QUARTER_START = "1996-10-01"
+
+def returned_item_customers(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
+    """TPC-H Q10 analogue: top customers by revenue lost to returned
+    items in one order quarter — the last of the 22 classic shapes
+    (multi-way join + grouped revenue + top-k over a wide group key).
+    Plan: the orderdate quarter prunes the orders scan; lineitem joins
+    it on the order key (shuffle), the returnflag filter rides the
+    lineitem scan; customer joins on the customer key and nation
+    broadcasts. Top-k is TakeOrderedAndProject on the exact scaled-int
+    revenue (deterministic tie-break on custkey)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_QUARTER_START).cast("timestamp"))
+        & (
+            F.col("o_orderdate")
+            < F.lit(Q10_QUARTER_START).cast("timestamp") + F.expr("INTERVAL 3 MONTH")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(F.expr(_DISC_E4)).alias("rev_e4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_e4") / F.lit(10000.0)).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+            "c_mktsegment",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(limit)
+    )
+
+def returned_item_customers_sql(limit: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_DISC_E4}) AS BIGINT) / CAST(10000 AS DOUBLE) AS revenue,
+       c_acctbal, n_name, c_mktsegment
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_QUARTER_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q10_QUARTER_START}' + INTERVAL 3 MONTH
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey LIMIT {limit}
+"""

@@ -440,3 +440,30 @@ def test_pq_adc_matches_numpy(spark):
             expected[(q, rank)] = (v, adc)
     got = {(r.query_id, r.rank): (r.vec_id, r.adc) for r in rows}
     assert got == expected
+
+
+def test_returned_items_only_returned_revenue(spark):
+    """Q10: every ranked customer's revenue recomputes from ONLY
+    returnflag='R' lines of the quarter's orders, and ranking is by
+    revenue descending with custkey tie-break."""
+    rows = tpch.returned_item_customers(spark, SF).collect()
+    assert rows
+    li = load_table(spark, SF, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, SF, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(tpch.Q10_QUARTER_START).cast("timestamp"))
+        & (
+            F.col("o_orderdate")
+            < F.lit(tpch.Q10_QUARTER_START).cast("timestamp") + F.expr("INTERVAL 3 MONTH")
+        )
+    )
+    manual = {
+        r.o_custkey: r.s
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(tpch._DISC_E4)).alias("s"))
+        .collect()
+    }
+    for r in rows:
+        assert round(r.revenue * 10000) == manual[r.c_custkey]
+    revs = [(r.revenue, -r.c_custkey) for r in rows]
+    assert revs == sorted(revs, reverse=True)
