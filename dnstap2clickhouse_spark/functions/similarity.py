@@ -607,7 +607,12 @@ def _pq_sql(dialect: str) -> str:
 
     Same bit-determinism contract as ``_kmeans_sql`` (exact-integer
     centroid sums, fixed-order distance folds, ties to the lowest
-    codeword), generalized by a ``sub`` key: every CTE carries
+    codeword). The assign/update CTE machinery deliberately parallels
+    ``_kmeans_sql`` rather than sharing code: the two entries are each
+    pinned by a 3-scale oracle plus a numpy reimplementation test, so a
+    contract change applied to one and not the other fails its gates
+    rather than drifting silently. Generalized by a ``sub`` key: every
+    CTE carries
     (sub, cluster) instead of (cluster), so the ONE plan trains all
     ``PQ_SUBS`` codebooks simultaneously — the codebook table is
     ``PQ_SUBS x PQ_K`` rows, broadcast; the update step is one

@@ -779,11 +779,14 @@ ORDER BY event_id
 
 # --------------------------------------------- count-min heavy hitters
 
-#: CMS geometry: depth 4 (one Lehmer hash row each, classic public
-#: multipliers), width 4096 — 16384 counters total, a fixed-size
+#: CMS geometry: depth 4 (one Lehmer hash row each — the SAME modulus/
+#: first multiplier as functions/splits.py, imported so the "same hash
+#: family" promise can't drift; rows 2-4 use the other classic MINSTD-
+#: family multipliers), width 4096 — 16384 counters total, a fixed-size
 #: mergeable summary regardless of corpus size
-CMS_P = 2_147_483_647
-CMS_MULTIPLIERS = (48271, 16807, 69621, 40692)
+from ..functions.splits import LEHMER_A as CMS_A0, LEHMER_P as CMS_P
+
+CMS_MULTIPLIERS = (CMS_A0, 16807, 69621, 40692)
 CMS_WIDTH = 4096
 #: heavy-hitter gate: estimated count ≥ 105% of the mean per-user count
 #: (both sides of the ratio computed in-query as exact integers)

@@ -469,6 +469,48 @@ def streaming_dedup_sql() -> str:
 
 # --------------------------------------------- watermark late-data drops
 
+def _chunked_file_stream(spark: SparkSession, df: DataFrame, chunk_expr: str, n_chunks: int):
+    """Context manager: deliver ``df`` as ``n_chunks`` ORDERED
+    micro-batches through a temp-dir file stream; yields the
+    ``readStream`` DataFrame (one file per trigger).
+
+    The file source orders by mtime; rapid appends could tie and fall
+    back to (random uuid) path order, so each chunk's files get an
+    EXPLICIT strictly increasing mtime — batch order is deterministic
+    by construction. ``chunk_expr`` is any int-valued SQL expression
+    over ``df``'s columns assigning each row to a chunk in
+    ``[0, n_chunks)``."""
+    import contextlib
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    @contextlib.contextmanager
+    def cm():
+        d = tempfile.mkdtemp(prefix="chunk_stream_")
+        try:
+            base_t = time.time()
+            seen: set = set()
+            for i in range(n_chunks):
+                df.filter(F.expr(f"({chunk_expr}) = {i}")).coalesce(1).write.mode(
+                    "append"
+                ).parquet(d)
+                for p in glob.glob(os.path.join(d, "part-*")):
+                    if p not in seen:
+                        seen.add(p)
+                        os.utime(p, (base_t + 10 * i, base_t + 10 * i))
+            yield (
+                spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    return cm()
+
 LATE_WATERMARK = "3 days"
 LATE_CHUNKS = 4
 
@@ -491,37 +533,12 @@ def streaming_late_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference analogue: the TTL eviction F8, aggregator.go flush
     windows).
     """
-    import shutil
-    import tempfile
-
-    import glob
-    import os
-    import time
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
-    d = tempfile.mkdtemp(prefix="late_stream_")
-    try:
-        # ascending append -> in-order batches. The file source orders by
-        # mtime; rapid appends could tie and fall back to (random uuid)
-        # path order, so each chunk's files get an EXPLICIT strictly
-        # increasing mtime — batch order is deterministic by construction.
-        base_t = time.time()
-        seen: set = set()
-        for i in range(LATE_CHUNKS):
-            ev.filter(F.expr(f"event_id % {LATE_CHUNKS} = {i}")).coalesce(1).write.mode(
-                "append"
-            ).parquet(d)
-            for p in glob.glob(os.path.join(d, "part-*")):
-                if p not in seen:
-                    seen.add(p)
-                    os.utime(p, (base_t + 10 * i, base_t + 10 * i))
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(d)
-        )
+    with _chunked_file_stream(
+        spark, ev, f"event_id % {LATE_CHUNKS}", LATE_CHUNKS
+    ) as stream:
         agg = (
             stream.withWatermark("ts", LATE_WATERMARK)
             .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -543,8 +560,6 @@ def streaming_late_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").alias("n"), F.max("sum_e2").alias("sum_e2"))
             .orderBy("windowStart", "event_type")
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 def streaming_late_data_sql() -> str:
     secs = 3 * 86400  # LATE_WATERMARK in seconds
@@ -554,7 +569,11 @@ WITH x AS (
          CAST(event_id % {LATE_CHUNKS} AS BIGINT) AS chunk
   FROM events),
 chunk_max AS (
-  SELECT chunk, max(ts) AS mx FROM x GROUP BY chunk),
+  -- Spark tracks event-time stats in MILLISECONDS: the watermark is
+  -- floor_ms(max event time) − delay, so the max is truncated to ms
+  -- BEFORE the subtraction (an event with sub-ms precision just under
+  -- an eviction boundary would otherwise flip the comparison).
+  SELECT chunk, (epoch_us(max(ts)) // 1000) * 1000 AS mx_us FROM x GROUP BY chunk),
 wm AS (
   -- Watermark APPLIED to batch b's input. Empirically pinned (progress
   -- log + key-set equality): the late filter in batch b uses the
@@ -563,14 +582,14 @@ wm AS (
   -- watermark from a batch's max event time only when PLANNING the
   -- batch after next). Hence "2 PRECEDING", not 1.
   SELECT chunk,
-         max(mx) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
-           - INTERVAL {secs} SECOND AS watermark
+         max(mx_us) OVER (ORDER BY chunk ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+           - CAST({secs} AS BIGINT) * 1000000 AS watermark_us
   FROM chunk_max),
 kept AS (
   SELECT x.ts, x.event_type, x.ve2
   FROM x JOIN wm ON wm.chunk = x.chunk
-  WHERE wm.watermark IS NULL
-     OR date_trunc('hour', x.ts) + INTERVAL 1 HOUR > wm.watermark)
+  WHERE wm.watermark_us IS NULL
+     OR epoch_us(date_trunc('hour', x.ts) + INTERVAL 1 HOUR) > wm.watermark_us)
 SELECT date_trunc('hour', ts) AS windowStart, event_type,
        count(*) AS n, CAST(sum(ve2) AS BIGINT) AS sum_e2
 FROM kept GROUP BY windowStart, event_type
@@ -611,32 +630,12 @@ def streaming_session_window_df(spark: SparkSession, ev: DataFrame) -> DataFrame
     events frame (``event_id, ts, user_id, value``) — lets tests feed a
     corpus engineered to place sessions ACROSS chunk boundaries, where
     the cross-batch merge is observable."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-    import time
-
     mn, mx = ev.agg(
         F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
     ).collect()[0]
     n = SESSION_STREAM_CHUNKS
     chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
-    d = tempfile.mkdtemp(prefix="session_stream_")
-    try:
-        base_t = time.time()
-        seen: set = set()
-        for i in range(n):
-            ev.filter(F.expr(f"{chunk} = {i}")).coalesce(1).write.mode("append").parquet(d)
-            for p in glob.glob(os.path.join(d, "part-*")):
-                if p not in seen:
-                    seen.add(p)
-                    os.utime(p, (base_t + 10 * i, base_t + 10 * i))
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(d)
-        )
+    with _chunked_file_stream(spark, ev, chunk, n) as stream:
         sessions = (
             stream.withWatermark("ts", SESSION_STREAM_WM)
             .groupBy(
@@ -658,8 +657,6 @@ def streaming_session_window_df(spark: SparkSession, ev: DataFrame) -> DataFrame
         return run_stream_to_memory(sessions, "append", spark).orderBy(
             "user_id", "sessionStart"
         )
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
 
 def streaming_session_window_sql() -> str:
     gap_us = SESSION_STREAM_GAP_S * 1_000_000
@@ -684,7 +681,10 @@ sessions AS (
          count(*) AS n, CAST(sum(ve2) AS BIGINT) AS sum_e2
   FROM numbered GROUP BY user_id, sid)
 SELECT user_id, sessionStart, sessionEnd, n, sum_e2
-FROM sessions, (SELECT max(tus) AS mx FROM x)
+-- ms truncation: Spark's watermark is floor_ms(max event time) − delay
+-- (event-time stats are millisecond-granular), so the finalization cut
+-- truncates the corpus max to ms before subtracting.
+FROM sessions, (SELECT (max(tus) // 1000) * 1000 AS mx FROM x)
 WHERE end_us <= mx - {wm_us}
 ORDER BY user_id, sessionStart
 """

@@ -15,6 +15,20 @@ from dnstap2clickhouse_spark.sources.tables import load_table
 SF = "/root/testdata/sf0.001"
 
 
+def _round_ha(v: float) -> int:
+    """SQL-compatible round: half away from zero on the EXACT binary
+    value (Python's built-in round() is banker's half-to-even, which
+    disagrees with Spark/DuckDB on exact .5 values — e.g. 62.5 cents;
+    the floor(abs+0.5) idiom mis-rounds values 1 ulp below a half).
+    Decimal(float) is exact, and decimal ROUND_HALF_UP is away-from-zero
+    — the same rule as Spark's BigDecimal rounding."""
+    import decimal
+
+    return int(
+        decimal.Decimal(v).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+    )
+
+
 def test_forecast_revenue_matches_manual_filter(spark):
     """Q6: the one-row sum equals a hand-rolled recomputation of the
     same predicate band (discount compared on exact integer percent)."""
@@ -185,7 +199,7 @@ def test_min_cost_supplier_achieves_minimum(spark):
     for l in load_table(spark, SF, "lineitem").collect():
         if l.l_suppkey not in eu or l.l_partkey not in part:
             continue
-        c = round(l.l_extendedprice / l.l_quantity * 100)
+        c = _round_ha(l.l_extendedprice / l.l_quantity * 100)
         k = (l.l_partkey, l.l_suppkey)
         cost[k] = min(cost.get(k, c), c)
     per_part_min: dict = {}
@@ -290,7 +304,7 @@ def test_pq_codes_match_numpy(spark):
     got = {(r.vec_id, r.sub): r.code for r in rows}
     emb = {
         r.vec_id: np.array(
-            [round(float(x) * fsim._E9) for x in r.embedding], dtype=np.int64
+            [_round_ha(float(x) * fsim._E9) for x in r.embedding], dtype=np.int64
         )
         for r in load_table(spark, SF, "embeddings").collect()
     }
@@ -384,7 +398,7 @@ def test_pq_adc_matches_numpy(spark):
     assert rows
     emb = {
         r.vec_id: np.array(
-            [round(float(x) * fsim._E9) for x in r.embedding], dtype=np.int64
+            [_round_ha(float(x) * fsim._E9) for x in r.embedding], dtype=np.int64
         )
         for r in load_table(spark, SF, "embeddings").collect()
     }
@@ -464,6 +478,6 @@ def test_returned_items_only_returned_revenue(spark):
         .collect()
     }
     for r in rows:
-        assert round(r.revenue * 10000) == manual[r.c_custkey]
+        assert _round_ha(r.revenue * 10000) == manual[r.c_custkey]
     revs = [(r.revenue, -r.c_custkey) for r in rows]
     assert revs == sorted(revs, reverse=True)
