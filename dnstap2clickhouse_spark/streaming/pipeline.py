@@ -688,3 +688,51 @@ FROM sessions, (SELECT (max(tus) // 1000) * 1000 AS mx FROM x)
 WHERE end_us <= mx - {wm_us}
 ORDER BY user_id, sessionStart
 """
+
+SJOIN_CHUNKS = 4
+SJOIN_WM = "10 minutes"  # join delay comes from AggregatorConfig.max_response_delay
+
+def streaming_response_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J1 query↔response match as a REAL stream-stream inner join —
+    two watermarked streams (both derived from one time-ordered chunked
+    file source), equi-keyed on the 4-part DNS key with the
+    ``[qt, qt+10min]`` range as the join condition. This certifies the
+    remaining core Structured Streaming operator the batch J1 flavors
+    don't: symmetric join STATE — each side buffers rows until the other
+    side's watermark passes the time bound, then evicts.
+
+    Determinism by construction (same argument as the session-window
+    entry): chunks partition event TIME, so batch b's watermark (from
+    chunks ≤ b−2) is always below every arriving row (nothing is late),
+    and a buffered query row becomes evictable only when
+    ``wm > qt + 10min`` — at which point every response that could match
+    it (rt ≤ qt+10min < wm) has already arrived in an earlier chunk. No
+    match can be missed, so the emitted set equals the BATCH interval
+    join exactly and the oracle is the existing J1 SQL — while the
+    execution path (state buffering + eviction across 4 micro-batches)
+    is the one a 100 TB streaming deployment runs.
+    """
+    return streaming_response_join_df(spark, load_table(spark, sf_dir, "events"))
+
+def streaming_response_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of :func:`streaming_response_join_query` over an injected
+    events frame — lets tests engineer a query/response pair that
+    straddles a chunk boundary, where the symmetric join state's
+    cross-batch buffering is observable."""
+    mn, mx = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    n = SJOIN_CHUNKS
+    chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
+    with _chunked_file_stream(spark, ev, chunk, n) as stream:
+        joined = streaming_response_time_join(stream, watermark=SJOIN_WM)
+        return run_stream_to_memory(joined, "append", spark).orderBy(
+            "responseTime", "identity", "delta_us"
+        )
+
+def streaming_response_join_sql() -> str:
+    from ..operators.join import match_response_times_sql
+    from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
+
+    inner = match_response_times_sql(PAIR_QUERY_SQL, PAIR_RESPONSE_SQL)
+    return f"SELECT * FROM ({inner})\nORDER BY responseTime, identity, delta_us"

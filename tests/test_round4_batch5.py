@@ -481,3 +481,39 @@ def test_returned_items_only_returned_revenue(spark):
         assert _round_ha(r.revenue * 10000) == manual[r.c_custkey]
     revs = [(r.revenue, -r.c_custkey) for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_streaming_response_join_buffers_across_batches(spark):
+    """A query arriving in one micro-batch must be matched by its
+    response arriving in a LATER micro-batch (symmetric join state
+    buffering), and a response outside the 10-minute bound must not
+    match."""
+    import datetime
+
+    from dnstap2clickhouse_spark.streaming import pipeline as stp
+
+    t0 = datetime.datetime(2001, 1, 1)
+
+    def ev(eid, sec):
+        return (eid, t0 + datetime.timedelta(seconds=sec), 1, "click", 1.0)
+
+    # span 0..40000s → 4 chunks of 10000s. Pair key = event_id div 2.
+    # key 5: query (id 10) at 9950s (chunk 0), response (id 11) at
+    # 10050s (chunk 1) — 100s apart, MUST match across the batch
+    # boundary. key 6: response (id 13) arrives 11 min after its query
+    # (id 12) — outside the bound, must NOT match. Anchors pin the
+    # corpus span.
+    rows = [
+        ev(0, 0),  # anchor min
+        ev(10, 9950),
+        ev(11, 10050),
+        ev(12, 20000),
+        ev(13, 20000 + 660),
+        ev(2, 40000),  # anchor max (even id: a query with no response)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    out = stp.streaming_response_join_df(spark, df).collect()
+    assert len(out) == 1
+    assert out[0].delta_us == 100 * 1_000_000
