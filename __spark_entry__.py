@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + asymmetric-distance top-k search over the codes
         "sim_pq_codes": fsim.pq_codes,
         "sim_pq_adc": fsim.pq_adc_topk,
+        "sim_ivfpq_topk": fsim.ivfpq_topk,
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
@@ -455,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": evan.heavy_hitters_sql(),
         "sim_pq_codes": fsim.pq_codes_sql(),
         "sim_pq_adc": fsim.pq_adc_topk_sql(),
+        "sim_ivfpq_topk": fsim.ivfpq_topk_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),

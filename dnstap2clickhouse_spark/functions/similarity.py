@@ -747,3 +747,90 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pq_adc_topk_sql() -> str:
     return _pq_adc_sql("duckdb")
+
+def _ivfpq_sql(dialect: str) -> str:
+    """IVF-PQ: the two ANN stages composed the way a production vector
+    index runs them (FAISS's IVF-ADC form, Jégou et al. 2011 §V) —
+    coarse IVF cells prune the CANDIDATE set, then PQ asymmetric
+    distance ranks the candidates from their integer codes alone.
+
+    Scale shape: the broadcasts are all bounded (centroid table, probe
+    list, ``subs x k`` codebooks, per-query LUT); the corpus
+    contributes its cell assignment (computed against the broadcast
+    centroids, shuffle-free) and its code table. A query therefore
+    touches ``nprobe`` cells' codes — never the embedding column, never
+    the full corpus. This flavor scores full-vector codebooks rather
+    than per-cell residuals (the residual refinement is a constant-
+    factor accuracy move, not a plan-shape change).
+    """
+    ctes, dist, hint = _pq_sql(dialect)
+    cent_inner = _centroid_sql(dialect).replace(" ORDER BY label, dim", "")
+    if dialect == "spark":
+        cvec = (
+            "SELECT label, transform(sort_array(collect_list(struct(dim, centroid))), "
+            "s -> s.centroid) AS cvec FROM cent GROUP BY label"
+        )
+        qdot = (
+            "aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cnorm_expr = "aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+        fold = (
+            "aggregate(transform(sort_array(collect_list(struct(a.sub, d))), x -> x.d), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        h_cent = "/*+ BROADCAST(c) */ "
+        h_probe = "/*+ BROADCAST(p) */ "
+    else:
+        cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"
+        qdot = "list_dot_product(c.cvec, e.embedding::DOUBLE[])"
+        cnorm_expr = "list_dot_product(cvec, cvec)"
+        fold = "list_reduce(list(d ORDER BY a.sub), (acc, v) -> acc + v)"
+        h_cent = h_probe = ""
+    return f"""
+{ctes},
+e AS ({_normed(dialect)}),
+cent AS ({cent_inner}),
+centv AS (SELECT label, cvec, {cnorm_expr} AS cnrm FROM ({cvec})),
+cell_scored AS (
+  SELECT {h_cent}e.vec_id, c.label,
+         {qdot} / sqrt(c.cnrm * e.nrm) AS ccos
+  FROM e CROSS JOIN centv c),
+cell_ranked AS (
+  SELECT vec_id, label, ccos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+  FROM cell_scored),
+assign AS (SELECT vec_id, label AS cell FROM cell_ranked WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, label AS cell
+  FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+lut AS (
+  SELECT {hint}q.vec_id AS query_id, q.sub, c.cluster, {dist} AS d
+  FROM (SELECT * FROM qs WHERE vec_id < {N_QUERIES}) q
+  JOIN c1 c ON c.sub = q.sub),
+cand AS (
+  SELECT {h_probe}p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id, {fold} AS adc
+  FROM cand cd
+  JOIN a2 a ON a.vec_id = cd.neighbor_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.sub = a.sub AND l.cluster = a.code
+  GROUP BY cd.query_id, cd.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by IVF-pruned candidates scored with PQ asymmetric distance."""
+    _register(spark, sf_dir)
+    return spark.sql(_ivfpq_sql("spark"))
+
+def ivfpq_topk_sql() -> str:
+    return _ivfpq_sql("duckdb")

@@ -517,3 +517,57 @@ def test_streaming_response_join_buffers_across_batches(spark):
     out = stp.streaming_response_join_df(spark, df).collect()
     assert len(out) == 1
     assert out[0].delta_us == 100 * 1_000_000
+
+
+def test_ivfpq_candidates_come_from_probed_cells(spark):
+    """IVF-PQ: every returned neighbor lives in one of its query's
+    probed cells, and each pair's ADC score equals the standalone ADC
+    entry's score for that pair (same codebooks, same LUT)."""
+    from dnstap2clickhouse_spark.functions import similarity as fsim
+
+    rows = fsim.ivfpq_topk(spark, SF).collect()
+    assert rows
+    # rebuild assignment + probe sets from the same SQL pieces
+    fsim._register(spark, SF)
+    cell = {
+        r.vec_id: r.cell
+        for r in spark.sql(
+            f"""WITH e AS ({fsim._normed('spark')}),
+cent AS ({fsim._centroid_sql('spark').replace(' ORDER BY label, dim', '')}),
+centv AS (SELECT label,
+            aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v) AS cnrm, cvec
+          FROM (SELECT label, transform(sort_array(collect_list(struct(dim, centroid))),
+                 s -> s.centroid) AS cvec FROM cent GROUP BY label)),
+s AS (SELECT e.vec_id, c.label,
+        aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(c.cnrm * e.nrm) AS ccos
+      FROM e CROSS JOIN centv c),
+r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn FROM s)
+SELECT vec_id, label AS cell FROM r WHERE rn = 1"""
+        ).collect()
+    }
+    probes = {}
+    for r in spark.sql(
+        f"""WITH e AS ({fsim._normed('spark')}),
+cent AS ({fsim._centroid_sql('spark').replace(' ORDER BY label, dim', '')}),
+centv AS (SELECT label,
+            aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v) AS cnrm, cvec
+          FROM (SELECT label, transform(sort_array(collect_list(struct(dim, centroid))),
+                 s -> s.centroid) AS cvec FROM cent GROUP BY label)),
+s AS (SELECT e.vec_id, c.label,
+        aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(c.cnrm * e.nrm) AS ccos
+      FROM e CROSS JOIN centv c),
+r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn FROM s)
+SELECT vec_id, label FROM r WHERE vec_id < {fsim.N_QUERIES} AND rn <= {fsim.IVF_NPROBE}"""
+    ).collect():
+        probes.setdefault(r.vec_id, set()).add(r.label)
+    for r in rows:
+        assert cell[r.neighbor_id] in probes[r.query_id], (r.query_id, r.neighbor_id)
+    # cross-entry consistency: IVF-PQ's adc equals the full-ADC entry's
+    # score for pairs both report
+    full = {(r.query_id, r.vec_id): r.adc for r in fsim.pq_adc_topk(spark, SF).collect()}
+    shared = [(r.query_id, r.neighbor_id, r.adc) for r in rows if (r.query_id, r.neighbor_id) in full]
+    assert shared  # the probed cells contain some of the global top-k
+    for q, nb, adc in shared:
+        assert adc == full[(q, nb)]
