@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": fsim.pq_codes,
         "sim_pq_adc": fsim.pq_adc_topk,
         "sim_ivfpq_topk": fsim.ivfpq_topk,
+        "sim_ivfpq_recall": fsim.ivfpq_recall,
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_pq_codes": fsim.pq_codes_sql(),
         "sim_pq_adc": fsim.pq_adc_topk_sql(),
         "sim_ivfpq_topk": fsim.ivfpq_topk_sql(),
+        "sim_ivfpq_recall": fsim.ivfpq_recall_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),

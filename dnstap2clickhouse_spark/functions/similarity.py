@@ -834,3 +834,29 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivfpq_topk_sql() -> str:
     return _ivfpq_sql("duckdb")
+
+def _ivfpq_recall_sql(dialect: str) -> str:
+    """recall@k of the composed IVF-PQ index against the exact
+    brute-force top-k — completes the quality-sweep trio (LSH, IVF,
+    IVF-PQ), so the cell-count/nprobe/codebook-size trade-off is
+    measurable with one query per configuration. The PQ stage adds code
+    quantization error on top of IVF's cell pruning, so this recall
+    lower-bounds `sim_ivf_recall`'s."""
+    return f"""
+WITH brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
+approx AS ({_ivfpq_sql(dialect).replace("ORDER BY query_id, rank", "")})
+SELECT b.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute b LEFT JOIN approx a
+  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id ORDER BY b.query_id
+"""
+
+def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of ``ivfpq_topk`` vs ``cosine_topk``."""
+    _register(spark, sf_dir)
+    return spark.sql(_ivfpq_recall_sql("spark"))
+
+def ivfpq_recall_sql() -> str:
+    return _ivfpq_recall_sql("duckdb")

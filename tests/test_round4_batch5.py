@@ -571,3 +571,17 @@ SELECT vec_id, label FROM r WHERE vec_id < {fsim.N_QUERIES} AND rn <= {fsim.IVF_
     assert shared  # the probed cells contain some of the global top-k
     for q, nb, adc in shared:
         assert adc == full[(q, nb)]
+
+
+def test_ivfpq_recall_bounded_by_ivf_recall(spark):
+    """IVF-PQ adds quantization error on top of cell pruning, so its
+    per-query recall can't exceed plain IVF's on the same probe set —
+    and both are proper fractions of TOP_K."""
+    from dnstap2clickhouse_spark.functions import similarity as fsim
+
+    pq = {r.query_id: r.n_hits for r in fsim.ivfpq_recall(spark, SF).collect()}
+    ivf = {r.query_id: r.n_hits for r in fsim.ivf_recall(spark, SF).collect()}
+    assert set(pq) == set(ivf) == set(range(fsim.N_QUERIES))
+    for q in pq:
+        assert 0 <= pq[q] <= fsim.TOP_K
+        assert pq[q] <= ivf[q]
