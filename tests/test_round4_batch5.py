@@ -585,3 +585,39 @@ def test_ivfpq_recall_bounded_by_ivf_recall(spark):
     for q in pq:
         assert 0 <= pq[q] <= fsim.TOP_K
         assert pq[q] <= ivf[q]
+
+
+def test_rocksdb_state_store_equivalence(spark):
+    """The production state backend (RocksDBStateStoreProvider) yields
+    byte-identical results to the default HDFS-backed provider for both
+    stateful shapes added this round (session windows and the
+    stream-stream join) — turning the docs' 'RocksDB-ready' claim into
+    executed evidence."""
+    import datetime
+
+    from dnstap2clickhouse_spark.streaming import pipeline as stp
+
+    t0 = datetime.datetime(2001, 1, 1)
+
+    def ev(eid, sec):
+        return (eid, t0 + datetime.timedelta(seconds=sec), 1, "click", 1.0)
+
+    df = spark.createDataFrame(
+        [ev(0, 0), ev(10, 9950), ev(11, 10050), ev(12, 20000), ev(2, 40000)],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    base_sessions = [tuple(r) for r in stp.streaming_session_window_df(spark, df).collect()]
+    base_joins = [tuple(r) for r in stp.streaming_response_join_df(spark, df).collect()]
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        assert [tuple(r) for r in stp.streaming_session_window_df(spark, df).collect()] == base_sessions
+        assert [tuple(r) for r in stp.streaming_response_join_df(spark, df).collect()] == base_joins
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert base_sessions and base_joins
