@@ -215,15 +215,14 @@ FROM ranked WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
 
-def _ann_recall_sql(dialect: str) -> str:
-    """recall@k of the LSH ANN against the exact brute-force top-k,
-    per query vector — the standard ANN quality metric, computed
-    entirely in-engine so index-parameter sweeps (LSH_TABLES/LSH_BITS)
-    are a query away. The ground-truth side is the already-linear
-    brute-force scan; the join is a tiny (N_QUERIES x k) equi-join."""
+def _recall_vs_brute_sql(dialect: str, approx_sql: str) -> str:
+    """Shared recall@k template: LEFT JOIN an approximate index's top-k
+    against the exact brute-force top-k and count hits per query. One
+    template serves every index flavor (LSH / IVF / IVF-PQ) so the
+    metric definition cannot drift between them."""
     return f"""
 WITH brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
-approx AS ({_lsh_sql(dialect).replace("ORDER BY query_id, rank", "")})
+approx AS ({approx_sql.replace("ORDER BY query_id, rank", "")})
 SELECT b.query_id,
        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
        CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
@@ -231,6 +230,14 @@ FROM brute b LEFT JOIN approx a
   ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
 GROUP BY b.query_id ORDER BY b.query_id
 """
+
+def _ann_recall_sql(dialect: str) -> str:
+    """recall@k of the LSH ANN against the exact brute-force top-k,
+    per query vector — the standard ANN quality metric, computed
+    entirely in-engine so index-parameter sweeps (LSH_TABLES/LSH_BITS)
+    are a query away. The ground-truth side is the already-linear
+    brute-force scan; the join is a tiny (N_QUERIES x k) equi-join."""
+    return _recall_vs_brute_sql(dialect, _lsh_sql(dialect))
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of ``lsh_bucketed_ann`` vs ``cosine_topk``."""
@@ -351,16 +358,15 @@ def label_centroids_sql() -> str:
 
 IVF_NPROBE = 2
 
-def _ivf_sql(dialect: str) -> str:
-    """IVF ANN: coarse-quantize every vector to its nearest centroid cell,
-    then search only the query's ``IVF_NPROBE`` closest cells.
-
-    At 100 TB this is the partition-pruning form of vector search: the
-    cell id is the table's partition/bucket key, and a query touches
-    nprobe partitions instead of the full corpus. Centroids here come
-    from the label groups (a stand-in for k-means); the assignment +
-    probe machinery is the real thing.
-    """
+def _ivf_cell_ctes(dialect: str) -> str:
+    """Shared CTE fragment for IVF coarse quantization — defines
+    ``e`` (normed corpus), ``cent``/``centv`` (cell centroids),
+    ``cell_scored``/``cell_ranked`` (per-vector cell affinities),
+    ``assign`` (nearest cell per vector) and ``probes`` (each query's
+    ``IVF_NPROBE`` closest cells). ONE definition feeds both
+    ``_ivf_sql`` and ``_ivfpq_sql``, so the "same probe set" premise of
+    the recall lower-bound theorem (test_ivfpq_recall_bounded_by_
+    ivf_recall) is true by construction, not by parallel editing."""
     cent_inner = _centroid_sql(dialect).replace(" ORDER BY label, dim", "")
     if dialect == "spark":
         cvec = (
@@ -372,19 +378,13 @@ def _ivf_sql(dialect: str) -> str:
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         cnorm_expr = "aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
+        h_cent = "/*+ BROADCAST(c) */ "
     else:
         cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"
         qdot = "list_dot_product(c.cvec, e.embedding::DOUBLE[])"
         cnorm_expr = "list_dot_product(cvec, cvec)"
-    dot_pair = _dot("q.embedding", "n.embedding", dialect)
-    # broadcast the centroid table (tiny) against the corpus scan, and
-    # the probe list (nprobe rows per query) against the assignments —
-    # keeps the corpus side shuffle-free end-to-end. Norms are per-row
-    # columns (e.nrm from _normed, cnrm per centroid), never per-pair.
-    h_cent = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
-    h_probe = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
-    return f"""
-WITH e AS ({_normed(dialect)}),
+        h_cent = ""
+    return f"""e AS ({_normed(dialect)}),
 cent AS ({cent_inner}),
 centv AS (SELECT label, cvec, {cnorm_expr} AS cnrm FROM ({cvec})),
 cell_scored AS (
@@ -398,7 +398,26 @@ cell_ranked AS (
 assign AS (SELECT vec_id, label AS cell FROM cell_ranked WHERE rn = 1),
 probes AS (
   SELECT vec_id AS query_id, label AS cell
-  FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+  FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE})"""
+
+def _ivf_sql(dialect: str) -> str:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid cell,
+    then search only the query's ``IVF_NPROBE`` closest cells.
+
+    At 100 TB this is the partition-pruning form of vector search: the
+    cell id is the table's partition/bucket key, and a query touches
+    nprobe partitions instead of the full corpus. Centroids here come
+    from the label groups (a stand-in for k-means); the assignment +
+    probe machinery is the real thing.
+    """
+    dot_pair = _dot("q.embedding", "n.embedding", dialect)
+    # broadcast the centroid table (tiny) against the corpus scan, and
+    # the probe list (nprobe rows per query) against the assignments —
+    # keeps the corpus side shuffle-free end-to-end. Norms are per-row
+    # columns (e.nrm from _normed, cnrm per centroid), never per-pair.
+    h_probe = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
+    return f"""
+WITH {_ivf_cell_ctes(dialect)},
 cand AS (
   SELECT {h_probe}p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cell = p.cell
@@ -485,16 +504,7 @@ def _ivf_recall_sql(dialect: str) -> str:
     LSH path, so IVF_K/IVF_NPROBE sweeps are a query away. Ground truth
     is the already-linear brute-force scan; the compare join is a tiny
     (N_QUERIES x k) equi-join."""
-    return f"""
-WITH brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
-approx AS ({_ivf_sql(dialect).replace("ORDER BY query_id, rank", "")})
-SELECT b.query_id,
-       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
-FROM brute b LEFT JOIN approx a
-  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-GROUP BY b.query_id ORDER BY b.query_id
-"""
+    return _recall_vs_brute_sql(dialect, _ivf_sql(dialect))
 
 def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of ``ivf_topk`` vs ``cosine_topk``."""
@@ -764,46 +774,18 @@ def _ivfpq_sql(dialect: str) -> str:
     factor accuracy move, not a plan-shape change).
     """
     ctes, dist, hint = _pq_sql(dialect)
-    cent_inner = _centroid_sql(dialect).replace(" ORDER BY label, dim", "")
     if dialect == "spark":
-        cvec = (
-            "SELECT label, transform(sort_array(collect_list(struct(dim, centroid))), "
-            "s -> s.centroid) AS cvec FROM cent GROUP BY label"
-        )
-        qdot = (
-            "aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        cnorm_expr = "aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
         fold = (
             "aggregate(transform(sort_array(collect_list(struct(a.sub, d))), x -> x.d), "
             "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        h_cent = "/*+ BROADCAST(c) */ "
         h_probe = "/*+ BROADCAST(p) */ "
     else:
-        cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"
-        qdot = "list_dot_product(c.cvec, e.embedding::DOUBLE[])"
-        cnorm_expr = "list_dot_product(cvec, cvec)"
         fold = "list_reduce(list(d ORDER BY a.sub), (acc, v) -> acc + v)"
-        h_cent = h_probe = ""
+        h_probe = ""
     return f"""
 {ctes},
-e AS ({_normed(dialect)}),
-cent AS ({cent_inner}),
-centv AS (SELECT label, cvec, {cnorm_expr} AS cnrm FROM ({cvec})),
-cell_scored AS (
-  SELECT {h_cent}e.vec_id, c.label,
-         {qdot} / sqrt(c.cnrm * e.nrm) AS ccos
-  FROM e CROSS JOIN centv c),
-cell_ranked AS (
-  SELECT vec_id, label, ccos,
-         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
-  FROM cell_scored),
-assign AS (SELECT vec_id, label AS cell FROM cell_ranked WHERE rn = 1),
-probes AS (
-  SELECT vec_id AS query_id, label AS cell
-  FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}),
+{_ivf_cell_ctes(dialect)},
 lut AS (
   SELECT {hint}q.vec_id AS query_id, q.sub, c.cluster, {dist} AS d
   FROM (SELECT * FROM qs WHERE vec_id < {N_QUERIES}) q
@@ -842,16 +824,7 @@ def _ivfpq_recall_sql(dialect: str) -> str:
     measurable with one query per configuration. The PQ stage adds code
     quantization error on top of IVF's cell pruning, so this recall
     lower-bounds `sim_ivf_recall`'s."""
-    return f"""
-WITH brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
-approx AS ({_ivfpq_sql(dialect).replace("ORDER BY query_id, rank", "")})
-SELECT b.query_id,
-       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
-FROM brute b LEFT JOIN approx a
-  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-GROUP BY b.query_id ORDER BY b.query_id
-"""
+    return _recall_vs_brute_sql(dialect, _ivfpq_sql(dialect))
 
 def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@k of ``ivfpq_topk`` vs ``cosine_topk``."""

@@ -527,41 +527,19 @@ def test_ivfpq_candidates_come_from_probed_cells(spark):
 
     rows = fsim.ivfpq_topk(spark, SF).collect()
     assert rows
-    # rebuild assignment + probe sets from the same SQL pieces
+    # rebuild assignment + probe sets from the SHARED production CTE
+    # fragment (one query serves both: rn = 1 is the assignment, rn <=
+    # IVF_NPROBE on the query ids is the probe set)
     fsim._register(spark, SF)
-    cell = {
-        r.vec_id: r.cell
-        for r in spark.sql(
-            f"""WITH e AS ({fsim._normed('spark')}),
-cent AS ({fsim._centroid_sql('spark').replace(' ORDER BY label, dim', '')}),
-centv AS (SELECT label,
-            aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v) AS cnrm, cvec
-          FROM (SELECT label, transform(sort_array(collect_list(struct(dim, centroid))),
-                 s -> s.centroid) AS cvec FROM cent GROUP BY label)),
-s AS (SELECT e.vec_id, c.label,
-        aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(c.cnrm * e.nrm) AS ccos
-      FROM e CROSS JOIN centv c),
-r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn FROM s)
-SELECT vec_id, label AS cell FROM r WHERE rn = 1"""
-        ).collect()
-    }
+    ranked = spark.sql(
+        f"WITH {fsim._ivf_cell_ctes('spark')} "
+        "SELECT vec_id, label, rn FROM cell_ranked"
+    ).collect()
+    cell = {r.vec_id: r.label for r in ranked if r.rn == 1}
     probes = {}
-    for r in spark.sql(
-        f"""WITH e AS ({fsim._normed('spark')}),
-cent AS ({fsim._centroid_sql('spark').replace(' ORDER BY label, dim', '')}),
-centv AS (SELECT label,
-            aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v) AS cnrm, cvec
-          FROM (SELECT label, transform(sort_array(collect_list(struct(dim, centroid))),
-                 s -> s.centroid) AS cvec FROM cent GROUP BY label)),
-s AS (SELECT e.vec_id, c.label,
-        aggregate(zip_with(c.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / sqrt(c.cnrm * e.nrm) AS ccos
-      FROM e CROSS JOIN centv c),
-r AS (SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn FROM s)
-SELECT vec_id, label FROM r WHERE vec_id < {fsim.N_QUERIES} AND rn <= {fsim.IVF_NPROBE}"""
-    ).collect():
-        probes.setdefault(r.vec_id, set()).add(r.label)
+    for r in ranked:
+        if r.vec_id < fsim.N_QUERIES and r.rn <= fsim.IVF_NPROBE:
+            probes.setdefault(r.vec_id, set()).add(r.label)
     for r in rows:
         assert cell[r.neighbor_id] in probes[r.query_id], (r.query_id, r.neighbor_id)
     # cross-entry consistency: IVF-PQ's adc equals the full-ADC entry's
