@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 4): CDC MERGE/upsert as one keyed
         # full-outer join (the Delta/Iceberg MERGE INTO physical shape)
         "events_upsert_merge": evan.upsert_merge,
+        "events_scd2_history": evan.scd2_history,
         # new in round 4: Q20-analogue correlated-agg-threshold semi-join
         "tpch_dominant_suppliers": tpch.dominant_suppliers,
         # new in round 4 (batch 2): the remaining classic join/predicate
@@ -468,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_zscore": evan.anomaly_zscore_sql(),
         "graph_pagerank": pgraph.pagerank_top_sql(),
         "events_upsert_merge": evan.upsert_merge_sql(),
+        "events_scd2_history": evan.scd2_history_sql(),
         "tpch_dominant_suppliers": tpch.dominant_suppliers_sql(),
         "tpch_promo_revenue": tpch.promo_revenue_sql(),
         "tpch_disjunctive_revenue": tpch.disjunctive_revenue_sql(),

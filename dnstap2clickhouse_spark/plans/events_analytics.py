@@ -886,3 +886,53 @@ FROM est, totals
 WHERE cms_est * {HH_DEN} * n_users >= {HH_NUM} * total
 ORDER BY user_id
 """
+
+# ------------------------------------------------- SCD2 history build
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: each user's event_type
+    changes become validity intervals ``[valid_from, valid_to)`` with an
+    is_current flag — the classic warehouse history-table construction,
+    as one lead() window over the change stream.
+
+    Consecutive same-value rows collapse first (lag comparison + filter)
+    so intervals describe STATE changes, not raw events. Plan: one
+    user-keyed shuffle; both windows share it (same partitioning/
+    ordering), so the second window adds no exchange. valid_to is NULL
+    on the open interval (canonicalizer-safe: NULL, not a sentinel
+    date, and is_current makes it queryable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("valid_to", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+def scd2_history_sql() -> str:
+    return """
+WITH changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events)
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+ORDER BY user_id, valid_from
+"""

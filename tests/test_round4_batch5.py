@@ -599,3 +599,23 @@ def test_rocksdb_state_store_equivalence(spark):
         else:
             spark.conf.set(key, prev)
     assert base_sessions and base_joins
+
+
+def test_scd2_intervals_partition_time(spark):
+    """SCD2: per user, intervals are contiguous (each valid_to equals
+    the next valid_from), exactly one open interval exists, and the
+    state differs between consecutive intervals."""
+    from dnstap2clickhouse_spark.plans import events_analytics as evan
+
+    rows = evan.scd2_history(spark, SF).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].valid_to is None and ivs[-1].is_current
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
