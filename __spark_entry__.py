@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # EXISTS/NOT EXISTS (Q21), correlated scalar-MIN (Q2)
         "tpch_forecast_revenue": tpch.forecast_revenue,
         "tpch_returned_items": tpch.returned_item_customers,
+        "tpch_lateral_topn": tpch.lateral_topn_orders,
         "tpch_volume_shipping": tpch.volume_shipping,
         "tpch_product_profit": tpch.product_profit,
         "tpch_shipmode_priority": tpch.shipmode_priority,
@@ -480,6 +481,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_top_supplier": tpch.top_supplier_sql(),
         "tpch_forecast_revenue": tpch.forecast_revenue_sql(),
         "tpch_returned_items": tpch.returned_item_customers_sql(),
+        "tpch_lateral_topn": tpch.lateral_topn_orders_sql(),
         "tpch_volume_shipping": tpch.volume_shipping_sql(),
         "tpch_product_profit": tpch.product_profit_sql(),
         "tpch_shipmode_priority": tpch.shipmode_priority_sql(),

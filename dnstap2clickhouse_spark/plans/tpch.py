@@ -1128,3 +1128,37 @@ WHERE l.l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
 ORDER BY revenue DESC, c_custkey LIMIT {limit}
 """
+
+LATERAL_SEGMENT = "BUILDING"
+LATERAL_N = 2
+
+def _lateral_topn_sql(dialect: str) -> str:
+    # DuckDB requires an explicit ON for JOIN LATERAL; Spark rejects one
+    on = " ON true" if dialect == "duckdb" else ""
+    return f"""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {LATERAL_N}) t{on}
+WHERE c.c_mktsegment = '{LATERAL_SEGMENT}'
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N orders per customer via a correlated LATERAL subquery — the
+    one decorrelation planner path the classic-suite analogues don't
+    exercise (Catalyst rewrites the per-row ORDER BY ... LIMIT into a
+    DomainJoin + window rank; the executed plan is one customer-key
+    shuffle + rank filter, NOT a per-customer loop). Semantically the
+    window form of ``topk_parts_per_brand``, but arriving through the
+    LATERAL front door a migrating user's SQL would use. Per-row output
+    values (no aggregates), so doubles compare exactly."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_lateral_topn_sql("spark"))
+
+def lateral_topn_orders_sql() -> str:
+    return _lateral_topn_sql("duckdb")

@@ -619,3 +619,32 @@ def test_scd2_intervals_partition_time(spark):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.state != b.state
+
+
+def test_lateral_topn_matches_window_form(spark):
+    """LATERAL top-N must equal the window row_number form (the two
+    decorrelation paths agree), and the executed plan contains a window
+    rank — not a per-customer nested loop."""
+    rows = tpch.lateral_topn_orders(spark, SF)
+    got = {(r.c_custkey, r.o_orderkey) for r in rows.collect()}
+    cust = load_table(spark, SF, "customer").filter(
+        F.col("c_mktsegment") == tpch.LATERAL_SEGMENT
+    )
+    orders = load_table(spark, SF, "orders")
+    from pyspark.sql import Window as W
+
+    win = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+            ),
+        )
+        .filter(F.col("rk") <= tpch.LATERAL_N)
+    )
+    expected = {(r.o_custkey, r.o_orderkey) for r in win.collect()}
+    assert got == expected
+    plan = rows._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
