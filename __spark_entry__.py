@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-outer join (the Delta/Iceberg MERGE INTO physical shape)
         "events_upsert_merge": evan.upsert_merge,
         "events_scd2_history": evan.scd2_history,
+        "events_variant_shred": evan.variant_shred,
         # new in round 4: Q20-analogue correlated-agg-threshold semi-join
         "tpch_dominant_suppliers": tpch.dominant_suppliers,
         # new in round 4 (batch 2): the remaining classic join/predicate
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": pgraph.pagerank_top_sql(),
         "events_upsert_merge": evan.upsert_merge_sql(),
         "events_scd2_history": evan.scd2_history_sql(),
+        "events_variant_shred": evan.variant_shred_sql(),
         "tpch_dominant_suppliers": tpch.dominant_suppliers_sql(),
         "tpch_promo_revenue": tpch.promo_revenue_sql(),
         "tpch_disjunctive_revenue": tpch.disjunctive_revenue_sql(),

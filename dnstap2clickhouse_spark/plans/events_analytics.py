@@ -936,3 +936,61 @@ SELECT user_id, event_type AS state, ts AS valid_from,
 FROM changes
 ORDER BY user_id, valid_from
 """
+
+# -------------------------------------------------- VARIANT shredding
+
+def variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``VARIANT`` semi-structured path, self-certified: the
+    query CONSTRUCTS a heterogeneous JSON payload per event (number /
+    string / object, keyed off ``event_id % 3``), parses it to VARIANT,
+    and shreds it back with ``schema_of_variant`` + ``try_variant_get``
+    typed access. Because the payload's true type is known by
+    construction, the DuckDB oracle needs no JSON functions at all — it
+    emits the expected type names and values directly, so the hash
+    match certifies Spark's variant parsing, schema inference, and
+    type-aware NULL-on-mismatch semantics against ground truth.
+
+    This is what ``from_json`` (events_json_props) cannot express: one
+    column holding values of DIFFERENT runtime types, accessed safely.
+    At scale the whole thing is a narrow projection — parse and access
+    inline into codegen, no shuffle before the final sort."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = (
+        "CASE CAST(event_id % 3 AS INT) "
+        "WHEN 0 THEN CAST(event_id % 100 AS STRING) "
+        "WHEN 1 THEN concat('\"', event_type, '\"') "
+        "ELSE concat('{\"n\": ', CAST(event_id % 50 AS STRING), '}') END"
+    )
+    return (
+        ev.selectExpr(
+            "event_id",
+            "event_type",
+            f"parse_json({payload}) AS v",
+        )
+        .selectExpr(
+            "event_id",
+            "schema_of_variant(v) AS vtype",
+            "try_variant_get(v, '$', 'bigint') AS as_int",
+            "try_variant_get(v, '$.n', 'bigint') AS obj_n",
+            # string view only where the payload isn't an object (object
+            # stringification is JSON-formatting-dependent)
+            "CASE WHEN event_id % 3 < 2 THEN try_variant_get(v, '$', 'string') END AS as_str",
+        )
+        .orderBy("event_id")
+    )
+
+def variant_shred_sql() -> str:
+    return """
+SELECT event_id,
+       CASE CAST(event_id % 3 AS INT)
+         WHEN 0 THEN 'BIGINT'
+         WHEN 1 THEN 'STRING'
+         ELSE 'OBJECT<n: BIGINT>' END AS vtype,
+       CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 100 AS BIGINT) END AS as_int,
+       CASE WHEN event_id % 3 = 2 THEN CAST(event_id % 50 AS BIGINT) END AS obj_n,
+       CASE CAST(event_id % 3 AS INT)
+         WHEN 0 THEN CAST(event_id % 100 AS VARCHAR)
+         WHEN 1 THEN event_type END AS as_str
+FROM events
+ORDER BY event_id
+"""

@@ -648,3 +648,25 @@ def test_lateral_topn_matches_window_form(spark):
     plan = rows._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_variant_shred_type_dispatch(spark):
+    """VARIANT: typed access returns the value for the matching runtime
+    type and NULL otherwise, and schema inference names every
+    constructed type correctly."""
+    from dnstap2clickhouse_spark.plans import events_analytics as evan
+
+    rows = evan.variant_shred(spark, SF).collect()
+    assert rows
+    for r in rows:
+        m = r.event_id % 3
+        if m == 0:
+            assert r.vtype == "BIGINT" and r.as_int == r.event_id % 100
+            assert r.obj_n is None and r.as_str == str(r.event_id % 100)
+        elif m == 1:
+            assert r.vtype == "STRING" and r.as_int is None and r.obj_n is None
+            assert isinstance(r.as_str, str) and not r.as_str.startswith('"')
+        else:
+            assert r.vtype == "OBJECT<n: BIGINT>"
+            assert r.as_int is None and r.obj_n == r.event_id % 50
+            assert r.as_str is None
