@@ -736,3 +736,30 @@ def streaming_response_join_sql() -> str:
 
     inner = match_response_times_sql(PAIR_QUERY_SQL, PAIR_RESPONSE_SQL)
     return f"SELECT * FROM ({inner})\nORDER BY responseTime, identity, delta_us"
+
+def stateful_match_tws_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Driver-contract wrapper for the ``transformWithStateInPandas``
+    flavor of the exact stateful match (Spark 4's named-state API) —
+    same chunked delivery and oracle as ``stateful_match_query``, so the
+    two arbitrary-state APIs are certified interchangeable."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from .match_state import stateful_match_tws, tag_pair_streams
+
+    d = tempfile.mkdtemp(prefix="stateful_tws_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartitionByRange(n_chunks, "event_id").write.mode("overwrite").parquet(d)
+        for f in sorted(glob.glob(os.path.join(d, "part-*.parquet"))):
+            ordinal = os.path.basename(f).split("-")[1]
+            os.rename(f, os.path.join(d, f"chunk_{ordinal}.parquet"))
+        stream = read_events_stream(spark, d, sf_dir)
+        q = _project(stream, "queryTime", False, True, 0)
+        r = _project(stream, "responseTime", True, True, 1)
+        matched = stateful_match_tws(tag_pair_streams(q, r))
+        return run_stream_to_memory(matched, "append", spark)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
