@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4: arriving-batch dedup vs the existing corpus
         # (one-sided banded LSH probe + exact-Jaccard verify)
         "dedup_incremental_ingest": fdedup.incremental_ingest,
+        # new in round 4 (batch 6): Bloom-filter membership pre-screen in
+        # front of the ingest probe (fixed-size broadcast filter,
+        # no-false-negative certificate in the hash)
+        "dedup_bloom_prescreen": fdedup.bloom_prescreen,
+        # new in round 4 (batch 6): SemDeDup — cosine dedup WITHIN k-means
+        # clusters (the clustering quarantines the quadratic)
+        "dedup_semantic": fsim.semantic_dedup,
         # new in round 4: weekly cohort retention matrix
         "events_cohort_retention": evan.cohort_retention,
         # new in round 4 (batch 2): typed JSON extraction from the props
@@ -463,6 +470,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivfpq_topk": fsim.ivfpq_topk_sql(),
         "sim_ivfpq_recall": fsim.ivfpq_recall_sql(),
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
+        "dedup_bloom_prescreen": fdedup.bloom_prescreen_sql(),
+        "dedup_semantic": fsim.semantic_dedup_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),
         "events_interarrival": evan.interarrival_stats_sql(),

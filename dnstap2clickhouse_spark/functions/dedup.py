@@ -612,3 +612,84 @@ def incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def incremental_ingest_sql() -> str:
     return _incremental_ingest_sql("duckdb")
+
+# ------------------------------------------------- Bloom-filter pre-screen
+
+BLOOM_M = 1024  # filter bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_sql(dialect: str) -> str:
+    """Bloom-filter membership pre-screen for the arriving batch — the
+    cheap gate IN FRONT of ``incremental_ingest``'s LSH probe.
+
+    The existing corpus inserts its exact bag-of-words key (the
+    ``exact_dedup`` key) into an m-bit / k-hash Bloom filter; each new
+    doc probes. ``bloom_maybe`` is the filter's verdict, ``is_dup`` the
+    exact ground truth (test-scale verifier, like the quadratic dedup
+    entries) — the classic no-false-negative guarantee is therefore part
+    of the hash-checked output: every row with ``is_dup`` must carry
+    ``bloom_maybe`` (property-pinned in tests), while ``bloom_maybe AND
+    NOT is_dup`` rows are the deterministic false positives the
+    downstream verifier rejects.
+
+    Scale shape: the filter is a FIXED-size set of occupied bit
+    positions (<= m rows regardless of corpus size — a 100 TB corpus
+    still compresses to m bits) built with one distinct-agg over the
+    insert side, then broadcast to the probe side; the probe is
+    mapper-only hashing plus a count over the k positions. The exact
+    ``is_dup`` join is the test-scale oracle half only — at scale,
+    bloom-positive docs flow to the LSH verifier instead. The ``LIMIT
+    m`` on the occupied set is a row-wise no-op (positions are mod m)
+    that makes the broadcast's boundedness provable from the plan string
+    (tools/audit_plans.py's contract).
+
+    Hashing is the md5 idiom shared with ``_hash_tok`` (bit-identical in
+    both engines), salted with the hash index.
+    """
+    m, k = BLOOM_M, BLOOM_K
+    toks = _toks(dialect)
+    if dialect == "spark":
+        bag = f"md5(concat_ws(' ', array_sort({toks})))"
+        series = f"explode(sequence(1, {k}))"
+        pos = f"CAST(conv(substring(md5(concat(CAST(j AS STRING), key)), 1, 7), 16, 10) AS BIGINT) % {m}"
+        hint = "/*+ BROADCAST(occ) */ "
+    else:
+        bag = f"md5(array_to_string(list_sort({toks}), ' '))"
+        series = f"unnest(generate_series(1, {k}))"
+        pos = f"('0x' || substr(md5(CAST(j AS VARCHAR) || key), 1, 7))::BIGINT % {m}"
+        hint = ""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {bag} AS key,
+         source = {INGEST_SOURCE_SQL} AS is_new
+  FROM documents),
+pos AS (
+  SELECT doc_id, is_new, key, {pos} AS p
+  FROM (SELECT doc_id, is_new, key, {series} AS j FROM keyed)),
+occ AS (SELECT DISTINCT p FROM pos WHERE NOT is_new LIMIT {m}),
+probe AS (
+  SELECT {hint}n.doc_id, count(o.p) AS hits
+  FROM pos n LEFT JOIN occ o ON n.p = o.p
+  WHERE n.is_new GROUP BY n.doc_id),
+dupkeys AS (SELECT DISTINCT key FROM keyed WHERE NOT is_new)
+SELECT k2.doc_id,
+       p.hits = {k} AS bloom_maybe,
+       d.key IS NOT NULL AS is_dup
+FROM keyed k2
+JOIN probe p ON k2.doc_id = p.doc_id
+LEFT JOIN dupkeys d ON k2.key = d.key
+WHERE k2.is_new
+ORDER BY k2.doc_id
+"""
+
+
+def bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen of the arriving batch against the
+    existing corpus's exact-dedup keys (no false negatives)."""
+    _register(spark, sf_dir)
+    return spark.sql(_bloom_sql("spark"))
+
+
+def bloom_prescreen_sql() -> str:
+    return _bloom_sql("duckdb")

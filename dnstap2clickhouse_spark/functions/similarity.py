@@ -833,3 +833,60 @@ def ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivfpq_recall_sql() -> str:
     return _ivfpq_recall_sql("duckdb")
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+SEMANTIC_DUP_THRESHOLD = COSINE_DUP_THRESHOLD
+
+
+def _semantic_dedup_sql(dialect: str) -> str:
+    """SemDeDup (Abbas et al. 2023): k-means clusters quarantine the
+    quadratic, cosine de-dups WITHIN each cluster only.
+
+    Reuses the two-Lloyd-round assignment CTEs from ``_kmeans_sql``
+    verbatim (string surgery on the shared prefix, the
+    ``_incremental_ingest_sql`` idiom) — the clustering this entry
+    de-dups within is literally the audited, oracle-checked one. Pair
+    generation is an EQUI-join on the cluster id (never all-pairs): cost
+    is sum over clusters of size^2, which SemDeDup keeps bounded at
+    scale by growing k with the corpus so cluster occupancy stays
+    constant. A doc is dropped when a LOWER-id member of its own cluster
+    is cosine-similar above the threshold (keep-first-occurrence, the
+    same deterministic rule as the pair-based dedups); ``dup_of``
+    reports the smallest such partner.
+
+    Both the cosine fold and the assignment arithmetic carry the
+    module's bit-determinism contract, so the oracle hash certifies the
+    whole cluster -> pair -> verdict chain.
+    """
+    km = _kmeans_sql(dialect)
+    prefix = km[: km.rindex("SELECT vec_id, cluster FROM a2")].rstrip() + ","
+    dot = _dot("x.embedding", "y.embedding", dialect)
+    return f"""{prefix}
+e AS ({_normed(dialect)}),
+mem AS (
+  SELECT a.vec_id, a.cluster, e.embedding, e.nrm
+  FROM a2 a JOIN e ON a.vec_id = e.vec_id),
+pairs AS (
+  SELECT y.vec_id AS vec_b, min(x.vec_id) AS dup_of
+  FROM mem x JOIN mem y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE {dot} / sqrt(x.nrm * y.nrm) >= {SEMANTIC_DUP_THRESHOLD}
+  GROUP BY y.vec_id)
+SELECT m.vec_id, m.cluster,
+       p.vec_b IS NULL AS kept,
+       coalesce(p.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+FROM mem m LEFT JOIN pairs p ON m.vec_id = p.vec_b
+ORDER BY m.vec_id
+"""
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SemDeDup verdict: cluster id, kept flag, and the
+    lower-id intra-cluster near-duplicate it defers to (or -1)."""
+    _register(spark, sf_dir)
+    return spark.sql(_semantic_dedup_sql("spark"))
+
+
+def semantic_dedup_sql() -> str:
+    return _semantic_dedup_sql("duckdb")

@@ -1,0 +1,114 @@
+"""Round-4 batch-6 operators: Bloom-filter ingest pre-screen and
+SemDeDup (cluster-quarantined cosine dedup). The oracle gate proves
+value-exactness vs DuckDB; these tests pin what the operators MEAN —
+the no-false-negative guarantee against an injected true duplicate, a
+full Python reimplementation of the filter, and the theorem tying the
+SemDeDup verdict to the audited k-means assignment + all-pairs cosine
+ground truth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from dnstap2clickhouse_spark.functions import dedup as fdedup
+from dnstap2clickhouse_spark.functions import similarity as fsim
+from dnstap2clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bag_key(text: str) -> str:
+    return hashlib.md5(" ".join(sorted(text.split(" "))).encode()).hexdigest()
+
+
+def _positions(key: str) -> list[int]:
+    return [
+        int(hashlib.md5((str(j) + key).encode()).hexdigest()[:7], 16) % fdedup.BLOOM_M
+        for j in range(1, fdedup.BLOOM_K + 1)
+    ]
+
+
+def test_bloom_no_false_negatives_on_injected_dup(spark):
+    """A new-batch doc that IS a duplicate (byte-identical text, or a
+    word-order shuffle — the bag key catches both) must come back
+    bloom_maybe: the filter admits false positives, never false
+    negatives."""
+    rows = [
+        (0, "alpha beta gamma delta", "en", "src0", 22),
+        (1, "the quick brown fox jumps", "en", "src0", 25),
+        (2, "lorem ipsum dolor sit amet", "en", "src1", 26),
+        # new batch ('srcz' sorts last => is_new): one exact copy, one
+        # word-order shuffle, one genuinely new doc
+        (10, "the quick brown fox jumps", "en", "srcz", 25),
+        (11, "delta gamma beta alpha", "en", "srcz", 22),
+        (12, "entirely novel content here", "en", "srcz", 27),
+    ]
+    orig = load_table(spark, SF, "documents")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).createOrReplaceTempView("documents")
+        got = {r.doc_id: r for r in spark.sql(fdedup._bloom_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    assert set(got) == {10, 11, 12}
+    assert got[10].is_dup and got[10].bloom_maybe
+    assert got[11].is_dup and got[11].bloom_maybe
+    assert not got[12].is_dup
+
+
+def test_bloom_matches_python_reimplementation(spark):
+    """Flag-exact agreement with an independent Python Bloom filter
+    (same md5 idiom) over the real smoke corpus — certifying the hash
+    family, the modulus, and the is_new split, not just self-identity."""
+    docs = load_table(spark, SF, "documents").collect()
+    new_src = max(r.source for r in docs)
+    occupied: set[int] = set()
+    corpus_keys: set[str] = set()
+    for r in docs:
+        if r.source != new_src:
+            key = _bag_key(r.text)
+            corpus_keys.add(key)
+            occupied.update(_positions(key))
+    expect = {}
+    for r in docs:
+        if r.source == new_src:
+            key = _bag_key(r.text)
+            expect[r.doc_id] = (
+                all(p in occupied for p in _positions(key)),
+                key in corpus_keys,
+            )
+    got = {
+        r.doc_id: (r.bloom_maybe, r.is_dup)
+        for r in fdedup.bloom_prescreen(spark, SF).collect()
+    }
+    assert got == expect and got
+    # no false negatives, structurally
+    assert all(maybe or not dup for maybe, dup in got.values())
+
+
+def test_semantic_dedup_equals_cluster_restricted_cosine(spark):
+    """The SemDeDup verdict is EXACTLY the all-pairs cosine-dup relation
+    (dedup_embedding_cosine, same threshold) restricted to same-cluster
+    pairs under the audited k-means assignment: a vector is dropped iff
+    a lower-id cosine-dup partner shares its cluster, and dup_of is the
+    smallest such partner."""
+    cluster = {r.vec_id: r.cluster for r in fsim.kmeans_assign(spark, SF).collect()}
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in fsim.embedding_cosine_dups(spark, SF).collect()
+        if cluster[r.vec_a] == cluster[r.vec_b]
+    ]
+    dup_of: dict[int, int] = {}
+    for a, b in pairs:
+        dup_of[b] = min(a, dup_of.get(b, a))
+    got = fsim.semantic_dedup(spark, SF).collect()
+    assert len(got) == len(cluster)
+    for r in got:
+        assert r.cluster == cluster[r.vec_id]
+        if r.vec_id in dup_of:
+            assert not r.kept and r.dup_of == dup_of[r.vec_id]
+        else:
+            assert r.kept and r.dup_of == -1
+    assert any(not r.kept for r in got) or not pairs
