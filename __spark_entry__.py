@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 6): SemDeDup — cosine dedup WITHIN k-means
         # clusters (the clustering quarantines the quadratic)
         "dedup_semantic": fsim.semantic_dedup,
+        # new in round 4 (batch 6): RAG-stack hybrid retrieval — keyword
+        # + vector candidate lists fused by integer reciprocal-rank fusion
+        "sim_hybrid_rrf": fsim.hybrid_rrf,
         # new in round 4: weekly cohort retention matrix
         "events_cohort_retention": evan.cohort_retention,
         # new in round 4 (batch 2): typed JSON extraction from the props
@@ -472,6 +475,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental_ingest": fdedup.incremental_ingest_sql(),
         "dedup_bloom_prescreen": fdedup.bloom_prescreen_sql(),
         "dedup_semantic": fsim.semantic_dedup_sql(),
+        "sim_hybrid_rrf": fsim.hybrid_rrf_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),
         "events_interarrival": evan.interarrival_stats_sql(),

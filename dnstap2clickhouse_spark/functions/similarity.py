@@ -890,3 +890,100 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dedup_sql() -> str:
     return _semantic_dedup_sql("duckdb")
+
+# --------------------------------------------- hybrid retrieval (RRF fusion)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 20  # candidates taken from each retriever
+RRF_SCALE = 1_000_000  # integer scale: score = Σ SCALE div (K + rank)
+HYBRID_QUERY_VEC = 0  # the query vector paired with the keyword query
+
+
+def _hybrid_rrf_sql(dialect: str) -> str:
+    """Hybrid retrieval: keyword (BM25-idf integer scoring, the
+    ``text_keyword_search`` weights) + vector (brute-force cosine, the
+    ``sim_cosine_topk`` fold) candidate lists fused by reciprocal-rank
+    fusion — the standard modern RAG retrieval stack as one plan.
+
+    RRF needs only RANKS, so the fusion is exact-integer:
+    ``SCALE div (K + rank)`` summed over the retrievers a doc appears
+    in (Cormack et al.'s 1/(k+r), log- and float-free). Both candidate
+    generators are the already-audited shapes: keyword scoring is
+    mapper-only against one broadcast weight row; cosine scoring pairs
+    the corpus with ONE query vector; each side keeps its top ``POOL``
+    via a rank filter (Spark rewrites rank<=k into WindowGroupLimit —
+    partition-local top-k, no global sort of the corpus); the fusion
+    join touches <= 2·POOL rows. Doc and vector ids share the id space
+    (doc_id == vec_id), which is how a production corpus keys its text
+    and embedding shards too.
+    """
+    from .text import SEARCH_TERMS, _IDF_SCALE
+
+    k, pool, scale, qid = RRF_K, RRF_POOL, RRF_SCALE, HYBRID_QUERY_VEC
+    if dialect == "spark":
+        toks = "split(text, ' ')"
+        tf = lambda t: f"size(filter({toks}, x -> x = '{t}'))"
+        div = "div"
+    else:
+        toks = "string_split(text, ' ')"
+        tf = lambda t: f"len(list_filter({toks}, x -> x = '{t}'))"
+        div = "//"
+    df_cols = ", ".join(
+        f"CAST(count(*) FILTER (WHERE {tf(t)} > 0) AS BIGINT) AS df{i}"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    weights = ", ".join(
+        f"((n - df{i} + 1) * {_IDF_SCALE}) {div} (df{i} + 1) AS w{i}"
+        for i in range(len(SEARCH_TERMS))
+    )
+    kw_score = " + ".join(
+        f"CAST({tf(t)} AS BIGINT) * s.w{i}" for i, t in enumerate(SEARCH_TERMS)
+    )
+    dot = _dot("q.embedding", "c.embedding", dialect)
+    hint = "/*+ BROADCAST(qv) */ " if dialect == "spark" else ""
+    return f"""
+WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS n, {df_cols} FROM documents),
+kw_scored AS (
+  SELECT d.doc_id, {kw_score} AS score
+  FROM documents d CROSS JOIN (SELECT {weights} FROM stats) s),
+kw AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM kw_scored WHERE score > 0)
+  WHERE rank <= {pool}),
+e AS ({_normed(dialect)}),
+qv AS (SELECT embedding, nrm FROM e WHERE vec_id = {qid} LIMIT 1),
+vec_scored AS (
+  SELECT {hint}c.vec_id, {dot} / sqrt(q.nrm * c.nrm) AS cosine
+  FROM qv q JOIN e c ON c.vec_id <> {qid}),
+vec AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+    FROM vec_scored)
+  WHERE rank <= {pool}),
+fused AS (
+  SELECT coalesce(kw.doc_id, vec.vec_id) AS doc_id,
+         coalesce({scale} {div} ({k} + kw.rank), 0)
+           + coalesce({scale} {div} ({k} + vec.rank), 0) AS rrf_score,
+         coalesce(kw.rank, CAST(-1 AS BIGINT)) AS kw_rank,
+         coalesce(vec.rank, CAST(-1 AS BIGINT)) AS vec_rank
+  FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.vec_id)
+SELECT doc_id, rrf_score, kw_rank, vec_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {TOP_K * 2}
+"""
+
+
+def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword + vector candidates fused by integer reciprocal-rank
+    fusion (doc_id == vec_id keys both shards)."""
+    from ..sources.tables import load_table as _lt
+
+    _register(spark, sf_dir)
+    _lt(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_hybrid_rrf_sql("spark"))
+
+
+def hybrid_rrf_sql() -> str:
+    return _hybrid_rrf_sql("duckdb")

@@ -112,3 +112,36 @@ def test_semantic_dedup_equals_cluster_restricted_cosine(spark):
         else:
             assert r.kept and r.dup_of == -1
     assert any(not r.kept for r in got) or not pairs
+
+
+def test_hybrid_rrf_consistent_with_component_retrievers(spark):
+    """The fused list's vec-side ranks agree with the standalone
+    sim_cosine_topk ordering for the same query vector, the kw-side
+    ranks agree with text_keyword_search, and every rrf_score equals
+    the integer 1/(K+r) recomputation from the two rank columns."""
+    from dnstap2clickhouse_spark.functions import text as ftext
+
+    got = fsim.hybrid_rrf(spark, SF).collect()
+    assert got
+    for r in got:
+        expect = 0
+        if r.kw_rank > 0:
+            expect += fsim.RRF_SCALE // (fsim.RRF_K + r.kw_rank)
+        if r.vec_rank > 0:
+            expect += fsim.RRF_SCALE // (fsim.RRF_K + r.vec_rank)
+        assert r.rrf_score == expect > 0
+        assert r.kw_rank > 0 or r.vec_rank > 0
+    # vec-side ranks == brute-force cosine ordering for query 0
+    topk = {
+        r.rank: r.neighbor_id
+        for r in fsim.cosine_topk(spark, SF).collect()
+        if r.query_id == fsim.HYBRID_QUERY_VEC
+    }
+    vec_ranks = {r.vec_rank: r.doc_id for r in got if 0 < r.vec_rank <= fsim.TOP_K}
+    for rank, vid in vec_ranks.items():
+        assert topk[rank] == vid
+    # kw-side ranks == standalone keyword search ordering
+    kw = {i + 1: r.doc_id for i, r in enumerate(ftext.keyword_search(spark, SF).collect())}
+    for r in got:
+        if 0 < r.kw_rank <= len(kw):
+            assert kw[r.kw_rank] == r.doc_id
