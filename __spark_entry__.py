@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 5): the J1 match as a REAL stream-stream
         # inner join (symmetric state buffering + watermark eviction)
         "streaming_response_join": stp.streaming_response_join_query,
+        # new in round 4 (batch 6): LEFT OUTER flavor — NULL-extended
+        # emission of unmatched rows at watermark eviction, rule in-hash
+        "streaming_outer_join": stp.streaming_outer_join_query,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -464,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_late_data": stp.streaming_late_data_sql(),
         "streaming_session_window": stp.streaming_session_window_sql(),
         "streaming_response_join": stp.streaming_response_join_sql(),
+        "streaming_outer_join": stp.streaming_outer_join_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

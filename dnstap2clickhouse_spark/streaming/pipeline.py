@@ -763,3 +763,95 @@ def stateful_match_tws_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4
         return run_stream_to_memory(matched, "append", spark)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+def streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J1 match as a stream-stream LEFT OUTER join — the one
+    Structured Streaming join semantic ``streaming_response_join``
+    (inner) leaves uncertified: NULL-extended emission of UNMATCHED
+    left rows at state eviction.
+
+    A query row with no matching response cannot emit when it arrives
+    (a match might still come); Spark buffers it and emits the
+    NULL-extended row only once the watermark proves no response in
+    ``[qt, qt+10min]`` can arrive — i.e. when the final watermark
+    ``floor_ms(max event time) − delay`` has passed ``qt + 10min``
+    (strict >, pinned by the fixture test; unmatched queries younger
+    than that are withheld in state, exactly as a live deployment would
+    hold them). Matched pairs emit as in the inner entry and by the
+    time-ordered-delivery argument equal the batch interval join, so
+    the oracle is the batch J1 SQL UNION ALL the batch anti-join rows
+    that clear the eviction cut — the eviction rule itself is part of
+    the hash.
+
+    Unmatched rows carry ``delta_us = -1`` (not NULL: the sentinel
+    keeps the column non-null so row sorting is engine-independent).
+    """
+    return streaming_outer_join_df(spark, load_table(spark, sf_dir, "events"))
+
+def streaming_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of :func:`streaming_outer_join_query` over an injected
+    events frame (fixture tests engineer boundary-straddling rows)."""
+    mn, mx = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    n = SJOIN_CHUNKS
+    chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
+    with _chunked_file_stream(spark, ev, chunk, n) as stream:
+        q = _project(stream, "queryTime", False, True, 0).withWatermark(
+            "queryTime", SJOIN_WM
+        ).alias("q")
+        r = _project(stream, "responseTime", True, True, 1).withWatermark(
+            "responseTime", SJOIN_WM
+        ).alias("r")
+        cond = F.lit(True)
+        for k in JOIN_KEYS:
+            cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
+        cond = (
+            cond
+            & (F.col("r.responseTime") >= F.col("q.queryTime"))
+            & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr("INTERVAL '10 minutes'"))
+        )
+        joined = q.join(r, cond, "leftOuter").select(
+            F.col("q.queryTime").alias("queryTime"),
+            F.col("q.identity").alias("identity"),
+            F.coalesce(
+                F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime"),
+                F.lit(-1),
+            ).alias("delta_us"),
+        )
+        return run_stream_to_memory(joined, "append", spark).orderBy(
+            "queryTime", "identity", "delta_us"
+        )
+
+def streaming_outer_join_sql() -> str:
+    from ..operators.join import JOIN_KEYS as JK
+    from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
+
+    on = " AND ".join(f"q.{k} = r.{k}" for k in JK)
+    return f"""
+WITH q AS ({PAIR_QUERY_SQL}), r AS ({PAIR_RESPONSE_SQL}),
+matched AS (
+  SELECT q.queryTime, q.identity,
+         epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us
+  FROM q JOIN r ON {on}
+   AND r.responseTime >= q.queryTime
+   AND r.responseTime <= q.queryTime + INTERVAL '10 minutes'),
+-- final watermark: each side's watermark node tracks ITS OWN max event
+-- time (ms-truncated) minus the delay; the query-wide watermark is the
+-- MIN of the two (empirically pinned: the last query-side event is
+-- withheld because the query side's own max — not the corpus max —
+-- bounds wm_q)
+wm AS (SELECT least((SELECT (max(epoch_us(queryTime)) // 1000) * 1000 FROM q),
+                    (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 FROM r))
+              - {10 * 60 * 1_000_000} AS w),
+unmatched AS (
+  SELECT q.queryTime, q.identity, CAST(-1 AS BIGINT) AS delta_us
+  FROM q CROSS JOIN wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r WHERE {on}
+      AND r.responseTime >= q.queryTime
+      AND r.responseTime <= q.queryTime + INTERVAL '10 minutes')
+    AND wm.w > epoch_us(q.queryTime) + {10 * 60 * 1_000_000})
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+ORDER BY queryTime, identity, delta_us
+"""

@@ -145,3 +145,39 @@ def test_hybrid_rrf_consistent_with_component_retrievers(spark):
     for r in got:
         if 0 < r.kw_rank <= len(kw):
             assert kw[r.kw_rank] == r.doc_id
+
+
+def test_streaming_outer_join_boundary_and_null_emission(spark):
+    """Stream-stream LEFT OUTER join: an unmatched query emits its
+    NULL-extended row only once the final watermark STRICTLY passes
+    qt + 10min. Engineered whole-ms fixture: wm = min(max_qt, max_rt)
+    − 10min lands EXACTLY on one query's qt + 10min (withheld — strict
+    boundary) and 1 ms past another's (emitted); matched pairs emit
+    regardless; unmatched RESPONSES never emit."""
+    import datetime
+
+    from dnstap2clickhouse_spark.streaming import pipeline as stp
+
+    t0 = datetime.datetime(2001, 1, 1)
+    min10 = 600_000  # ms
+
+    def ev(eid, ms):
+        return (eid, t0 + datetime.timedelta(milliseconds=ms), 1, "click", 1.0)
+
+    rows = [
+        ev(20, -1),  # unmatched; qt+D = wm−1ms -> emitted (delta -1)
+        ev(0, 0),  # unmatched; qt+D == wm exactly -> withheld (strict)
+        ev(2, 2 * min10),  # matched pair straddling chunks; drives wm_q
+        ev(3, 2 * min10 + 7),
+        ev(5, 3 * min10),  # unmatched RESPONSE; drives wm_r; never emits
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    got = sorted(tuple(r) for r in stp.streaming_outer_join_df(spark, df).collect())
+    assert got == sorted(
+        [
+            (t0 + datetime.timedelta(milliseconds=-1), "ns1", -1),
+            (t0 + datetime.timedelta(milliseconds=2 * min10), "ns1", 7000),
+        ]
+    )
