@@ -235,6 +235,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 6): RAG-stack hybrid retrieval — keyword
         # + vector candidate lists fused by integer reciprocal-rank fusion
         "sim_hybrid_rrf": fsim.hybrid_rrf,
+        # new in round 4 (batch 6): the SCALE path for embedding dedup —
+        # LSH-bucketed candidate pairs, exact-cosine verified + its
+        # in-engine pair-recall/precision certificate
+        "dedup_embedding_lsh": fsim.embedding_lsh_dups,
+        "dedup_embedding_lsh_recall": fsim.embedding_lsh_dup_recall,
         # new in round 4: weekly cohort retention matrix
         "events_cohort_retention": evan.cohort_retention,
         # new in round 4 (batch 2): typed JSON extraction from the props
@@ -480,6 +485,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom_prescreen": fdedup.bloom_prescreen_sql(),
         "dedup_semantic": fsim.semantic_dedup_sql(),
         "sim_hybrid_rrf": fsim.hybrid_rrf_sql(),
+        "dedup_embedding_lsh": fsim.embedding_lsh_dups_sql(),
+        "dedup_embedding_lsh_recall": fsim.embedding_lsh_dup_recall_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),
         "events_interarrival": evan.interarrival_stats_sql(),

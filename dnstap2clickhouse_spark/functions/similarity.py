@@ -987,3 +987,85 @@ def hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hybrid_rrf_sql() -> str:
     return _hybrid_rrf_sql("duckdb")
+
+# ----------------------------------- LSH-quarantined embedding dedup pairs
+
+
+def _embedding_lsh_pairs_sql(dialect: str) -> str:
+    """The SCALE path for embedding near-dup detection — the vector-space
+    analogue of ``dedup_minhash_lsh``: candidate pairs come from
+    same-bucket self-joins over the multi-table sign-LSH (each branch a
+    plain equi-join on the bucket id — O(pairs-per-bucket), never
+    all-pairs), verified by the exact cosine fold. The quarantined
+    all-pairs form (``dedup_embedding_cosine``) stays the ground truth;
+    precision vs it is 1.0 by construction (same threshold, exact
+    verification), recall is measured in-engine by
+    ``embedding_lsh_dup_recall``. Unlike ``dedup_semantic`` (whose
+    fixed-k clusters make intra-cluster work quadratic at fixed k), the
+    bucket count here GROWS with nothing — it is fixed per table
+    (2^LSH_BITS) — so the scale contract is the candidate-pair count
+    itself, the same contract as MinHash LSH banding.
+    """
+    dot = _dot("a.embedding", "b.embedding", dialect)
+    buckets = ", ".join(
+        f"{_bucket_expr('embedding', t, dialect)} AS b{t}" for t in range(LSH_TABLES)
+    )
+    branches = "\nUNION\n".join(
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
+        f"       {dot} / sqrt(a.nrm * b.nrm) AS cosine\n"
+        f"  FROM e a JOIN e b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+cand AS (
+{branches})
+SELECT vec_a, vec_b, cosine FROM cand
+WHERE cosine >= {COSINE_DUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def embedding_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (candidates from same-bucket
+    equi-joins, exact-cosine verified) — the production path next to the
+    quarantined all-pairs verifier."""
+    _register(spark, sf_dir)
+    return spark.sql(_embedding_lsh_pairs_sql("spark"))
+
+
+def embedding_lsh_dups_sql() -> str:
+    return _embedding_lsh_pairs_sql("duckdb")
+
+
+def _embedding_lsh_recall_sql(dialect: str) -> str:
+    """Pair recall of the LSH dedup vs the exact all-pairs relation, as
+    ONE scalar row (found/total/recall): the quality knob for
+    LSH_TABLES/LSH_BITS sweeps, in-engine like the ANN recall entries.
+    Precision is structurally 1.0 (LSH pairs are exact-cosine verified
+    with the same threshold) and CERTIFIED by ``n_false_pos`` — the
+    count of LSH pairs absent from the exact relation, which the oracle
+    hash pins to 0."""
+    return f"""
+WITH exact_pairs AS ({_cosine_pairs_sql(dialect).replace("ORDER BY vec_a, vec_b", "")}),
+lsh_pairs AS ({_embedding_lsh_pairs_sql(dialect).replace("ORDER BY vec_a, vec_b", "")}),
+hits AS (
+  SELECT x.vec_a FROM exact_pairs x JOIN lsh_pairs l
+    ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b)
+SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_found,
+       CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM hits) AS DOUBLE)
+         / (SELECT count(*) FROM exact_pairs) AS pair_recall,
+       CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT)
+         - CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_false_pos
+"""
+
+
+def embedding_lsh_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row pair-recall of the LSH embedding dedup vs exact all-pairs."""
+    _register(spark, sf_dir, spread=True)
+    return spark.sql(_embedding_lsh_recall_sql("spark"))
+
+
+def embedding_lsh_dup_recall_sql() -> str:
+    return _embedding_lsh_recall_sql("duckdb")

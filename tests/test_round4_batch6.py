@@ -181,3 +181,32 @@ def test_streaming_outer_join_boundary_and_null_emission(spark):
             (t0 + datetime.timedelta(milliseconds=2 * min10), "ns1", 7000),
         ]
     )
+
+
+def test_embedding_lsh_dups_precision_and_recall_consistency(spark):
+    """LSH-bucketed pairs are a SUBSET of the exact all-pairs cosine-dup
+    relation (precision 1.0, same threshold/fold), every found pair
+    shares at least one sign-LSH bucket, and the one-row recall entry
+    reports exactly |found| / |exact| with n_false_pos == 0."""
+    exact = {(r.vec_a, r.vec_b) for r in fsim.embedding_cosine_dups(spark, SF).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in fsim.embedding_lsh_dups(spark, SF).collect()}
+    assert lsh <= exact
+    emb = {r.vec_id: r.embedding for r in load_table(spark, SF, "embeddings").collect()}
+
+    def buckets(v):
+        out = []
+        for t in range(fsim.LSH_TABLES):
+            b = 0
+            for i in range(fsim.LSH_BITS):
+                if emb[v][t * fsim.LSH_BITS + i] >= 0:
+                    b |= 1 << i
+            out.append(b)
+        return out
+
+    for a, b in lsh:
+        assert any(x == y for x, y in zip(buckets(a), buckets(b)))
+    row = fsim.embedding_lsh_dup_recall(spark, SF).collect()[0]
+    assert row.n_found == len(lsh)
+    assert row.n_true == len(exact)
+    assert row.n_false_pos == 0
+    assert row.pair_recall == len(lsh) / len(exact)

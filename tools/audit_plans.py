@@ -70,6 +70,7 @@ REDUCERS = (
 WAIVED: dict[tuple[str, str], str] = {
     ("dedup_ngram_jaccard", "nested-loop"): "exact-Jaccard ground-truth verifier, never the scale path",
     ("dedup_embedding_cosine", "nested-loop"): "all-pairs cosine ground-truth verifier, never the scale path",
+    ("dedup_embedding_lsh_recall", "nested-loop"): "recall metric definitionally embeds the exact all-pairs ground truth (same quarantined relation as dedup_embedding_cosine); the measured path (dedup_embedding_lsh) audits clean",
 }
 
 def _subtree(lines: list[str], start: int) -> list[str]:
