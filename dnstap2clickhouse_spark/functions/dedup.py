@@ -85,12 +85,19 @@ def _shingle_rows(dialect: str) -> str:
 
 # ------------------------------------------------------------- exact dedup
 
-def _exact_dedup_sql(dialect: str) -> str:
+def _bag_key_expr(dialect: str) -> str:
+    """md5 of the sorted token list — THE exact-dedup identity key,
+    shared by ``exact_dedup`` and the Bloom pre-screen (whose
+    no-false-negative guarantee holds only while both use the one
+    expression)."""
     toks = _toks(dialect)
     if dialect == "spark":
-        bag = f"md5(concat_ws(' ', array_sort({toks})))"
-    else:
-        bag = f"md5(array_to_string(list_sort({toks}), ' '))"
+        return f"md5(concat_ws(' ', array_sort({toks})))"
+    return f"md5(array_to_string(list_sort({toks}), ' '))"
+
+
+def _exact_dedup_sql(dialect: str) -> str:
+    bag = _bag_key_expr(dialect)
     return f"""
 SELECT bag_key, min(doc_id) AS canonical_id, count(*) AS n_members
 FROM (SELECT doc_id, {bag} AS bag_key FROM documents)
@@ -648,14 +655,12 @@ def _bloom_sql(dialect: str) -> str:
     both engines), salted with the hash index.
     """
     m, k = BLOOM_M, BLOOM_K
-    toks = _toks(dialect)
+    bag = _bag_key_expr(dialect)
     if dialect == "spark":
-        bag = f"md5(concat_ws(' ', array_sort({toks})))"
         series = f"explode(sequence(1, {k}))"
         pos = f"CAST(conv(substring(md5(concat(CAST(j AS STRING), key)), 1, 7), 16, 10) AS BIGINT) % {m}"
         hint = "/*+ BROADCAST(occ) */ "
     else:
-        bag = f"md5(array_to_string(list_sort({toks}), ' '))"
         series = f"unnest(generate_series(1, {k}))"
         pos = f"('0x' || substr(md5(CAST(j AS VARCHAR) || key), 1, 7))::BIGINT % {m}"
         hint = ""

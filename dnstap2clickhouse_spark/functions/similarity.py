@@ -917,28 +917,11 @@ def _hybrid_rrf_sql(dialect: str) -> str:
     (doc_id == vec_id), which is how a production corpus keys its text
     and embedding shards too.
     """
-    from .text import SEARCH_TERMS, _IDF_SCALE
+    from .text import _kw_score_parts
 
     k, pool, scale, qid = RRF_K, RRF_POOL, RRF_SCALE, HYBRID_QUERY_VEC
-    if dialect == "spark":
-        toks = "split(text, ' ')"
-        tf = lambda t: f"size(filter({toks}, x -> x = '{t}'))"
-        div = "div"
-    else:
-        toks = "string_split(text, ' ')"
-        tf = lambda t: f"len(list_filter({toks}, x -> x = '{t}'))"
-        div = "//"
-    df_cols = ", ".join(
-        f"CAST(count(*) FILTER (WHERE {tf(t)} > 0) AS BIGINT) AS df{i}"
-        for i, t in enumerate(SEARCH_TERMS)
-    )
-    weights = ", ".join(
-        f"((n - df{i} + 1) * {_IDF_SCALE}) {div} (df{i} + 1) AS w{i}"
-        for i in range(len(SEARCH_TERMS))
-    )
-    kw_score = " + ".join(
-        f"CAST({tf(t)} AS BIGINT) * s.w{i}" for i, t in enumerate(SEARCH_TERMS)
-    )
+    div = "div" if dialect == "spark" else "//"
+    df_cols, weights, kw_score = _kw_score_parts(dialect)
     dot = _dot("q.embedding", "c.embedding", dialect)
     hint = "/*+ BROADCAST(qv) */ " if dialect == "spark" else ""
     return f"""
@@ -1010,17 +993,27 @@ def _embedding_lsh_pairs_sql(dialect: str) -> str:
     buckets = ", ".join(
         f"{_bucket_expr('embedding', t, dialect)} AS b{t}" for t in range(LSH_TABLES)
     )
+    # candidate ids FIRST (UNION dedups bare int pairs — a pair colliding
+    # in j tables appears once), THEN two fetch-joins score each pair's
+    # O(dims) cosine fold exactly once. Scoring inside the per-table
+    # branches would pay the fold per collision and make the UNION
+    # distinct float rows (review fix).
     branches = "\nUNION\n".join(
-        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
-        f"       {dot} / sqrt(a.nrm * b.nrm) AS cosine\n"
-        f"  FROM e a JOIN e b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"  FROM bk a JOIN bk b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
         for t in range(LSH_TABLES)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+WITH e AS ({_normed(dialect)}),
+bk AS (SELECT vec_id, {buckets} FROM embeddings),
 cand AS (
-{branches})
-SELECT vec_a, vec_b, cosine FROM cand
+{branches}),
+scored AS (
+  SELECT c.vec_a, c.vec_b, {dot} / sqrt(a.nrm * b.nrm) AS cosine
+  FROM cand c
+  JOIN e a ON c.vec_a = a.vec_id
+  JOIN e b ON c.vec_b = b.vec_id)
+SELECT vec_a, vec_b, cosine FROM scored
 WHERE cosine >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
@@ -1054,8 +1047,12 @@ hits AS (
     ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b)
 SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_found,
        CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_true,
-       CAST((SELECT count(*) FROM hits) AS DOUBLE)
-         / (SELECT count(*) FROM exact_pairs) AS pair_recall,
+       -- vacuous recall = 1.0 when the exact relation is empty (a raised
+       -- threshold during a parameter sweep): engines disagree on
+       -- float/0 (NULL vs Inf), so the zero case must not divide
+       CASE WHEN (SELECT count(*) FROM exact_pairs) = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                   / (SELECT count(*) FROM exact_pairs) END AS pair_recall,
        CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT)
          - CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_false_pos
 """

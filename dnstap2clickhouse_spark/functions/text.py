@@ -518,20 +518,11 @@ SEARCH_TERMS = ("dup", "vector", "spark")  # rare + mid + common
 SEARCH_TOP = 10
 _IDF_SCALE = 1_000_000
 
-def _keyword_search_sql(dialect: str) -> str:
-    """Keyword relevance search with EXACT integer scoring.
-
-    Classic tf-idf ranking needs log(N/df) — but libm logs are not
-    bit-portable across engines, so the weight uses the idf-monotone
-    rational ``(N - df + 1) * SCALE div (df + 1)`` (the BM25 idf
-    numerator/denominator, log dropped): exact integer division, same
-    ranking direction, deterministic everywhere. Score = Σ tf · w(term).
-
-    Scale shape: df/N is ONE tiny aggregate over the corpus
-    (decorrelated to a broadcast scalar row); tf scoring is pure mapper
-    work fused into the scan; top-k is TakeOrderedAndProject. The
-    corpus never shuffles.
-    """
+def _kw_score_parts(dialect: str) -> tuple[str, str, str]:
+    """(df_cols, weights, score) expression fragments for the integer
+    BM25-idf keyword scoring — the SINGLE definition of the weight
+    formula, shared by ``keyword_search`` and the hybrid-RRF fusion
+    (``similarity.hybrid_rrf``) so the two entries cannot drift."""
     if dialect == "spark":
         toks = "split(text, ' ')"
         tf = lambda t: f"size(filter({toks}, x -> x = '{t}'))"
@@ -551,6 +542,23 @@ def _keyword_search_sql(dialect: str) -> str:
     score = " + ".join(
         f"CAST({tf(t)} AS BIGINT) * s.w{i}" for i, t in enumerate(SEARCH_TERMS)
     )
+    return df_cols, weights, score
+
+def _keyword_search_sql(dialect: str) -> str:
+    """Keyword relevance search with EXACT integer scoring.
+
+    Classic tf-idf ranking needs log(N/df) — but libm logs are not
+    bit-portable across engines, so the weight uses the idf-monotone
+    rational ``(N - df + 1) * SCALE div (df + 1)`` (the BM25 idf
+    numerator/denominator, log dropped): exact integer division, same
+    ranking direction, deterministic everywhere. Score = Σ tf · w(term).
+
+    Scale shape: df/N is ONE tiny aggregate over the corpus
+    (decorrelated to a broadcast scalar row); tf scoring is pure mapper
+    work fused into the scan; top-k is TakeOrderedAndProject. The
+    corpus never shuffles.
+    """
+    df_cols, weights, score = _kw_score_parts(dialect)
     return f"""
 WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS n, {df_cols} FROM documents),
 weights AS (SELECT {weights} FROM stats),

@@ -511,6 +511,21 @@ def _chunked_file_stream(spark: SparkSession, df: DataFrame, chunk_expr: str, n_
 
     return cm()
 
+def _time_chunked_stream(spark: SparkSession, ev: DataFrame, n_chunks: int):
+    """Chunk ``ev`` into ``n_chunks`` corpus-time-quartile micro-batches
+    (the time-ordered delivery that makes the streaming entries
+    deterministic by construction) — the single owner of the min/max +
+    chunk-expression boilerplate for the three chunk-delivered stateful
+    entries. Raises on an empty frame: there is no time range to chunk,
+    and interpolating a NULL min/max would build unparsable SQL."""
+    mn, mx = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    if mn is None:
+        raise ValueError("cannot time-chunk an empty events frame")
+    chunk = f"CAST((unix_micros(ts) - {mn}) * {n_chunks} div ({mx} - {mn} + 1) AS INT)"
+    return _chunked_file_stream(spark, ev, chunk, n_chunks)
+
 LATE_WATERMARK = "3 days"
 LATE_CHUNKS = 4
 
@@ -630,12 +645,7 @@ def streaming_session_window_df(spark: SparkSession, ev: DataFrame) -> DataFrame
     events frame (``event_id, ts, user_id, value``) — lets tests feed a
     corpus engineered to place sessions ACROSS chunk boundaries, where
     the cross-batch merge is observable."""
-    mn, mx = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).collect()[0]
-    n = SESSION_STREAM_CHUNKS
-    chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
-    with _chunked_file_stream(spark, ev, chunk, n) as stream:
+    with _time_chunked_stream(spark, ev, SESSION_STREAM_CHUNKS) as stream:
         sessions = (
             stream.withWatermark("ts", SESSION_STREAM_WM)
             .groupBy(
@@ -690,7 +700,8 @@ ORDER BY user_id, sessionStart
 """
 
 SJOIN_CHUNKS = 4
-SJOIN_WM = "10 minutes"  # join delay comes from AggregatorConfig.max_response_delay
+SJOIN_WM_S = 600  # watermark delay; == the J1 10-minute interval bound
+SJOIN_WM = f"{SJOIN_WM_S} seconds"  # join bound comes from AggregatorConfig.max_response_delay
 
 def streaming_response_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The J1 query↔response match as a REAL stream-stream inner join —
@@ -719,12 +730,7 @@ def streaming_response_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
     events frame — lets tests engineer a query/response pair that
     straddles a chunk boundary, where the symmetric join state's
     cross-batch buffering is observable."""
-    mn, mx = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).collect()[0]
-    n = SJOIN_CHUNKS
-    chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
-    with _chunked_file_stream(spark, ev, chunk, n) as stream:
+    with _time_chunked_stream(spark, ev, SJOIN_CHUNKS) as stream:
         joined = streaming_response_time_join(stream, watermark=SJOIN_WM)
         return run_stream_to_memory(joined, "append", spark).orderBy(
             "responseTime", "identity", "delta_us"
@@ -791,12 +797,7 @@ def streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
     """Core of :func:`streaming_outer_join_query` over an injected
     events frame (fixture tests engineer boundary-straddling rows)."""
-    mn, mx = ev.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
-    ).collect()[0]
-    n = SJOIN_CHUNKS
-    chunk = f"CAST((unix_micros(ts) - {mn}) * {n} div ({mx} - {mn} + 1) AS INT)"
-    with _chunked_file_stream(spark, ev, chunk, n) as stream:
+    with _time_chunked_stream(spark, ev, SJOIN_CHUNKS) as stream:
         q = _project(stream, "queryTime", False, True, 0).withWatermark(
             "queryTime", SJOIN_WM
         ).alias("q")
@@ -809,7 +810,7 @@ def streaming_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
         cond = (
             cond
             & (F.col("r.responseTime") >= F.col("q.queryTime"))
-            & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr("INTERVAL '10 minutes'"))
+            & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{SJOIN_WM}'"))
         )
         joined = q.join(r, cond, "leftOuter").select(
             F.col("q.queryTime").alias("queryTime"),
@@ -828,6 +829,7 @@ def streaming_outer_join_sql() -> str:
     from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
 
     on = " AND ".join(f"q.{k} = r.{k}" for k in JK)
+    wm_us = SJOIN_WM_S * 1_000_000
     return f"""
 WITH q AS ({PAIR_QUERY_SQL}), r AS ({PAIR_RESPONSE_SQL}),
 matched AS (
@@ -835,23 +837,27 @@ matched AS (
          epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us
   FROM q JOIN r ON {on}
    AND r.responseTime >= q.queryTime
-   AND r.responseTime <= q.queryTime + INTERVAL '10 minutes'),
+   AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}'),
 -- final watermark: each side's watermark node tracks ITS OWN max event
 -- time (ms-truncated) minus the delay; the query-wide watermark is the
 -- MIN of the two (empirically pinned: the last query-side event is
 -- withheld because the query side's own max — not the corpus max —
--- bounds wm_q)
-wm AS (SELECT least((SELECT (max(epoch_us(queryTime)) // 1000) * 1000 FROM q),
-                    (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 FROM r))
-              - {10 * 60 * 1_000_000} AS w),
+-- bounds wm_q). If a SIDE IS EMPTY its watermark never leaves epoch 0
+-- and Spark evicts nothing — model that as a NULL watermark (DuckDB's
+-- least() would skip the NULL and wrongly use the other side alone),
+-- which NULLs the eviction predicate and empties `unmatched`.
+wm AS (SELECT CASE WHEN qm.v IS NULL OR rm.v IS NULL THEN NULL
+              ELSE least(qm.v, rm.v) - {wm_us} END AS w
+       FROM (SELECT (max(epoch_us(queryTime)) // 1000) * 1000 AS v FROM q) qm
+       CROSS JOIN (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 AS v FROM r) rm),
 unmatched AS (
   SELECT q.queryTime, q.identity, CAST(-1 AS BIGINT) AS delta_us
   FROM q CROSS JOIN wm
   WHERE NOT EXISTS (
     SELECT 1 FROM r WHERE {on}
       AND r.responseTime >= q.queryTime
-      AND r.responseTime <= q.queryTime + INTERVAL '10 minutes')
-    AND wm.w > epoch_us(q.queryTime) + {10 * 60 * 1_000_000})
+      AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}')
+    AND wm.w > epoch_us(q.queryTime) + {wm_us})
 SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 ORDER BY queryTime, identity, delta_us
 """

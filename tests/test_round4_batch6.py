@@ -210,3 +210,32 @@ def test_embedding_lsh_dups_precision_and_recall_consistency(spark):
     assert row.n_true == len(exact)
     assert row.n_false_pos == 0
     assert row.pair_recall == len(lsh) / len(exact)
+
+
+def test_streaming_outer_join_empty_response_side(spark):
+    """With no response-side rows the response watermark never leaves
+    epoch 0, so Spark evicts nothing and emits NOTHING — the oracle
+    models this via a NULL combined watermark (review fix: DuckDB's
+    least() would skip the NULL side and wrongly evict). Also pins the
+    empty-frame guard on the shared chunking helper."""
+    import datetime
+
+    import pytest
+
+    from dnstap2clickhouse_spark.streaming import pipeline as stp
+
+    t0 = datetime.datetime(2001, 1, 1)
+    rows = [  # queries only (even ids), spanning >> the 10-min bound
+        (0, t0, 1, "click", 1.0),
+        (2, t0 + datetime.timedelta(hours=2), 1, "click", 1.0),
+    ]
+    schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    df = spark.createDataFrame(rows, schema)
+    assert stp.streaming_outer_join_df(spark, df).collect() == []
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    assert len(con.sql(stp.streaming_outer_join_sql()).df()) == 0
+    with pytest.raises(ValueError, match="empty"):
+        stp._time_chunked_stream(spark, spark.createDataFrame([], schema), 4)
