@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 3: the full modern curation chain in one plan
         # (quality -> repetition -> decontam -> near-dup -> resample -> split)
         "curate_corpus_v2": pcur.curate_corpus_v2,
+        # new in round 4 (batch 6): v2 + the SemDeDup gate over the
+        # embedding shard — the two-modality curation capstone
+        "curate_corpus_v3": pcur.curate_corpus_v3,
         # new in round 3: the stateless curation gates as a REAL stream
         # (micro-batch file source), oracle-checked because statelessness
         # makes stream output == batch gate composition
@@ -465,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantize_int8": fsim.quantize_int8_sql(),
         "split_quality_resample": fsplit.quality_resample_sql(),
         "curate_corpus_v2": pcur.curate_corpus_v2_sql(),
+        "curate_corpus_v3": pcur.curate_corpus_v3_sql(),
         "streaming_curation": stp.streaming_curation_sql(),
         # update-mode stream collapsed to final state == batch clientQuery
         "dns_streaming_agg": cq,

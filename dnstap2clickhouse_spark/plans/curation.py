@@ -144,3 +144,52 @@ def curate_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curate_corpus_v2_sql() -> str:
     return _curate_v2_sql("duckdb")
+
+def _curate_v3_sql(dialect: str) -> str:
+    """v2 plus the SEMANTIC gate — the two-modality curation chain a
+    current pretraining pipeline runs (DCLM/Llama-style): the text side
+    (quality → repetition → decontamination → LSH-verified lexical
+    near-dups) composed with SemDeDup over the embedding shard
+    (``dedup_semantic``: cosine dedup within k-means clusters), keyed by
+    the shared id space (``doc_id == vec_id`` — how a production corpus
+    keys its text and embedding shards).
+
+    Built by splicing the semantic verdict into ``_curate_v2_sql`` as a
+    derived-table LEFT JOIN (join only to DROPPED verdicts; survivors
+    see NULL), so the v2 plan text — and everything audited about it —
+    is reused verbatim. A doc missing from the embedding shard passes
+    the semantic gate (LEFT JOIN), matching ingest reality where
+    embeddings lag the text.
+
+    Extra shuffle census over v2: the k-means assignment (K-row
+    broadcast + one (cluster, dim) shuffle) and the intra-cluster pair
+    join — the quarantined-quadratic contract documented on
+    ``dedup_semantic`` applies unchanged.
+    """
+    from ..functions.similarity import _semantic_dedup_sql
+
+    v2 = _curate_v2_sql(dialect)
+    sem = _semantic_dedup_sql(dialect).replace("ORDER BY m.vec_id", "").strip()
+    out = v2.replace(
+        "  LEFT JOIN dropped v ON v.doc_id = s.doc_id\n",
+        "  LEFT JOIN dropped v ON v.doc_id = s.doc_id\n"
+        f"  LEFT JOIN (\n{sem}\n) sem ON sem.vec_id = s.doc_id AND NOT sem.kept\n",
+    ).replace(
+        "    AND v.doc_id IS NULL\n",
+        "    AND v.doc_id IS NULL\n    AND sem.vec_id IS NULL\n",
+    )
+    if out == v2:  # splice anchors must exist — fail loudly, not silently
+        raise RuntimeError("curate_v3 splice anchors not found in v2 SQL")
+    return out
+
+def curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-modality curation: the v2 text chain + the SemDeDup gate."""
+    from ..functions.dedup import _register as _register_docs
+    from ..functions.similarity import _register as _register_emb
+
+    _register_docs(spark, sf_dir)
+    _register_emb(spark, sf_dir)
+    return spark.sql(_curate_v3_sql("spark"))
+
+def curate_corpus_v3_sql() -> str:
+    return _curate_v3_sql("duckdb")

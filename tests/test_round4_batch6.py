@@ -239,3 +239,20 @@ def test_streaming_outer_join_empty_response_side(spark):
     assert len(con.sql(stp.streaming_outer_join_sql()).df()) == 0
     with pytest.raises(ValueError, match="empty"):
         stp._time_chunked_stream(spark, spark.createDataFrame([], schema), 4)
+
+
+def test_curate_v3_is_v2_minus_semantic_drops(spark):
+    """The two-modality capstone: v3's survivor set is EXACTLY v2's
+    minus the docs whose embedding the SemDeDup verdict drops — the
+    splice adds the one gate and changes nothing else (columns and
+    per-doc values identical for survivors)."""
+    from dnstap2clickhouse_spark.plans import curation as pcur
+
+    v2 = {r.doc_id: tuple(r) for r in pcur.curate_corpus_v2(spark, SF).collect()}
+    v3 = {r.doc_id: tuple(r) for r in pcur.curate_corpus_v3(spark, SF).collect()}
+    sem_dropped = {
+        r.vec_id for r in fsim.semantic_dedup(spark, SF).collect() if not r.kept
+    }
+    assert set(v3) == set(v2) - sem_dropped
+    for d, row in v3.items():
+        assert row == v2[d]
