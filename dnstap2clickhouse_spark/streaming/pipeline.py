@@ -861,3 +861,105 @@ unmatched AS (
 SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 ORDER BY queryTime, identity, delta_us
 """
+
+def streaming_full_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J1 match as a stream-stream FULL OUTER join — completes the
+    join-semantics matrix (inner: ``streaming_response_join``; left
+    outer: ``streaming_outer_join``) with the remaining emission rule:
+    NULL-extended rows for BOTH unmatched sides, each at its OWN
+    eviction cut.
+
+    The two cuts are asymmetric because the interval condition is:
+    a query (left) row can only stop matching once the watermark passes
+    ``qt + bound`` (responses up to that time could still arrive), while
+    a response (right) row matches only queries with ``qt ∈ [rt − bound,
+    rt]`` — queries later than ``rt`` never match it, so it finalizes as
+    soon as the watermark passes ``rt`` itself. Both cuts are STRICT
+    (pinned by the fixture test via whole-ms boundary rows, like the
+    left-outer entry), against the same combined watermark: min over
+    both sides of floor_ms(that side's own max event time) − delay,
+    NULL (no eviction) if either side is empty.
+
+    Output: one row per match plus one per finalized orphan;
+    ``kind`` ∈ {{match, orphan_query, orphan_response}}, ``delta_us`` =
+    −1 sentinel on orphan rows, ``t`` = the surviving side's event time.
+    """
+    return streaming_full_outer_join_df(spark, load_table(spark, sf_dir, "events"))
+
+def streaming_full_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of :func:`streaming_full_outer_join_query` over an injected
+    events frame (fixture tests engineer per-side boundary rows)."""
+    with _time_chunked_stream(spark, ev, SJOIN_CHUNKS) as stream:
+        q = _project(stream, "queryTime", False, True, 0).withWatermark(
+            "queryTime", SJOIN_WM
+        ).alias("q")
+        r = _project(stream, "responseTime", True, True, 1).withWatermark(
+            "responseTime", SJOIN_WM
+        ).alias("r")
+        cond = F.lit(True)
+        for k in JOIN_KEYS:
+            cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
+        cond = (
+            cond
+            & (F.col("r.responseTime") >= F.col("q.queryTime"))
+            & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{SJOIN_WM}'"))
+        )
+        joined = q.join(r, cond, "fullOuter").select(
+            F.coalesce(F.col("q.queryTime"), F.col("r.responseTime")).alias("t"),
+            F.coalesce(F.col("q.identity"), F.col("r.identity")).alias("identity"),
+            F.coalesce(
+                F.unix_micros("r.responseTime") - F.unix_micros("q.queryTime"),
+                F.lit(-1),
+            ).alias("delta_us"),
+            F.when(
+                F.col("q.queryTime").isNull(), F.lit("orphan_response")
+            ).when(F.col("r.responseTime").isNull(), F.lit("orphan_query"))
+            .otherwise(F.lit("match"))
+            .alias("kind"),
+        )
+        return run_stream_to_memory(joined, "append", spark).orderBy(
+            "t", "identity", "delta_us", "kind"
+        )
+
+def streaming_full_outer_join_sql() -> str:
+    from ..operators.join import JOIN_KEYS as JK
+    from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
+
+    on = " AND ".join(f"q.{k} = r.{k}" for k in JK)
+    wm_us = SJOIN_WM_S * 1_000_000
+    return f"""
+WITH q AS ({PAIR_QUERY_SQL}), r AS ({PAIR_RESPONSE_SQL}),
+matched AS (
+  SELECT q.queryTime AS t, q.identity,
+         epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us,
+         'match' AS kind
+  FROM q JOIN r ON {on}
+   AND r.responseTime >= q.queryTime
+   AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}'),
+wm AS (SELECT CASE WHEN qm.v IS NULL OR rm.v IS NULL THEN NULL
+              ELSE least(qm.v, rm.v) - {wm_us} END AS w
+       FROM (SELECT (max(epoch_us(queryTime)) // 1000) * 1000 AS v FROM q) qm
+       CROSS JOIN (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 AS v FROM r) rm),
+orphan_q AS (
+  SELECT q.queryTime AS t, q.identity, CAST(-1 AS BIGINT) AS delta_us,
+         'orphan_query' AS kind
+  FROM q CROSS JOIN wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r WHERE {on}
+      AND r.responseTime >= q.queryTime
+      AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}')
+    AND wm.w > epoch_us(q.queryTime) + {wm_us}),
+orphan_r AS (
+  SELECT r.responseTime AS t, r.identity, CAST(-1 AS BIGINT) AS delta_us,
+         'orphan_response' AS kind
+  FROM r CROSS JOIN wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM q WHERE {on}
+      AND r.responseTime >= q.queryTime
+      AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}')
+    AND wm.w > epoch_us(r.responseTime))
+SELECT * FROM matched
+UNION ALL SELECT * FROM orphan_q
+UNION ALL SELECT * FROM orphan_r
+ORDER BY t, identity, delta_us, kind
+"""

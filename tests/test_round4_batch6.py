@@ -256,3 +256,48 @@ def test_curate_v3_is_v2_minus_semantic_drops(spark):
     assert set(v3) == set(v2) - sem_dropped
     for d, row in v3.items():
         assert row == v2[d]
+
+
+def test_streaming_full_outer_join_asymmetric_boundaries(spark):
+    """FULL OUTER: both orphan kinds emit at their own STRICT cuts —
+    queries once wm passes qt + bound, responses once wm passes rt
+    itself (queries later than rt can never match it). Whole-ms fixture
+    places one orphan response exactly ON the cut (withheld) and one
+    1 ms before it (emitted), alongside a matched pair and an
+    over-bound response that must surface as an orphan."""
+    import datetime
+
+    from dnstap2clickhouse_spark.streaming import pipeline as stp
+
+    t0 = datetime.datetime(2001, 1, 1)
+    min10 = 600_000
+
+    def ev(eid, ms):
+        return (eid, t0 + datetime.timedelta(milliseconds=ms), 1, "click", 1.0)
+
+    rows = [
+        ev(21, -1),  # orphan response; rt = wm−1ms -> emitted
+        ev(1, 0),  # orphan response; rt == wm exactly -> withheld (strict)
+        ev(2, min10),  # query: drives wm_q = t0; pairs with event 3
+        ev(3, min10 + 11),  # its response, 11ms later -> match
+        ev(5, 2 * min10),  # response, drives wm_r; its query (4) absent
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    got = sorted(tuple(r) for r in stp.streaming_full_outer_join_df(spark, df).collect())
+    assert got == sorted(
+        [
+            (t0 + datetime.timedelta(milliseconds=-1), "ns1", -1, "orphan_response"),
+            (t0 + datetime.timedelta(milliseconds=min10), "ns1", 11000, "match"),
+        ]
+    )
+    # oracle agrees on the engineered frame (both cuts replayed in SQL)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    ora = sorted(map(tuple, con.sql(stp.streaming_full_outer_join_sql()).df().values))
+    assert [(str(a), b, c, d) for a, b, c, d in got] == [
+        (str(a), b, c, d) for a, b, c, d in ora
+    ]
