@@ -698,3 +698,187 @@ def bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bloom_prescreen_sql() -> str:
     return _bloom_sql("duckdb")
+
+# ----------------------------------------------- online streaming dedup
+
+ONLINE_CHUNKS = 4
+
+
+def _online_bands(df: DataFrame) -> DataFrame:
+    """(doc_id, band, sig, sh) band rows for one arriving batch — the
+    same signature construction as ``_lsh_pairs_sql`` (one md5 per
+    shingle, all 16 minima in one traversal), carried with the shingle
+    array so the index can verify candidates without re-reading the
+    corpus."""
+    rows_per_band = N_HASHES // BANDS
+    base = "transform(sh, s -> " + _hash_tok("spark", "s") + ")"
+    return (
+        df.withColumn("sh", F.expr(_shingle_expr("spark")))
+        .withColumn("hs", F.expr(base))
+        .withColumn("mh", F.expr(_minhash_vec_expr()))
+        .select(
+            "doc_id",
+            "sh",
+            F.explode(F.expr(f"sequence(0, {BANDS - 1})")).alias("band"),
+            "mh",
+        )
+        .withColumn("sig", F.expr(f"slice(mh, band * {rows_per_band} + 1, {rows_per_band})"))
+        .select("doc_id", "band", "sig", "sh")
+    )
+
+
+def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE dedup with a LIVE index: documents arrive as
+    ``ONLINE_CHUNKS`` doc_id-ordered micro-batches; each batch PROBES
+    the LSH index accumulated from previously ADMITTED docs (banded
+    candidates → exact-Jaccard verify) and the admitted survivors are
+    APPENDED to the index before the next batch — the cross-batch
+    index-evolution loop a 100 TB ingest pipeline runs daily, executed
+    as a real foreachBatch stream.
+
+    The semantics this certifies (and ``_online_dedup_sql`` replays
+    unrolled): a doc is rejected iff an ADMITTED doc from an EARLIER
+    batch is a verified near-dup. Chains therefore behave like real
+    online dedup — if A admits and B (dup of A) rejects, a later C
+    that's near only B still ADMITS, because rejected docs never enter
+    the index. Within-batch dups both admit (the probe runs before the
+    batch inserts), exactly like a production bulk-load.
+
+    Scale shape: the per-batch probe is the one-sided banded equi-join
+    of ``dedup_incremental_ingest`` (index side bucketed on (band,
+    sig) at scale); the index append is blind. The foreachBatch loop
+    adds no driver-side per-row work — both legs are DataFrame plans.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import _chunked_file_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    chunk = f"CAST((doc_id - {mn}) * {ONLINE_CHUNKS} div ({mx} - {mn} + 1) AS INT)"
+    idx_dir = tempfile.mkdtemp(prefix="online_idx_")
+    out_dir = tempfile.mkdtemp(prefix="online_out_")
+    try:
+
+        def handle(batch: DataFrame, _epoch: int) -> None:
+            b = _online_bands(batch).persist()
+            if glob.glob(os.path.join(idx_dir, "*.parquet")):
+                idx = spark.read.parquet(idx_dir)
+                cand = (
+                    b.alias("n")
+                    .join(idx.alias("o"), ["band", "sig"])
+                    .select(
+                        F.col("n.doc_id").alias("new_id"),
+                        F.col("o.doc_id").alias("corpus_id"),
+                        F.col("n.sh").alias("nsh"),
+                        F.col("o.sh").alias("osh"),
+                    )
+                    .distinct()
+                )
+                inter = "size(array_intersect(nsh, osh))"
+                dup = (
+                    cand.withColumn(
+                        "j",
+                        F.expr(
+                            f"CAST({inter} AS DOUBLE) / (size(nsh) + size(osh) - {inter})"
+                        ),
+                    )
+                    .filter(f"j >= {JACCARD_THRESHOLD}")
+                    .groupBy("new_id")
+                    .agg(F.min("corpus_id").alias("dup_of"))
+                )
+            else:
+                dup = spark.createDataFrame([], "new_id BIGINT, dup_of BIGINT")
+            verdict = (
+                batch.select("doc_id")
+                .join(dup, batch.doc_id == dup.new_id, "left")
+                .select(
+                    "doc_id",
+                    F.col("dup_of").isNull().alias("admitted"),
+                    F.coalesce("dup_of", F.lit(-1)).alias("dup_of"),
+                )
+            )
+            verdict.write.mode("append").parquet(out_dir)
+            b.join(dup, b.doc_id == dup.new_id, "left_anti").write.mode(
+                "append"
+            ).parquet(idx_dir)
+            b.unpersist()
+
+        with _chunked_file_stream(spark, docs, chunk, ONLINE_CHUNKS) as stream:
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.parquet(out_dir).orderBy("doc_id")
+        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
+        return out
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _online_dedup_sql(dialect: str) -> str:
+    """Unrolled replay of the online semantics: the verified near-dup
+    relation is computed once over all ordered pairs, then the 4
+    admitted sets fold left-to-right (reject iff a verified partner sits
+    in the PREVIOUS batches' admitted set)."""
+    pairs = _lsh_pairs_sql(dialect)
+    prefix = pairs[: pairs.index("SELECT DISTINCT")].rstrip() + ","
+    sh = _shingle_arrays(dialect)
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    idiv = "div" if dialect == "spark" else "//"
+    mn = "(SELECT min(doc_id) FROM documents)"
+    mx = "(SELECT max(doc_id) FROM documents)"
+    n = ONLINE_CHUNKS
+    ix = f"{size}({inter}(a.sh, b.sh))"
+    stages = []
+    for b in range(1, n):
+        prev = f"adm{b - 1}"
+        stages.append(
+            f"""rej{b} AS (
+  SELECT v.new_id AS doc_id, min(v.corpus_id) AS dup_of
+  FROM ver v
+  JOIN ck c ON v.new_id = c.doc_id AND c.chunk = {b}
+  JOIN {prev} a ON v.corpus_id = a.doc_id
+  GROUP BY v.new_id),
+adm{b} AS (
+  SELECT doc_id FROM {prev}
+  UNION ALL
+  SELECT c.doc_id FROM ck c LEFT JOIN rej{b} r ON c.doc_id = r.doc_id
+  WHERE c.chunk = {b} AND r.doc_id IS NULL)"""
+        )
+    rejs = "\nUNION ALL\n".join(f"SELECT * FROM rej{b}" for b in range(1, n))
+    return f"""{prefix}
+ck AS (SELECT doc_id,
+              CAST((doc_id - {mn}) * {n} {idiv} ({mx} - {mn} + 1) AS BIGINT) AS chunk
+       FROM documents),
+sh2 AS ({sh}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS corpus_id
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id <> y.doc_id),
+ver AS (
+  SELECT c.new_id, c.corpus_id
+  FROM cand c
+  JOIN sh2 a ON c.new_id = a.doc_id
+  JOIN sh2 b ON c.corpus_id = b.doc_id
+  WHERE CAST({ix} AS DOUBLE) / ({size}(a.sh) + {size}(b.sh) - {ix}) >= {JACCARD_THRESHOLD}),
+adm0 AS (SELECT doc_id FROM ck WHERE chunk = 0),
+{",".join(stages)},
+rej AS ({rejs})
+SELECT c.doc_id,
+       r.doc_id IS NULL AS admitted,
+       coalesce(r.dup_of, CAST(-1 AS BIGINT)) AS dup_of
+FROM ck c LEFT JOIN rej r ON c.doc_id = r.doc_id
+ORDER BY c.doc_id
+"""
+
+
+def streaming_online_dedup_sql() -> str:
+    return _online_dedup_sql("duckdb")

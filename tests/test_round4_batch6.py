@@ -301,3 +301,58 @@ def test_streaming_full_outer_join_asymmetric_boundaries(spark):
     assert [(str(a), b, c, d) for a, b, c, d in got] == [
         (str(a), b, c, d) for a, b, c, d in ora
     ]
+
+
+def test_online_dedup_chain_semantics(spark):
+    """Online dedup with a live index: B (dup of admitted A) is
+    rejected; C — near-dup of B ONLY — is then ADMITTED, because
+    rejected docs never enter the index. Sliding-window texts give
+    jaccard(A,B) ≈ 0.71 ≥ 0.5, jaccard(B,C) = 0.5 ≥ 0.5,
+    jaccard(A,C) ≈ 0.33 < 0.5; ids 0-3 land one per micro-batch."""
+    toks = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambdaw".split()
+    text = lambda lo, hi: " ".join(toks[lo:hi])
+    rows = [
+        (0, text(0, 8), "en", "s", 1),  # A — chunk 0, admitted
+        (1, text(1, 9), "en", "s", 1),  # B — dup of A, rejected
+        (2, text(3, 11), "en", "s", 1),  # C — near B only, ADMITTED
+        (3, "utterly unrelated content entirely", "en", "s", 1),  # D
+    ]
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    fix = spark.createDataFrame(rows, schema)
+    orig = load_table(spark, SF, "documents")
+    try:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="online_fix_")
+        fix.write.mode("overwrite").parquet(d)
+        got = {
+            r.doc_id: (r.admitted, r.dup_of)
+            for r in fdedup.streaming_online_dedup(spark, _fake_sf(spark, d)).collect()
+        }
+    finally:
+        orig.createOrReplaceTempView("documents")
+    assert got == {0: (True, -1), 1: (False, 0), 2: (True, -1), 3: (True, -1)}
+    # oracle replays the same chain on the fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", fix.toPandas())
+    ora = {
+        int(r.doc_id): (bool(r.admitted), int(r.dup_of))
+        for _, r in con.sql(fdedup.streaming_online_dedup_sql()).df().iterrows()
+    }
+    assert ora == got
+
+
+def _fake_sf(spark, parquet_dir):
+    """Wrap a single-table parquet dir so load_table(..., 'documents')
+    resolves to it."""
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fake_sf_")
+    os.makedirs(os.path.join(d), exist_ok=True)
+    # load_table reads <sf>/documents.parquet (file or dir)
+    shutil.copytree(parquet_dir, os.path.join(d, "documents.parquet"))
+    return d
