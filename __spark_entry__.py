@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 6): online dedup with a LIVE cross-batch
         # LSH index (probe -> admit -> append), oracle = unrolled replay
         "streaming_online_dedup": fdedup.streaming_online_dedup,
+        # new in round 4 (batch 6): deterministic stand-in for CCNet's
+        # perplexity quality signal — mean token corpus frequency
+        "text_unigram_likelihood": ftext.unigram_likelihood,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -485,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_outer_join": stp.streaming_outer_join_sql(),
         "streaming_full_outer_join": stp.streaming_full_outer_join_sql(),
         "streaming_online_dedup": fdedup.streaming_online_dedup_sql(),
+        "text_unigram_likelihood": ftext.unigram_likelihood_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

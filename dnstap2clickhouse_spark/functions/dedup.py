@@ -758,6 +758,8 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     mn, mx = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if mn is None:
+        raise ValueError("cannot chunk an empty documents table")
     chunk = f"CAST((doc_id - {mn}) * {ONLINE_CHUNKS} div ({mx} - {mn} + 1) AS INT)"
     idx_dir = tempfile.mkdtemp(prefix="online_idx_")
     out_dir = tempfile.mkdtemp(prefix="online_out_")

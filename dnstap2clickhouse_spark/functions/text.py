@@ -580,3 +580,53 @@ def keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def keyword_search_sql() -> str:
     return _keyword_search_sql("duckdb")
+
+# --------------------------------------------- unigram-likelihood scoring
+
+UNIGRAM_SCALE = 1_000_000
+
+
+def _unigram_likelihood_sql(dialect: str) -> str:
+    """CCNet-style language-model quality signal, made deterministic:
+    instead of KenLM perplexity (float log-probs, not bit-portable), the
+    score is the per-doc MEAN TOKEN CORPUS FREQUENCY as an exact scaled
+    integer — ``SCALE · Σ count(tok) div (n_tokens · N_total)``-shaped
+    rational (monotone in the unigram likelihood, log dropped, same
+    ranking direction): prose made of common words scores high, junk
+    made of rare strings scores low — the head/tail split CCNet uses
+    perplexity for.
+
+    Scale shape: token explode → one vocab-keyed count shuffle (the
+    unigram "model" — sub-linear in corpus size), a vocab-keyed fetch
+    join to score (never corpus×vocab), one doc-keyed sum. The model
+    relation is reusable/persistable exactly like a trained LM.
+    """
+    toks = _toks(dialect)
+    flat = "explode" if dialect == "spark" else "unnest"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH tok AS (SELECT doc_id, {flat}({toks}) AS t FROM documents),
+model AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(m.cnt) AS BIGINT) AS sum_freq
+  FROM tok JOIN model m ON tok.t = m.t
+  GROUP BY tok.doc_id)
+SELECT s.doc_id, s.n_tokens,
+       (s.sum_freq * {UNIGRAM_SCALE}) {idiv} (s.n_tokens * t.n) AS mean_freq_e6
+FROM scored s CROSS JOIN total t
+ORDER BY s.doc_id
+"""
+
+
+def unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean token corpus frequency (scaled integer) — the
+    deterministic stand-in for LM-perplexity quality filtering."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_unigram_likelihood_sql("spark"))
+
+
+def unigram_likelihood_sql() -> str:
+    return _unigram_likelihood_sql("duckdb")

@@ -356,3 +356,22 @@ def _fake_sf(spark, parquet_dir):
     # load_table reads <sf>/documents.parquet (file or dir)
     shutil.copytree(parquet_dir, os.path.join(d, "documents.parquet"))
     return d
+
+
+def test_unigram_likelihood_matches_python_model(spark):
+    """The scaled-integer mean-frequency score equals an independent
+    Python recomputation of the unigram model (counts, totals, exact
+    integer division) — certifying the model join, not just engine
+    parity; and common-word docs outrank rare-word docs by design."""
+    from collections import Counter
+
+    from dnstap2clickhouse_spark.functions import text as ftext
+
+    docs = {r.doc_id: r.text.split(" ") for r in load_table(spark, SF, "documents").collect()}
+    model = Counter(t for toks in docs.values() for t in toks)
+    total = sum(model.values())
+    got = {r.doc_id: (r.n_tokens, r.mean_freq_e6) for r in ftext.unigram_likelihood(spark, SF).collect()}
+    assert set(got) == set(docs)
+    for d, toks in docs.items():
+        expect = (sum(model[t] for t in toks) * ftext.UNIGRAM_SCALE) // (len(toks) * total)
+        assert got[d] == (len(toks), expect)
