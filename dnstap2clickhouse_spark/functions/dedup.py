@@ -761,28 +761,45 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if mn is None:
         raise ValueError("cannot chunk an empty documents table")
     chunk = f"CAST((doc_id - {mn}) * {ONLINE_CHUNKS} div ({mx} - {mn} + 1) AS INT)"
-    idx_dir = tempfile.mkdtemp(prefix="online_idx_")
+    idx_dir = tempfile.mkdtemp(prefix="online_idx_")  # narrow (doc_id, band, sig)
+    sh_dir = tempfile.mkdtemp(prefix="online_sh_")  # (doc_id, sh) fetch relation
     out_dir = tempfile.mkdtemp(prefix="online_out_")
     try:
 
         def handle(batch: DataFrame, _epoch: int) -> None:
+            # index layout mirrors _lsh_verified_sql's candidates-then-fetch
+            # idiom: band rows stay NARROW (sig only — review fix: carrying
+            # the shingle array per band row inflated the index ~8x), and
+            # the shingles live once per doc in a separate relation that
+            # only VERIFIED candidates fetch-join.
             b = _online_bands(batch).persist()
             if glob.glob(os.path.join(idx_dir, "*.parquet")):
                 idx = spark.read.parquet(idx_dir)
+                idx_sh = spark.read.parquet(sh_dir)
                 cand = (
-                    b.alias("n")
+                    b.select("doc_id", "band", "sig")
+                    .alias("n")
                     .join(idx.alias("o"), ["band", "sig"])
                     .select(
                         F.col("n.doc_id").alias("new_id"),
                         F.col("o.doc_id").alias("corpus_id"),
-                        F.col("n.sh").alias("nsh"),
-                        F.col("o.sh").alias("osh"),
                     )
                     .distinct()
                 )
                 inter = "size(array_intersect(nsh, osh))"
                 dup = (
-                    cand.withColumn(
+                    cand.join(
+                        b.select("doc_id", "sh").distinct().alias("ns"),
+                        cand.new_id == F.col("ns.doc_id"),
+                    )
+                    .join(idx_sh.alias("os"), cand.corpus_id == F.col("os.doc_id"))
+                    .select(
+                        "new_id",
+                        "corpus_id",
+                        F.col("ns.sh").alias("nsh"),
+                        F.col("os.sh").alias("osh"),
+                    )
+                    .withColumn(
                         "j",
                         F.expr(
                             f"CAST({inter} AS DOUBLE) / (size(nsh) + size(osh) - {inter})"
@@ -791,6 +808,7 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .filter(f"j >= {JACCARD_THRESHOLD}")
                     .groupBy("new_id")
                     .agg(F.min("corpus_id").alias("dup_of"))
+                    .persist()  # review fix: verdict AND index append read it
                 )
             else:
                 dup = spark.createDataFrame([], "new_id BIGINT, dup_of BIGINT")
@@ -804,9 +822,14 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             verdict.write.mode("append").parquet(out_dir)
-            b.join(dup, b.doc_id == dup.new_id, "left_anti").write.mode(
+            admitted_bands = b.join(dup, b.doc_id == dup.new_id, "left_anti")
+            admitted_bands.select("doc_id", "band", "sig").write.mode(
                 "append"
             ).parquet(idx_dir)
+            admitted_bands.select("doc_id", "sh").distinct().write.mode(
+                "append"
+            ).parquet(sh_dir)
+            dup.unpersist()
             b.unpersist()
 
         with _chunked_file_stream(spark, docs, chunk, ONLINE_CHUNKS) as stream:
@@ -821,6 +844,7 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(sh_dir, ignore_errors=True)
         shutil.rmtree(out_dir, ignore_errors=True)
 
 

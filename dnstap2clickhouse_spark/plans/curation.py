@@ -170,17 +170,19 @@ def _curate_v3_sql(dialect: str) -> str:
 
     v2 = _curate_v2_sql(dialect)
     sem = _semantic_dedup_sql(dialect).replace("ORDER BY m.vec_id", "").strip()
-    out = v2.replace(
-        "  LEFT JOIN dropped v ON v.doc_id = s.doc_id\n",
-        "  LEFT JOIN dropped v ON v.doc_id = s.doc_id\n"
-        f"  LEFT JOIN (\n{sem}\n) sem ON sem.vec_id = s.doc_id AND NOT sem.kept\n",
-    ).replace(
-        "    AND v.doc_id IS NULL\n",
-        "    AND v.doc_id IS NULL\n    AND sem.vec_id IS NULL\n",
-    )
-    if out == v2:  # splice anchors must exist — fail loudly, not silently
-        raise RuntimeError("curate_v3 splice anchors not found in v2 SQL")
-    return out
+    join_anchor = "  LEFT JOIN dropped v ON v.doc_id = s.doc_id\n"
+    pred_anchor = "    AND v.doc_id IS NULL\n"
+    # EACH anchor must appear exactly once — a drifted single anchor would
+    # otherwise splice the join but drop the filter (or vice versa) and
+    # silently degenerate v3 to v2 in BOTH engines, invisible to the oracle
+    for anchor in (join_anchor, pred_anchor):
+        if v2.count(anchor) != 1:
+            raise RuntimeError(f"curate_v3 splice anchor drifted: {anchor!r}")
+    return v2.replace(
+        join_anchor,
+        join_anchor
+        + f"  LEFT JOIN (\n{sem}\n) sem ON sem.vec_id = s.doc_id AND NOT sem.kept\n",
+    ).replace(pred_anchor, pred_anchor + "    AND sem.vec_id IS NULL\n")
 
 def curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-modality curation: the v2 text chain + the SemDeDup gate."""

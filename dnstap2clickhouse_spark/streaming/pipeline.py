@@ -770,6 +770,47 @@ def stateful_match_tws_query(spark: SparkSession, sf_dir: str, n_chunks: int = 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+def _pair_join_inputs(stream: DataFrame):
+    """(q, r, cond): the watermarked pair streams and the J1 interval
+    condition — the SINGLE definition shared by the left-outer and
+    full-outer stream-join entries (the inner entry keeps its
+    config-driven bound via ``streaming_response_time_join``)."""
+    q = _project(stream, "queryTime", False, True, 0).withWatermark(
+        "queryTime", SJOIN_WM
+    ).alias("q")
+    r = _project(stream, "responseTime", True, True, 1).withWatermark(
+        "responseTime", SJOIN_WM
+    ).alias("r")
+    cond = F.lit(True)
+    for k in JOIN_KEYS:
+        cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
+    cond = (
+        cond
+        & (F.col("r.responseTime") >= F.col("q.queryTime"))
+        & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{SJOIN_WM}'"))
+    )
+    return q, r, cond
+
+def _sjoin_oracle_parts() -> tuple[str, str, str]:
+    """(on, interval_pred, wm_cte): the shared oracle text for the
+    outer-join entries — one definition of the join keys, the interval
+    bound, and the combined-watermark rule (min over both sides of
+    floor_ms(own max) − delay; NULL when a side is empty, because that
+    side's Spark watermark never leaves epoch 0 and nothing evicts)."""
+    from ..operators.join import JOIN_KEYS as JK
+
+    on = " AND ".join(f"q.{k} = r.{k}" for k in JK)
+    interval = (
+        "r.responseTime >= q.queryTime\n"
+        f"   AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}'"
+    )
+    wm_us = SJOIN_WM_S * 1_000_000
+    wm = f"""SELECT CASE WHEN qm.v IS NULL OR rm.v IS NULL THEN NULL
+              ELSE least(qm.v, rm.v) - {wm_us} END AS w
+       FROM (SELECT (max(epoch_us(queryTime)) // 1000) * 1000 AS v FROM q) qm
+       CROSS JOIN (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 AS v FROM r) rm"""
+    return on, interval, wm
+
 def streaming_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The J1 match as a stream-stream LEFT OUTER join — the one
     Structured Streaming join semantic ``streaming_response_join``
@@ -798,20 +839,7 @@ def streaming_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
     """Core of :func:`streaming_outer_join_query` over an injected
     events frame (fixture tests engineer boundary-straddling rows)."""
     with _time_chunked_stream(spark, ev, SJOIN_CHUNKS) as stream:
-        q = _project(stream, "queryTime", False, True, 0).withWatermark(
-            "queryTime", SJOIN_WM
-        ).alias("q")
-        r = _project(stream, "responseTime", True, True, 1).withWatermark(
-            "responseTime", SJOIN_WM
-        ).alias("r")
-        cond = F.lit(True)
-        for k in JOIN_KEYS:
-            cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
-        cond = (
-            cond
-            & (F.col("r.responseTime") >= F.col("q.queryTime"))
-            & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{SJOIN_WM}'"))
-        )
+        q, r, cond = _pair_join_inputs(stream)
         joined = q.join(r, cond, "leftOuter").select(
             F.col("q.queryTime").alias("queryTime"),
             F.col("q.identity").alias("identity"),
@@ -825,38 +853,25 @@ def streaming_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
         )
 
 def streaming_outer_join_sql() -> str:
-    from ..operators.join import JOIN_KEYS as JK
     from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
 
-    on = " AND ".join(f"q.{k} = r.{k}" for k in JK)
+    on, interval, wm = _sjoin_oracle_parts()
     wm_us = SJOIN_WM_S * 1_000_000
+    # watermark rule rationale lives on _sjoin_oracle_parts
     return f"""
 WITH q AS ({PAIR_QUERY_SQL}), r AS ({PAIR_RESPONSE_SQL}),
 matched AS (
   SELECT q.queryTime, q.identity,
          epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us
   FROM q JOIN r ON {on}
-   AND r.responseTime >= q.queryTime
-   AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}'),
--- final watermark: each side's watermark node tracks ITS OWN max event
--- time (ms-truncated) minus the delay; the query-wide watermark is the
--- MIN of the two (empirically pinned: the last query-side event is
--- withheld because the query side's own max — not the corpus max —
--- bounds wm_q). If a SIDE IS EMPTY its watermark never leaves epoch 0
--- and Spark evicts nothing — model that as a NULL watermark (DuckDB's
--- least() would skip the NULL and wrongly use the other side alone),
--- which NULLs the eviction predicate and empties `unmatched`.
-wm AS (SELECT CASE WHEN qm.v IS NULL OR rm.v IS NULL THEN NULL
-              ELSE least(qm.v, rm.v) - {wm_us} END AS w
-       FROM (SELECT (max(epoch_us(queryTime)) // 1000) * 1000 AS v FROM q) qm
-       CROSS JOIN (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 AS v FROM r) rm),
+   AND {interval}),
+wm AS ({wm}),
 unmatched AS (
   SELECT q.queryTime, q.identity, CAST(-1 AS BIGINT) AS delta_us
   FROM q CROSS JOIN wm
   WHERE NOT EXISTS (
     SELECT 1 FROM r WHERE {on}
-      AND r.responseTime >= q.queryTime
-      AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}')
+      AND {interval})
     AND wm.w > epoch_us(q.queryTime) + {wm_us})
 SELECT * FROM matched UNION ALL SELECT * FROM unmatched
 ORDER BY queryTime, identity, delta_us
@@ -890,20 +905,7 @@ def streaming_full_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFram
     """Core of :func:`streaming_full_outer_join_query` over an injected
     events frame (fixture tests engineer per-side boundary rows)."""
     with _time_chunked_stream(spark, ev, SJOIN_CHUNKS) as stream:
-        q = _project(stream, "queryTime", False, True, 0).withWatermark(
-            "queryTime", SJOIN_WM
-        ).alias("q")
-        r = _project(stream, "responseTime", True, True, 1).withWatermark(
-            "responseTime", SJOIN_WM
-        ).alias("r")
-        cond = F.lit(True)
-        for k in JOIN_KEYS:
-            cond = cond & (F.col(f"q.{k}") == F.col(f"r.{k}"))
-        cond = (
-            cond
-            & (F.col("r.responseTime") >= F.col("q.queryTime"))
-            & (F.col("r.responseTime") <= F.col("q.queryTime") + F.expr(f"INTERVAL '{SJOIN_WM}'"))
-        )
+        q, r, cond = _pair_join_inputs(stream)
         joined = q.join(r, cond, "fullOuter").select(
             F.coalesce(F.col("q.queryTime"), F.col("r.responseTime")).alias("t"),
             F.coalesce(F.col("q.identity"), F.col("r.identity")).alias("identity"),
@@ -922,10 +924,9 @@ def streaming_full_outer_join_df(spark: SparkSession, ev: DataFrame) -> DataFram
         )
 
 def streaming_full_outer_join_sql() -> str:
-    from ..operators.join import JOIN_KEYS as JK
     from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
 
-    on = " AND ".join(f"q.{k} = r.{k}" for k in JK)
+    on, interval, wm = _sjoin_oracle_parts()
     wm_us = SJOIN_WM_S * 1_000_000
     return f"""
 WITH q AS ({PAIR_QUERY_SQL}), r AS ({PAIR_RESPONSE_SQL}),
@@ -934,20 +935,15 @@ matched AS (
          epoch_us(r.responseTime) - epoch_us(q.queryTime) AS delta_us,
          'match' AS kind
   FROM q JOIN r ON {on}
-   AND r.responseTime >= q.queryTime
-   AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}'),
-wm AS (SELECT CASE WHEN qm.v IS NULL OR rm.v IS NULL THEN NULL
-              ELSE least(qm.v, rm.v) - {wm_us} END AS w
-       FROM (SELECT (max(epoch_us(queryTime)) // 1000) * 1000 AS v FROM q) qm
-       CROSS JOIN (SELECT (max(epoch_us(responseTime)) // 1000) * 1000 AS v FROM r) rm),
+   AND {interval}),
+wm AS ({wm}),
 orphan_q AS (
   SELECT q.queryTime AS t, q.identity, CAST(-1 AS BIGINT) AS delta_us,
          'orphan_query' AS kind
   FROM q CROSS JOIN wm
   WHERE NOT EXISTS (
     SELECT 1 FROM r WHERE {on}
-      AND r.responseTime >= q.queryTime
-      AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}')
+      AND {interval})
     AND wm.w > epoch_us(q.queryTime) + {wm_us}),
 orphan_r AS (
   SELECT r.responseTime AS t, r.identity, CAST(-1 AS BIGINT) AS delta_us,
@@ -955,8 +951,7 @@ orphan_r AS (
   FROM r CROSS JOIN wm
   WHERE NOT EXISTS (
     SELECT 1 FROM q WHERE {on}
-      AND r.responseTime >= q.queryTime
-      AND r.responseTime <= q.queryTime + INTERVAL '{SJOIN_WM}')
+      AND {interval})
     AND wm.w > epoch_us(r.responseTime))
 SELECT * FROM matched
 UNION ALL SELECT * FROM orphan_q

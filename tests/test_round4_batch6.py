@@ -319,18 +319,20 @@ def test_online_dedup_chain_semantics(spark):
     ]
     schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     fix = spark.createDataFrame(rows, schema)
-    orig = load_table(spark, SF, "documents")
-    try:
-        import tempfile
+    import shutil
+    import tempfile
 
-        d = tempfile.mkdtemp(prefix="online_fix_")
-        fix.write.mode("overwrite").parquet(d)
+    orig = load_table(spark, SF, "documents")
+    fake_sf = tempfile.mkdtemp(prefix="online_fix_sf_")
+    try:
+        fix.write.mode("overwrite").parquet(fake_sf + "/documents.parquet")
         got = {
             r.doc_id: (r.admitted, r.dup_of)
-            for r in fdedup.streaming_online_dedup(spark, _fake_sf(spark, d)).collect()
+            for r in fdedup.streaming_online_dedup(spark, fake_sf).collect()
         }
     finally:
         orig.createOrReplaceTempView("documents")
+        shutil.rmtree(fake_sf, ignore_errors=True)
     assert got == {0: (True, -1), 1: (False, 0), 2: (True, -1), 3: (True, -1)}
     # oracle replays the same chain on the fixture
     import duckdb
@@ -342,20 +344,6 @@ def test_online_dedup_chain_semantics(spark):
         for _, r in con.sql(fdedup.streaming_online_dedup_sql()).df().iterrows()
     }
     assert ora == got
-
-
-def _fake_sf(spark, parquet_dir):
-    """Wrap a single-table parquet dir so load_table(..., 'documents')
-    resolves to it."""
-    import os
-    import shutil
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="fake_sf_")
-    os.makedirs(os.path.join(d), exist_ok=True)
-    # load_table reads <sf>/documents.parquet (file or dir)
-    shutil.copytree(parquet_dir, os.path.join(d, "documents.parquet"))
-    return d
 
 
 def test_unigram_likelihood_matches_python_model(spark):
