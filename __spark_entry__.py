@@ -216,6 +216,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 6): deterministic stand-in for CCNet's
         # perplexity quality signal — mean token corpus frequency
         "text_unigram_likelihood": ftext.unigram_likelihood,
+        # new in round 4 (batch 7): zero-filled dense hourly series (the
+        # ClickHouse WITH FILL / densification semantic, dimension-sized
+        # spine from sequence())
+        "events_gap_fill": evan.gap_fill,
+        # new in round 4 (batch 7): triangle census of the part
+        # co-purchase graph via degree-ordered wedge orientation (the
+        # O(E^1.5) formulation)
+        "graph_triangle_count": pgraph.triangle_count,
+        # new in round 4 (batch 7): asymmetric containment dedup — prefix
+        # -filtered candidates (PPJoin family), exact-integer verify
+        "dedup_containment_prefix": fdedup.containment_pairs,
+        # new in round 4 (batch 7): MMR diversity re-ranking — the
+        # post-retrieval stage of the RAG stack, greedy loop unrolled
+        "sim_mmr_rerank": fsim.mmr_rerank,
+        # new in round 4 (batch 7): LAION-style (image, caption) pair
+        # curation — id-keyed shard join + CLIP-data gates
+        "mm_caption_pairs": fmm.caption_pairs,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -489,6 +506,11 @@ def oracle_sql() -> dict[str, str]:
         "streaming_full_outer_join": stp.streaming_full_outer_join_sql(),
         "streaming_online_dedup": fdedup.streaming_online_dedup_sql(),
         "text_unigram_likelihood": ftext.unigram_likelihood_sql(),
+        "events_gap_fill": evan.gap_fill_sql(),
+        "graph_triangle_count": pgraph.triangle_count_sql(),
+        "dedup_containment_prefix": fdedup.containment_pairs_sql(),
+        "sim_mmr_rerank": fsim.mmr_rerank_sql(),
+        "mm_caption_pairs": fmm.caption_pairs_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

@@ -908,3 +908,83 @@ ORDER BY c.doc_id
 
 def streaming_online_dedup_sql() -> str:
     return _online_dedup_sql("duckdb")
+
+
+# ------------------------------------- asymmetric containment (prefix filter)
+
+CONT_TAU_E6 = 800_000  # containment threshold tau = 0.8, e6-scaled
+
+
+def _containment_sql(dialect: str) -> str:
+    """Asymmetric CONTAINMENT dedup: pairs where shingles(a) are mostly a
+    subset of shingles(b) — |sh(a) AND sh(b)| / |sh(a)| >= tau. Jaccard
+    misses these (a short doc quoted inside a long one has tiny Jaccard
+    but containment ~1), so this is the family member that catches
+    quote-extraction / subset documents.
+
+    Candidate generation is the PREFIX FILTER (the ssjoin literature's
+    PPJoin family, Xiao et al. 2008): order each doc's shingles by
+    global document frequency (rarest first, shingle text tiebreak) and
+    take the first floor((1-tau)*n)+1 as its prefix. If cont(a in b) >=
+    tau then a is missing at most floor((1-tau)*n_a) shingles from b, so
+    at least one PREFIX shingle of a must occur in b — joining a's
+    prefix rows against all shingle rows is therefore complete, while
+    touching only ~(1-tau) of the shingle volume on the probe side, and
+    the rarest-first ordering concentrates join keys on low-df shingles.
+    A length filter (n_b >= tau * n_a, exact integers) prunes candidates
+    that could never verify. Verification fetches the two shingle
+    arrays by doc_id (the lsh_verified two-join idiom) and scores an
+    exact integer rational — bit-identical across engines.
+
+    Scale shape: one df aggregate, one per-doc window (doc-keyed
+    shuffle), a shingle-keyed equi-join whose fan-out is df-bounded on
+    mostly-rare keys, then O(candidates) verification. At 100 TB the
+    standard extra guard is a df cap on the probe side's hottest
+    shingles (positional filter in the literature); not needed at the
+    corpus sizes the oracle certifies. Reference scope: beyond
+    dnstap2clickhouse's surface; complements minhash_lsh (symmetric
+    Jaccard) on the asymmetric axis.
+    """
+    arrays = _shingle_arrays(dialect)
+    flat = "explode" if dialect == "spark" else "unnest"
+    idiv = "div" if dialect == "spark" else "//"
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    return f"""
+WITH sh AS ({arrays}),
+srows AS (SELECT doc_id, {flat}(sh) AS s FROM sh),
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM srows GROUP BY s),
+ranked AS (
+  SELECT r.doc_id, r.s,
+         row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.s) AS rk,
+         count(*) OVER (PARTITION BY r.doc_id) AS n
+  FROM srows r JOIN df d ON r.s = d.s),
+prefix AS (
+  SELECT doc_id, s, n FROM ranked
+  WHERE rk <= (n * {1_000_000 - CONT_TAU_E6}) {idiv} 1000000 + 1),
+cand AS (
+  SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM prefix p JOIN ranked r
+    ON p.s = r.s AND p.doc_id <> r.doc_id
+   AND r.n * 1000000 >= p.n * {CONT_TAU_E6}),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         (CAST({size}({inter}(a.sh, b.sh)) AS BIGINT) * 1000000) {idiv} {size}(a.sh) AS cont_e6
+  FROM cand c
+  JOIN sh a ON c.doc_a = a.doc_id
+  JOIN sh b ON c.doc_b = b.doc_id)
+SELECT doc_a, doc_b, cont_e6 FROM scored
+WHERE cont_e6 >= {CONT_TAU_E6}
+ORDER BY doc_a, doc_b
+"""
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (doc_a mostly inside doc_b) at tau=0.8,
+    candidates via the prefix filter, verified with exact integers."""
+    _register(spark, sf_dir)
+    return spark.sql(_containment_sql("spark"))
+
+
+def containment_pairs_sql() -> str:
+    return _containment_sql("duckdb")

@@ -158,3 +158,88 @@ SELECT doc_id,
        {cols}
 FROM documents ORDER BY doc_id
 """
+
+
+# ------------------------------------------------ caption-pair curation
+
+CAPTION_MIN_TOKENS = 15  # LAION-style caption length gates
+CAPTION_MAX_TOKENS = 90
+ASPECT_MIN_E3, ASPECT_MAX_E3 = 500, 2000  # aspect ratio in [0.5, 2.0]
+MIN_PIXELS = 100 * 100
+ALIGN_MIN_E6 = 300_000  # alignment-score keep threshold
+
+
+def caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image, caption) training-pair construction — the LAION/DataComp
+    curation shape: join the caption text to its media row, keep only
+    image-mime rows, and apply the standard CLIP-data gates (caption
+    token count, aspect ratio, minimum resolution, alignment-score
+    threshold).
+
+    The alignment score here is a deterministic stand-in — the payload's
+    first byte scaled to e6 — marking the plug point where a CLIP-model
+    Pandas UDF scores real (image, text) pairs; everything around it
+    (the join, the typed-metadata gates, exact-integer thresholds, the
+    kept-pair manifest) is the real engine-side semantics and fully
+    oracle-checked. Scale shape: one doc_id equi-join (in production the
+    media shard and text shard share the id key, as the embeddings
+    shard already does here), then narrow mapper-side gates — no
+    corpus-sized broadcast, no extra shuffle beyond the pair join.
+    Aspect/alignment compare as exact scaled integers so both engines
+    agree bit-for-bit.
+    """
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return _caption_pairs_df(spark)
+
+
+def _caption_pairs_df(spark: SparkSession) -> DataFrame:
+    """Pair construction over the CURRENT ``documents`` view (fixture
+    tests swap the view in; ``caption_pairs`` registers the real one)."""
+    docs_view = spark.table("documents")
+    m = docs_view.selectExpr(*_MEDIA_EXPRS_SPARK).where("mime LIKE 'image/%'")
+    docs = docs_view.selectExpr(
+        "doc_id AS d_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
+    )
+    return (
+        m.join(docs, m.doc_id == docs.d_id)
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "meta.width AS width",
+            "meta.height AS height",
+            "CAST(meta.width * meta.height AS BIGINT) AS pixels",
+            "CAST((meta.width * 1000) div meta.height AS BIGINT) AS aspect_e3",
+            "CAST((CAST(conv(substring(hex(payload), 1, 2), 16, 10) AS BIGINT) * 1000000) div 255 AS BIGINT) AS align_e6",
+        )
+        .where(
+            f"n_tokens BETWEEN {CAPTION_MIN_TOKENS} AND {CAPTION_MAX_TOKENS}"
+            f" AND aspect_e3 BETWEEN {ASPECT_MIN_E3} AND {ASPECT_MAX_E3}"
+            f" AND pixels >= {MIN_PIXELS}"
+            f" AND align_e6 >= {ALIGN_MIN_E6}"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def caption_pairs_sql() -> str:
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(64 + doc_id % 512 AS BIGINT) AS width,
+         CAST(64 + doc_id % 384 AS BIGINT) AS height,
+         ('0x' || substr(md5(text), 1, 2))::BIGINT AS first_byte
+  FROM documents WHERE doc_id % 3 = 0)
+SELECT doc_id, n_tokens, width, height,
+       CAST(width * height AS BIGINT) AS pixels,
+       CAST((width * 1000) // height AS BIGINT) AS aspect_e3,
+       CAST((first_byte * 1000000) // 255 AS BIGINT) AS align_e6
+FROM m
+WHERE n_tokens BETWEEN {CAPTION_MIN_TOKENS} AND {CAPTION_MAX_TOKENS}
+  AND (width * 1000) // height BETWEEN {ASPECT_MIN_E3} AND {ASPECT_MAX_E3}
+  AND width * height >= {MIN_PIXELS}
+  AND (first_byte * 1000000) // 255 >= {ALIGN_MIN_E6}
+ORDER BY doc_id
+"""

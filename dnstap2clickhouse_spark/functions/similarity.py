@@ -1066,3 +1066,91 @@ def embedding_lsh_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_lsh_dup_recall_sql() -> str:
     return _embedding_lsh_recall_sql("duckdb")
+
+
+# --------------------------------------------- MMR diversity re-ranking
+
+MMR_POOL = 10  # relevance candidates per query entering the re-rank
+MMR_K = 3  # diversified results returned per query
+
+
+def _mmr_sql(dialect: str) -> str:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversity pass a RAG stack runs after retrieval: greedily pick
+    the candidate maximizing ``0.5*rel - 0.5*max_sim_to_selected``, so
+    near-duplicate hits don't crowd the result list.
+
+    The greedy loop is unrolled as CTEs (the kmeans/pagerank idiom):
+    selection 1 is plain argmax relevance; each later step joins the
+    remaining pool to the newly selected row, folds one more cosine, and
+    keeps a running ``max_sim`` via ``greatest`` — never recomputing
+    earlier pairs. All cosines are the fixed-order fold shared with
+    ``cosine_topk`` (bit-identical across engines); argmax is
+    ``row_number`` with id tiebreak, so float ties can't diverge.
+
+    Scale shape: the pool window is the same corpus-wide top-k as
+    ``cosine_topk`` (WindowGroupLimit; the query side broadcast and
+    LIMIT-bounded); candidate embeddings arrive by a fetch join on
+    cand_id, so the window itself never carries vectors; the re-rank
+    then touches only POOL rows per query. Reference scope: beyond
+    dnstap2clickhouse's surface — completes the retrieval family
+    (cosine/LSH/IVF/PQ/hybrid-RRF) with the post-retrieval stage.
+    """
+    dot_qc = _dot("q.embedding", "c.embedding", dialect)
+    dot_rs = _dot("r.emb", "s.emb", dialect)
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    mmr2 = "0.5 * rel - 0.5 * sim1"
+    mmr3 = "0.5 * rel - 0.5 * maxsim"
+    return f"""
+WITH e AS ({_normed(dialect)}),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
+scored AS (
+  SELECT {hint}q.vec_id AS query_id, c.vec_id AS cand_id,
+         {dot_qc} / sqrt(q.nrm * c.nrm) AS rel
+  FROM qs q JOIN e c ON q.vec_id <> c.vec_id),
+pool0 AS (
+  SELECT query_id, cand_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rk
+  FROM scored),
+pool AS (
+  SELECT p.query_id, p.cand_id, p.rel, p.rk, c.embedding AS emb, c.nrm
+  FROM pool0 p JOIN e c ON p.cand_id = c.vec_id
+  WHERE p.rk <= {MMR_POOL}),
+sel1 AS (SELECT * FROM pool WHERE rk = 1),
+step2 AS (
+  SELECT r.query_id, r.cand_id, r.rel, r.emb, r.nrm,
+         {dot_rs} / sqrt(r.nrm * s.nrm) AS sim1
+  FROM pool r JOIN sel1 s ON r.query_id = s.query_id AND r.cand_id <> s.cand_id),
+rank2 AS (
+  SELECT query_id, cand_id, rel, emb, nrm, sim1, {mmr2} AS mmr,
+         row_number() OVER (PARTITION BY query_id ORDER BY ({mmr2}) DESC, cand_id) AS rn
+  FROM step2),
+sel2 AS (SELECT * FROM rank2 WHERE rn = 1),
+step3 AS (
+  SELECT r.query_id, r.cand_id, r.rel,
+         greatest(r.sim1, {dot_rs} / sqrt(r.nrm * s.nrm)) AS maxsim
+  FROM rank2 r JOIN sel2 s ON r.query_id = s.query_id AND r.cand_id <> s.cand_id),
+rank3 AS (
+  SELECT query_id, cand_id, rel, {mmr3} AS mmr,
+         row_number() OVER (PARTITION BY query_id ORDER BY ({mmr3}) DESC, cand_id) AS rn
+  FROM step3),
+sel3 AS (SELECT * FROM rank3 WHERE rn = 1),
+unioned AS (
+  SELECT query_id, CAST(1 AS BIGINT) AS pos, cand_id AS neighbor_id, rel AS score FROM sel1
+  UNION ALL
+  SELECT query_id, CAST(2 AS BIGINT), cand_id, mmr FROM sel2
+  UNION ALL
+  SELECT query_id, CAST(3 AS BIGINT), cand_id, mmr FROM sel3)
+SELECT query_id, pos, neighbor_id, score FROM unioned
+ORDER BY query_id, pos
+"""
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``MMR_K`` diversity-re-ranked neighbors per query vector."""
+    _register(spark, sf_dir)
+    return spark.sql(_mmr_sql("spark"))
+
+
+def mmr_rerank_sql() -> str:
+    return _mmr_sql("duckdb")

@@ -994,3 +994,55 @@ SELECT event_id,
 FROM events
 ORDER BY event_id
 """
+
+
+# ------------------------------------------------- time-series gap fill
+
+
+def _gap_fill_sql(dialect: str) -> str:
+    """Dense hourly series per event_type: every hour of the corpus span
+    appears for every type, absent hours filled with an explicit 0 — the
+    densification step every dashboard/forecast consumer needs before
+    windowed math (a moving average over a sparse series is wrong).
+
+    Scale shape: the hour spine is ``sequence(min, max)`` off one global
+    min/max aggregate — its size is the TIME SPAN, not the corpus row
+    count — and the type list is a distinct aggregate over a small
+    domain, so the grid is dimension-sized no matter how large the fact
+    table grows. The fact side reduces with ONE hash aggregate before
+    the left join; nothing corpus-sized is ever broadcast or crossed.
+    Reference scope: gap filling sits beyond dnstap2clickhouse's surface
+    (its Grafana queries assume ClickHouse ``WITH FILL``); this is the
+    engine-side equivalent.
+    """
+    if dialect == "spark":
+        hours = "SELECT explode(sequence(lo, hi, interval 1 hour)) AS hour FROM bounds"
+    else:
+        hours = "SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds"
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+hours AS ({hours}),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, h.hour FROM types t CROSS JOIN hours h),
+actual AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts))
+SELECT g.event_type, g.hour, CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN actual a
+  ON g.event_type = a.event_type AND g.hour = a.hour
+ORDER BY g.event_type, g.hour
+"""
+
+
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled dense (event_type, hour) count series."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_gap_fill_sql("spark"))
+
+
+def gap_fill_sql() -> str:
+    return _gap_fill_sql("duckdb")

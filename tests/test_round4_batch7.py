@@ -1,0 +1,293 @@
+"""Round-4 batch-7 operators: time-series gap fill, triangle census,
+prefix-filtered containment dedup, and MMR diversity re-ranking. The
+oracle gate proves value-exactness vs DuckDB; these tests pin what the
+operators MEAN — the zero-fill spine invariants, a brute-force Python
+triangle count, the prefix filter's completeness theorem against an
+all-pairs Python recomputation (including the asymmetric case Jaccard
+misses), and a numpy replay of the greedy MMR loop.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from dnstap2clickhouse_spark.functions import dedup as fdedup
+from dnstap2clickhouse_spark.functions import similarity as fsim
+from dnstap2clickhouse_spark.plans import events_analytics as evan
+from dnstap2clickhouse_spark.plans import graph as pgraph
+from dnstap2clickhouse_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_spine_and_mass(spark):
+    """Dense grid: every (type, hour-in-span) exactly once; counts
+    preserve total event mass; gaps are explicit zeros."""
+    out = evan.gap_fill(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    total = ev.count()
+    types = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    hours = {(r.event_type, r.hour) for r in out}
+    assert len(out) == len(hours), "duplicate grid cells"
+    per_type = {t: sum(1 for r in out if r.event_type == t) for t in types}
+    assert len(set(per_type.values())) == 1, "unequal spine per type"
+    assert sum(r.n_events for r in out) == total
+    assert any(r.n_events == 0 for r in out), "corpus has no gaps to fill"
+
+
+def test_gap_fill_injected_gap(spark):
+    """A fixture with one silent hour must emit that hour with n=0."""
+    rows = [
+        (1, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 02:20:00", 1, "click", 1.0, "{}"),  # 01:00 silent
+    ]
+    orig = load_table(spark, SF, "events")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+        ).createOrReplaceTempView("events")
+        out = {str(r.hour): r.n_events for r in spark.sql(evan._gap_fill_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("events")
+    assert out == {
+        "2024-01-01 00:00:00": 1,
+        "2024-01-01 01:00:00": 0,
+        "2024-01-01 02:00:00": 1,
+    }
+
+
+# ------------------------------------------------------- triangle count
+
+
+def test_triangle_count_vs_bruteforce(spark):
+    """Degree-ordered wedge count equals a plain Python adjacency-set
+    count (sum over edges of |adj(a) & adj(b)|, each triangle counted
+    three times) on the real corpus graph."""
+    row = pgraph.triangle_count(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem").selectExpr(
+        "l_orderkey AS o", "l_partkey AS p", "l_quantity AS q"
+    ).where(f"q >= {pgraph.TRIANGLE_MIN_QTY}").collect()
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.o, set()).add(r.p)
+    edges = set()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            edges.add((a, b))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri3 = sum(len(adj[a] & adj[b]) for a, b in edges)
+    assert tri3 % 3 == 0
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_triangles == tri3 // 3
+    assert row.n_triangles <= row.n_wedges
+
+
+def test_triangle_count_fixture(spark):
+    """One order shipping 3 qualifying parts = exactly one triangle; a
+    2-part order adds an edge but no triangle."""
+    q = float(pgraph.TRIANGLE_MIN_QTY)
+    rows = [
+        (1, 101, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (1, 102, 1, 2, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (1, 103, 1, 3, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (2, 104, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (2, 105, 1, 2, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        # below the quantity gate: contributes nothing
+        (3, 101, 1, 1, q - 1, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (3, 105, 1, 2, q - 1, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+    ]
+    orig = load_table(spark, SF, "lineitem")
+    try:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, "
+            "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+            "l_returnflag STRING, l_linestatus STRING, l_shipdate STRING",
+        ).selectExpr(
+            "* EXCEPT (l_shipdate)", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+        ).createOrReplaceTempView("lineitem")
+        row = spark.sql(pgraph._triangle_sql("spark")).collect()[0]
+    finally:
+        orig.createOrReplaceTempView("lineitem")
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 4, 1)
+
+
+# -------------------------------------------------- containment (prefix)
+
+
+def _shingles(text: str) -> set[str]:
+    toks = text.split(" ")
+    if len(toks) < fdedup.SHINGLE_K:
+        return set(toks)
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+def test_containment_matches_allpairs_python(spark):
+    """Prefix-filter completeness theorem, checked end-to-end: the
+    candidate-pruned output equals an ALL-PAIRS Python recomputation of
+    directed containment on the real corpus."""
+    got = {
+        (r.doc_a, r.doc_b): r.cont_e6
+        for r in fdedup.containment_pairs(spark, SF).collect()
+    }
+    docs = {
+        r.doc_id: _shingles(r.text)
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    want = {}
+    for a, b in itertools.permutations(docs, 2):
+        sa, sb = docs[a], docs[b]
+        if not sa:
+            continue
+        cont = len(sa & sb) * 1_000_000 // len(sa)
+        if cont >= fdedup.CONT_TAU_E6:
+            want[(a, b)] = cont
+    assert got == want
+    assert want, "corpus has no containment pairs to certify"
+
+
+def test_containment_catches_asymmetric_pair_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ~1, Jaccard far
+    below the near-dup threshold — the asymmetric case this operator
+    exists for. The directed pair (short in long) must be found; the
+    reverse direction must not."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    short_words = " ".join(f"w{i}" for i in range(10, 20))  # contiguous quote
+    rows = [
+        (1, long_words, "en", "s", len(long_words)),
+        (2, short_words, "en", "s", len(short_words)),
+        (3, "completely different text here now", "en", "s", 34),
+    ]
+    sa, sb = _shingles(short_words), _shingles(long_words)
+    jac = len(sa & sb) / len(sa | sb)
+    assert jac < fdedup.JACCARD_THRESHOLD  # LSH-Jaccard would miss it
+    orig = load_table(spark, SF, "documents")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).createOrReplaceTempView("documents")
+        got = {(r.doc_a, r.doc_b) for r in spark.sql(fdedup._containment_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    assert (2, 1) in got
+    assert (1, 2) not in got
+
+
+# ------------------------------------------------------------ MMR rerank
+
+
+def test_mmr_matches_numpy_greedy(spark):
+    """The unrolled CTE loop equals a literal numpy replay of greedy MMR
+    over the same pool (argmax 0.5*rel - 0.5*max_sim, id tiebreak)."""
+    import numpy as np
+
+    got = [
+        (r.query_id, r.pos, r.neighbor_id)
+        for r in fsim.mmr_rerank(spark, SF).collect()
+    ]
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+
+    def cos(a: int, b: int) -> float:
+        return float(emb[a] @ emb[b] / np.sqrt((emb[a] @ emb[a]) * (emb[b] @ emb[b])))
+
+    want = []
+    for q in range(fsim.N_QUERIES):
+        rel = {c: cos(q, c) for c in emb if c != q}
+        pool = sorted(rel, key=lambda c: (-rel[c], c))[: fsim.MMR_POOL]
+        selected: list[int] = []
+        for pos in range(1, fsim.MMR_K + 1):
+            remaining = [c for c in pool if c not in selected]
+            if selected:
+                score = {
+                    c: 0.5 * rel[c] - 0.5 * max(cos(c, s) for s in selected)
+                    for c in remaining
+                }
+            else:
+                score = {c: rel[c] for c in remaining}
+            pick = min(remaining, key=lambda c: (-score[c], c))
+            selected.append(pick)
+            want.append((q, pos, pick))
+    assert got == want
+
+
+def test_mmr_first_pick_is_top1_and_diverse(spark):
+    """pos=1 equals brute-force rank-1; selections are distinct; exactly
+    MMR_K rows per query."""
+    mmr = fsim.mmr_rerank(spark, SF).collect()
+    top1 = {
+        r.query_id: r.neighbor_id
+        for r in fsim.cosine_topk(spark, SF).collect()
+        if r.rank == 1
+    }
+    per_q: dict[int, list[int]] = {}
+    for r in mmr:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+        if r.pos == 1:
+            assert r.neighbor_id == top1[r.query_id]
+    for q, picks in per_q.items():
+        assert len(picks) == fsim.MMR_K == len(set(picks))
+
+
+# --------------------------------------------------------- caption pairs
+
+
+def test_caption_pairs_gates(spark):
+    """Only image-mime rows survive; each gate (caption length, aspect,
+    alignment) independently drops an injected violating row; a
+    passing row is kept with exact scaled-integer fields."""
+    from dnstap2clickhouse_spark.functions import multimodal as fmm
+
+    good_text = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        # doc_id % 3 == 0 -> image mime; 36/300 give width=height+? gates ok
+        (36, good_text, "en", "s", 1),          # keeper (if align passes)
+        (39, "short text", "en", "s", 1),       # caption too short
+        (37, good_text, "en", "s", 1),          # audio mime -> excluded
+    ]
+    orig = load_table(spark, SF, "documents")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).createOrReplaceTempView("documents")
+        got = {r.doc_id: r for r in fmm._caption_pairs_df(spark).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    assert 39 not in got  # caption gate
+    assert 37 not in got  # mime gate
+    import hashlib
+
+    first_byte = int(hashlib.md5(good_text.encode()).hexdigest()[:2], 16)
+    align = first_byte * 1_000_000 // 255
+    if align >= fmm.ALIGN_MIN_E6:
+        r = got[36]
+        assert (r.width, r.height) == (64 + 36 % 512, 64 + 36 % 384)
+        assert r.align_e6 == align
+        assert r.n_tokens == 20
+    else:
+        assert 36 not in got
+
+
+def test_caption_pairs_image_only_on_corpus(spark):
+    """Every emitted doc_id is an image row and passes every gate."""
+    from dnstap2clickhouse_spark.functions import multimodal as fmm
+
+    out = fmm.caption_pairs(spark, SF).collect()
+    assert out, "no pairs survived on the smoke corpus"
+    for r in out:
+        assert r.doc_id % 3 == 0
+        assert fmm.CAPTION_MIN_TOKENS <= r.n_tokens <= fmm.CAPTION_MAX_TOKENS
+        assert fmm.ASPECT_MIN_E3 <= r.aspect_e3 <= fmm.ASPECT_MAX_E3
+        assert r.pixels >= fmm.MIN_PIXELS and r.align_e6 >= fmm.ALIGN_MIN_E6
