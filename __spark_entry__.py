@@ -233,6 +233,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 7): LAION-style (image, caption) pair
         # curation — id-keyed shard join + CLIP-data gates
         "mm_caption_pairs": fmm.caption_pairs,
+        # new in round 4 (batch 8): "also bought" neighbor similarity —
+        # wedge-grouped common-neighbor counts, exact-integer Jaccard
+        "graph_jaccard_neighbors": pgraph.jaccard_neighbors,
+        # new in round 4 (batch 8): code-vs-prose routing gate (exact
+        # integer symbol density + keyword corroboration)
+        "text_code_detect": ftext.code_detect,
+        # new in round 4 (batch 8): one-pass corpus datasheet summary
+        "curate_dataset_card": pcur.dataset_card,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -511,6 +519,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment_prefix": fdedup.containment_pairs_sql(),
         "sim_mmr_rerank": fsim.mmr_rerank_sql(),
         "mm_caption_pairs": fmm.caption_pairs_sql(),
+        "graph_jaccard_neighbors": pgraph.jaccard_neighbors_sql(),
+        "text_code_detect": ftext.code_detect_sql(),
+        "curate_dataset_card": pcur.dataset_card_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

@@ -630,3 +630,59 @@ def unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def unigram_likelihood_sql() -> str:
     return _unigram_likelihood_sql("duckdb")
+
+
+# ------------------------------------------------- code-vs-prose gate
+
+CODE_SYMBOLS = "{}();=<>[]#"
+CODE_SYM_E6 = 40_000  # symbol chars per char, e6-scaled keep threshold
+CODE_KW_SYM_E6 = 15_000  # lower symbol bar when keywords corroborate
+CODE_KEYWORDS = ("def ", "return ", "import ", "function ", "void ", "class ")
+CODE_KW_MIN = 2
+
+
+def _code_detect_sql(dialect: str) -> str:
+    """Heuristic code-vs-prose classifier — the curation gate that routes
+    documents to the code pipeline (or drops code from a prose corpus):
+    symbol-character density plus a keyword-corroboration rule, the
+    public heuristic family (StarCoder/The-Stack preprocessing uses the
+    same signal class). All counts are exact integers (``translate``
+    char stripping and LIKE hits — no regex engine differences, no
+    floats), so the verdict is bit-identical across engines; the model
+    upgrade path (a fasttext-style linear classifier) plugs in as a
+    broadcast weight table over the same feature columns.
+
+    Scale shape: pure mapper-side projection — no shuffle at all except
+    the final presentation sort.
+    """
+    kw_hits = " + ".join(
+        f"(CASE WHEN text LIKE '%{k}%' THEN 1 ELSE 0 END)" for k in CODE_KEYWORDS
+    )
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(translate(text, '{CODE_SYMBOLS}', '')) AS BIGINT) AS n_sym,
+         CAST({kw_hits} AS BIGINT) AS kw_hits
+  FROM documents),
+scored AS (
+  SELECT doc_id, n_chars, n_sym, kw_hits,
+         CASE WHEN n_chars = 0 THEN 0
+              ELSE (n_sym * 1000000) {"div" if dialect == "spark" else "//"} n_chars END AS sym_e6
+  FROM feats)
+SELECT doc_id, n_chars, n_sym, kw_hits, sym_e6,
+       CAST(sym_e6 >= {CODE_SYM_E6}
+            OR (kw_hits >= {CODE_KW_MIN} AND sym_e6 >= {CODE_KW_SYM_E6}) AS BOOLEAN) AS is_code
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc code-vs-prose verdict with its exact integer features."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_code_detect_sql("spark"))
+
+
+def code_detect_sql() -> str:
+    return _code_detect_sql("duckdb")

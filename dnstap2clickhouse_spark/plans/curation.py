@@ -195,3 +195,50 @@ def curate_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def curate_corpus_v3_sql() -> str:
     return _curate_v3_sql("duckdb")
+
+
+# --------------------------------------------------------- dataset card
+
+def _dataset_card_sql(dialect: str) -> str:
+    """One-row corpus datasheet — the summary block of a dataset card
+    (Gebru et al., "Datasheets for Datasets"): document count, token
+    mass, language/source diversity, exact-duplicate rate, and mean
+    document length, all from ONE pass over the corpus.
+
+    Every per-doc feature (token count, exact-dup bag key) is computed
+    in a single projection and reduced by one multi-aggregate — no
+    second scan, no joins; rates are exact e6 integers. The bag key is
+    literally ``dedup.exact``'s identity expression, so the dup rate
+    here is definitionally consistent with the dedup pipeline's.
+    """
+    from ..functions.dedup import _bag_key_expr
+    from ..functions.text import _toks
+
+    size = "size" if dialect == "spark" else "len"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, lang, source,
+         CAST({size}({_toks(dialect)}) AS BIGINT) AS n_tokens,
+         {_bag_key_expr(dialect)} AS bag
+  FROM documents),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(count(*) - count(DISTINCT bag) AS BIGINT) AS n_exact_dups
+  FROM per_doc)
+SELECT n_docs, total_tokens, n_langs, n_sources, n_exact_dups,
+       (total_tokens * 1000000) {idiv} n_docs AS mean_tokens_e6,
+       (n_exact_dups * 1000000) {idiv} n_docs AS dup_rate_e6
+FROM agg
+"""
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet summary row (exact integers throughout)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_dataset_card_sql("spark"))
+
+def dataset_card_sql() -> str:
+    return _dataset_card_sql("duckdb")

@@ -291,3 +291,123 @@ def test_caption_pairs_image_only_on_corpus(spark):
         assert fmm.CAPTION_MIN_TOKENS <= r.n_tokens <= fmm.CAPTION_MAX_TOKENS
         assert fmm.ASPECT_MIN_E3 <= r.aspect_e3 <= fmm.ASPECT_MAX_E3
         assert r.pixels >= fmm.MIN_PIXELS and r.align_e6 >= fmm.ALIGN_MIN_E6
+
+
+# -------------------------------------------------- batch 8: neighbors
+
+
+def test_jaccard_neighbors_vs_bruteforce(spark):
+    """Top-k pairs equal a Python adjacency-set recomputation (same
+    floor, same exact-integer Jaccard, same tiebreak)."""
+    got = [
+        (r.a, r.b, r.n_common, r.jaccard_e6)
+        for r in pgraph.jaccard_neighbors(spark, SF).collect()
+    ]
+    li = load_table(spark, SF, "lineitem").selectExpr(
+        "l_orderkey AS o", "l_partkey AS p", "l_quantity AS q"
+    ).where(f"q >= {pgraph.TRIANGLE_MIN_QTY}").collect()
+    by_order: dict[int, set[int]] = {}
+    for r in li:
+        by_order.setdefault(r.o, set()).add(r.p)
+    adj: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    cand = []
+    seen = set()
+    for v, nbrs in adj.items():
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            common = len(adj[a] & adj[b])
+            if common >= pgraph.JN_MIN_COMMON:
+                jac = common * 1_000_000 // (len(adj[a]) + len(adj[b]) - common)
+                cand.append((jac, a, b, common))
+    cand.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, c, j) for j, a, b, c in cand[: pgraph.JACCARD_NEIGHBORS_TOP]]
+    assert got == want
+
+
+# -------------------------------------------------- batch 8: code gate
+
+
+def test_code_detect_fixture(spark):
+    """An obvious code doc trips the gate; plain prose does not; the
+    keyword-corroboration path fires at the lower symbol bar."""
+    from dnstap2clickhouse_spark.functions import text as ftext
+
+    code = "def f(x): return g(x[0]); # comment {y: z} import os < > = =="
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    kw_code = "import os return x " + "word " * 28 + "(a) = b;"
+    rows = [
+        (1, code, "en", "s", len(code)),
+        (2, prose, "en", "s", len(prose)),
+        (3, kw_code, "en", "s", len(kw_code)),
+    ]
+    orig = load_table(spark, SF, "documents")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).createOrReplaceTempView("documents")
+        got = {r.doc_id: r for r in spark.sql(ftext._code_detect_sql("spark")).collect()}
+    finally:
+        orig.createOrReplaceTempView("documents")
+    assert got[1].is_code
+    assert not got[2].is_code and got[2].n_sym == 0
+    # keyword path: symbols below the hard bar, >=2 keywords
+    assert got[3].kw_hits >= ftext.CODE_KW_MIN
+    assert got[3].sym_e6 < ftext.CODE_SYM_E6
+    assert got[3].is_code == (got[3].sym_e6 >= ftext.CODE_KW_SYM_E6)
+
+
+def test_code_detect_corpus_all_prose(spark):
+    """The synthetic corpus is prose: zero code verdicts, and features
+    match a direct Python recount on a sample."""
+    from dnstap2clickhouse_spark.functions import text as ftext
+
+    out = ftext.code_detect(spark, SF).collect()
+    assert len(out) == 500 and not any(r.is_code for r in out)
+    docs = {r.doc_id: r.text for r in load_table(spark, SF, "documents").limit(20).collect()}
+    for r in out[:20]:
+        if r.doc_id in docs:
+            t = docs[r.doc_id]
+            assert r.n_chars == len(t)
+            assert r.n_sym == sum(1 for ch in t if ch in ftext.CODE_SYMBOLS)
+
+
+# ------------------------------------------------ batch 8: dataset card
+
+
+def test_dataset_card_counts(spark):
+    """Card fields equal direct recomputation; injected exact dup (word
+    shuffle) moves the dup counters."""
+    from dnstap2clickhouse_spark.plans import curation as pcur
+
+    card = pcur.dataset_card(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents").collect()
+    toks = [len(d.text.split(" ")) for d in docs]
+    assert card.n_docs == len(docs)
+    assert card.total_tokens == sum(toks)
+    assert card.n_langs == len({d.lang for d in docs})
+    assert card.n_sources == len({d.source for d in docs})
+    bags = {" ".join(sorted(d.text.split(" "))) for d in docs}
+    assert card.n_exact_dups == len(docs) - len(bags)
+    assert card.mean_tokens_e6 == sum(toks) * 1_000_000 // len(docs)
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s", 16),
+        (2, "gamma beta alpha", "en", "s", 16),  # bag-identical
+        (3, "fully different words", "fr", "t", 21),
+    ]
+    orig = load_table(spark, SF, "documents")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+        ).createOrReplaceTempView("documents")
+        c2 = spark.sql(pcur._dataset_card_sql("spark")).collect()[0]
+    finally:
+        orig.createOrReplaceTempView("documents")
+    assert (c2.n_docs, c2.n_exact_dups, c2.n_langs, c2.n_sources) == (3, 1, 2, 2)
+    assert c2.dup_rate_e6 == 1_000_000 // 3
