@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 5): append-mode session_window stream —
         # cross-batch session merge + watermark finalization
         "streaming_session_window": stp.streaming_session_window_query,
+        # new in round 4 (batch 9): hopping windows as a real append-mode
+        # stream — completes the tumbling/session/hopping matrix
+        "streaming_hopping_window": stp.streaming_hopping_window_query,
         # new in round 4 (batch 5): the J1 match as a REAL stream-stream
         # inner join (symmetric state buffering + watermark eviction)
         "streaming_response_join": stp.streaming_response_join_query,
@@ -509,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_dedup_redelivery": stp.streaming_dedup_sql(),
         "streaming_late_data": stp.streaming_late_data_sql(),
         "streaming_session_window": stp.streaming_session_window_sql(),
+        "streaming_hopping_window": stp.streaming_hopping_window_sql(),
         "streaming_response_join": stp.streaming_response_join_sql(),
         "streaming_outer_join": stp.streaming_outer_join_sql(),
         "streaming_full_outer_join": stp.streaming_full_outer_join_sql(),

@@ -958,3 +958,89 @@ UNION ALL SELECT * FROM orphan_q
 UNION ALL SELECT * FROM orphan_r
 ORDER BY t, identity, delta_us, kind
 """
+
+
+# ---------------------------------------------- streaming hopping window
+
+HOP_WINDOW_S = 3600  # 1-hour windows ...
+HOP_SLIDE_S = 900  # ... sliding every 15 min => each event in 4 windows
+HOP_WM_S = 3600  # watermark delay
+HOP_CHUNKS = 4
+
+
+def streaming_hopping_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows as a REAL append-mode stream —
+    completes the streaming windowing matrix next to the tumbling
+    (`streaming_late_data`) and session (`streaming_session_window`)
+    entries: one event feeds ``window/slide`` = 4 overlapping windows'
+    state, and append mode emits each window exactly once when the
+    watermark passes its end.
+
+    Delivery is the shared time-ordered quartile chunking, so no input
+    row is ever late and the emitted set is chunk-independent: exactly
+    the epoch-aligned hopping windows whose end clears the final
+    watermark (floor_ms(corpus max) − delay — the session entry's
+    empirically pinned rule, same ``<=`` boundary). The oracle
+    enumerates each event's 4 containing windows by integer epoch
+    arithmetic (Spark aligns hopping windows to the epoch) and replays
+    the finalization cut. Reference analogue: A6/A7 flush windows
+    generalized to overlapping panes.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return streaming_hopping_window_df(spark, ev)
+
+
+def streaming_hopping_window_df(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of :func:`streaming_hopping_window_query` over an injected
+    events frame (``event_id, ts, event_type, value``) — lets tests
+    place one window's events across a chunk boundary, where the
+    cross-batch pane merge is observable."""
+    with _time_chunked_stream(spark, ev, HOP_CHUNKS) as stream:
+        agg = (
+            stream.withWatermark("ts", f"{HOP_WM_S} seconds")
+            .groupBy(
+                F.window("ts", f"{HOP_WINDOW_S} seconds", f"{HOP_SLIDE_S} seconds"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_e2"),
+            )
+            .select(
+                F.col("window.start").alias("windowStart"),
+                "event_type",
+                "n",
+                F.col("sum_e2").cast("long").alias("sum_e2"),
+            )
+        )
+        return run_stream_to_memory(agg, "append", spark).orderBy(
+            "windowStart", "event_type"
+        )
+
+
+def streaming_hopping_window_sql() -> str:
+    slide_us = HOP_SLIDE_S * 1_000_000
+    win_us = HOP_WINDOW_S * 1_000_000
+    wm_us = HOP_WM_S * 1_000_000
+    n_hops = HOP_WINDOW_S // HOP_SLIDE_S
+    ks = ", ".join(str(k) for k in range(n_hops))
+    return f"""
+WITH x AS (
+  SELECT epoch_us(ts) AS tus, event_type,
+         CAST(round(value * 100) AS BIGINT) AS ve2
+  FROM events),
+hops AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k),
+w AS (
+  SELECT (tus // {slide_us}) * {slide_us} - k * {slide_us} AS ws_us, event_type, ve2
+  FROM x CROSS JOIN hops),
+agg AS (
+  SELECT ws_us, event_type, count(*) AS n, CAST(sum(ve2) AS BIGINT) AS sum_e2
+  FROM w GROUP BY ws_us, event_type),
+mx AS (SELECT (max(tus) // 1000) * 1000 AS mxus FROM x)
+SELECT make_timestamp(ws_us) AS windowStart, event_type, n, sum_e2
+FROM agg, mx
+WHERE ws_us + {win_us} <= mxus - {wm_us}
+ORDER BY windowStart, event_type
+"""
