@@ -244,6 +244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_code_detect": ftext.code_detect,
         # new in round 4 (batch 8): one-pass corpus datasheet summary
         "curate_dataset_card": pcur.dataset_card,
+        # new in round 4 (batch 10): token-budget corpus assembly —
+        # per-source running token total in deterministic hash order
+        "split_token_budget": fsplit.token_budget_sample,
+        # new in round 4 (batch 10): first-order user-journey transition
+        # matrix with exact-integer shares
+        "events_path_transitions": evan.path_transitions,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -526,6 +532,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_jaccard_neighbors": pgraph.jaccard_neighbors_sql(),
         "text_code_detect": ftext.code_detect_sql(),
         "curate_dataset_card": pcur.dataset_card_sql(),
+        "split_token_budget": fsplit.token_budget_sample_sql(),
+        "events_path_transitions": evan.path_transitions_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

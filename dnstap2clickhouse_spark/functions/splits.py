@@ -349,3 +349,54 @@ FROM ranked r JOIN quota q ON r.source = q.source
 WHERE r.rn <= q.keep_s
 ORDER BY r.doc_id
 """
+
+
+# -------------------------------------------- token-budget assembly
+
+TOKEN_BUDGET = 600  # tokens kept per source
+
+
+def _token_budget_sql(dialect: str) -> str:
+    """Token-budget corpus assembly — "take N tokens per domain": docs
+    are ordered per source by the Lehmer hash (a deterministic,
+    content-independent shuffle — the same generator as the split
+    buckets, so the selection is reproducible on any partitioning) and
+    kept while the source's RUNNING token total stays within the
+    budget. The op every fixed-token-recipe corpus build runs (e.g.
+    "10M tokens per domain"); complements `curate_domain_mix` (doc-count
+    proportions) with the token-denominated flavor.
+
+    One window over a source-keyed shuffle (running sum in hash order),
+    then a mapper-side filter — no joins, no second pass. Exact integer
+    arithmetic only. The boundary rule is STRICT: a doc is kept iff the
+    running total INCLUDING it is <= budget, so a boundary-crossing doc
+    is dropped (deterministic, engine-independent).
+    """
+    toks = "split(text, ' ')" if dialect == "spark" else "string_split(text, ' ')"
+    size = "size" if dialect == "spark" else "len"
+    h = _bucket_sql("doc_id", LEHMER_P)  # full-range hash, not % 100
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, CAST({size}({toks}) AS BIGINT) AS n_tokens,
+         {h} AS h
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM d)
+SELECT doc_id, source, n_tokens, CAST(running AS BIGINT) AS running
+FROM cum
+WHERE running <= {TOKEN_BUDGET}
+ORDER BY source, running
+"""
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (deterministic hash order)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_token_budget_sql("spark"))
+
+
+def token_budget_sample_sql() -> str:
+    return _token_budget_sql("duckdb")

@@ -1046,3 +1046,50 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gap_fill_sql() -> str:
     return _gap_fill_sql("duckdb")
+
+
+# --------------------------------------------------- path transitions
+
+PATH_TOP = 15
+
+
+def _path_transitions_sql(dialect: str) -> str:
+    """User-journey transition matrix — the product-analytics "what do
+    users do next" query: per user, consecutive event pairs (ordered by
+    time, event_id tiebreak) counted globally per (from, to) type pair,
+    with each pair's share of all transitions as an exact e6 integer.
+
+    One user-keyed shuffle for the lag window, one (from, to) count
+    aggregate (map-side partials), a one-row total joined back —
+    scale-safe; the top-k is TakeOrderedAndProject. Reference scope:
+    beyond dnstap2clickhouse's surface; the first-order Markov
+    transition count is the standard journey/funnel building block.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pairs)
+SELECT p.from_type, p.to_type, p.n,
+       (p.n * 1000000) {idiv} t.t AS share_e6
+FROM pairs p CROSS JOIN total t
+ORDER BY p.n DESC, p.from_type, p.to_type
+LIMIT {PATH_TOP}
+"""
+
+
+def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PATH_TOP`` (from, to) event-type transitions with shares."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_path_transitions_sql("spark"))
+
+
+def path_transitions_sql() -> str:
+    return _path_transitions_sql("duckdb")

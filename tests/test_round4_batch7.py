@@ -472,3 +472,63 @@ def test_streaming_hopping_pane_multiplicity(spark):
             if base - k * slide + win <= cut:
                 want += 1
     assert sum(r.n for r in out) == want
+
+
+# ------------------------------------------- batch 10: token budget
+
+
+def test_token_budget_matches_python_replay(spark):
+    """Selection equals a full Python replay: per source, docs in
+    (lehmer(doc_id), doc_id) order kept while the running token total
+    stays within the budget — and the first excluded doc would cross."""
+    from dnstap2clickhouse_spark.functions import splits as fsplit
+
+    out = fsplit.token_budget_sample(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text").collect()
+    by_source: dict[str, list] = {}
+    for d in docs:
+        h = ((d.doc_id % fsplit.LEHMER_P) * fsplit.LEHMER_A) % fsplit.LEHMER_P
+        by_source.setdefault(d.source, []).append((h, d.doc_id, len(d.text.split(" "))))
+    want = {}
+    for src, rows in by_source.items():
+        rows.sort()
+        running = 0
+        crossed = False
+        for h, doc_id, n in rows:
+            if running + n <= fsplit.TOKEN_BUDGET and not crossed:
+                running += n
+                want[doc_id] = (src, n, running)
+            else:
+                # strict rule: once a doc crosses, IT and everything
+                # after it in hash order is dropped (running is a
+                # prefix sum, not best-fit packing)
+                crossed = True
+    got = {r.doc_id: (r.source, r.n_tokens, r.running) for r in out}
+    assert got == want
+    assert all(v[2] <= fsplit.TOKEN_BUDGET for v in got.values())
+    assert got, "budget kept nothing"
+
+
+# --------------------------------------- batch 10: path transitions
+
+
+def test_path_transitions_matches_python(spark):
+    """Top-k (from, to) pairs equal a Python lag-replay with the same
+    count/tiebreak ordering, and shares are the exact integer rational."""
+    from dnstap2clickhouse_spark.plans import events_analytics as evan
+
+    out = [(r.from_type, r.to_type, r.n, r.share_e6)
+           for r in evan.path_transitions(spark, SF).collect()]
+    ev = load_table(spark, SF, "events").select("user_id", "ts", "event_id", "event_type").collect()
+    by_user: dict[int, list] = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append((e.ts, e.event_id, e.event_type))
+    pairs: dict[tuple, int] = {}
+    for rows in by_user.values():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    total = sum(pairs.values())
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    want = [(f, t, n, n * 1_000_000 // total) for (f, t), n in ranked[: evan.PATH_TOP]]
+    assert out == want
