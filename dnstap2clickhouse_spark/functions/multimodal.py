@@ -199,8 +199,10 @@ def _caption_pairs_df(spark: SparkSession) -> DataFrame:
     tests swap the view in; ``caption_pairs`` registers the real one)."""
     docs_view = spark.table("documents")
     m = docs_view.selectExpr(*_MEDIA_EXPRS_SPARK).where("mime LIKE 'image/%'")
+    from .text import _toks
+
     docs = docs_view.selectExpr(
-        "doc_id AS d_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
+        "doc_id AS d_id", f"CAST(size({_toks('spark')}) AS BIGINT) AS n_tokens"
     )
     return (
         m.join(docs, m.doc_id == docs.d_id)
@@ -224,10 +226,12 @@ def _caption_pairs_df(spark: SparkSession) -> DataFrame:
 
 
 def caption_pairs_sql() -> str:
+    from .text import _toks
+
     return f"""
 WITH m AS (
   SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len({_toks('duckdb')}) AS BIGINT) AS n_tokens,
          CAST(64 + doc_id % 512 AS BIGINT) AS width,
          CAST(64 + doc_id % 384 AS BIGINT) AS height,
          ('0x' || substr(md5(text), 1, 2))::BIGINT AS first_byte

@@ -230,7 +230,11 @@ agg AS (
          CAST(count(*) - count(DISTINCT bag) AS BIGINT) AS n_exact_dups
   FROM per_doc)
 SELECT n_docs, total_tokens, n_langs, n_sources, n_exact_dups,
-       (total_tokens * 1000000) {idiv} n_docs AS mean_tokens_e6,
+       -- quotient/remainder split: total_tokens * 1e6 would overflow
+       -- BIGINT near ~9e12 total tokens (a few-TB corpus); this form is
+       -- exact and stays in range at any corpus size
+       (total_tokens {idiv} n_docs) * 1000000
+         + ((total_tokens % n_docs) * 1000000) {idiv} n_docs AS mean_tokens_e6,
        (n_exact_dups * 1000000) {idiv} n_docs AS dup_rate_e6
 FROM agg
 """

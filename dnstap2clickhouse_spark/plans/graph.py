@@ -198,8 +198,10 @@ wedges AS (
     ON e1.src = e2.src
    AND {lt("e1.dst_d, e1.dst", "e2.dst_d, e2.dst")}),
 tri AS (
+  -- count(o.src), not sum(CASE...): sum over the empty wedge relation
+  -- is NULL, and a wedge-free graph must report 0 triangles
   SELECT count(*) AS n_wedges,
-         CAST(sum(CASE WHEN o.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_triangles
+         CAST(count(o.src) AS BIGINT) AS n_triangles
   FROM wedges w LEFT JOIN oriented o ON o.src = w.y AND o.dst = w.z)
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        (SELECT CAST(count(*) AS BIGINT) FROM copurchase) AS n_edges,

@@ -532,3 +532,30 @@ def test_path_transitions_matches_python(spark):
     ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
     want = [(f, t, n, n * 1_000_000 // total) for (f, t), n in ranked[: evan.PATH_TOP]]
     assert out == want
+
+
+def test_triangle_count_wedge_free_graph_reports_zero(spark):
+    """Review regression: a graph of disjoint edges (no wedges) must
+    report n_triangles = 0, not NULL (sum over the empty wedge relation
+    is NULL; the query uses count(o.src))."""
+    q = float(pgraph.TRIANGLE_MIN_QTY)
+    rows = [
+        (1, 101, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (1, 102, 1, 2, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (2, 103, 1, 1, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+        (2, 104, 1, 2, q, 1.0, 0.0, 0.0, "N", "O", "2024-01-01 00:00:00"),
+    ]
+    orig = load_table(spark, SF, "lineitem")
+    try:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, "
+            "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, "
+            "l_returnflag STRING, l_linestatus STRING, l_shipdate STRING",
+        ).selectExpr(
+            "* EXCEPT (l_shipdate)", "CAST(l_shipdate AS TIMESTAMP) AS l_shipdate"
+        ).createOrReplaceTempView("lineitem")
+        row = spark.sql(pgraph._triangle_sql("spark")).collect()[0]
+    finally:
+        orig.createOrReplaceTempView("lineitem")
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 2, 0, 0)
