@@ -418,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": fdedup.minhash_signatures,
         "dedup_simhash": fdedup.simhash_signatures,
         "sim_label_centroids": fsim.label_centroids,
+        # new in round 4 (batch 10): grouped-map applyInPandas surface —
+        # per-label min-max scaling on exact quantized integers
+        "sim_label_minmax": fsim.label_minmax,
         "dedup_embedding_cosine": fsim.embedding_cosine_dups,
         # --- training-data ops: multimodal columns ---
         "mm_media_metadata": fmm.media_metadata,
@@ -534,6 +537,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_dataset_card": pcur.dataset_card_sql(),
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
+        "sim_label_minmax": fsim.label_minmax_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

@@ -1154,3 +1154,68 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mmr_rerank_sql() -> str:
     return _mmr_sql("duckdb")
+
+
+# -------------------------------------- grouped-map normalization (Arrow)
+
+_MINMAX_E9 = 1_000_000_000
+
+
+def label_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label min-max normalization via ``applyInPandas`` — the
+    grouped-map Arrow surface (one group's rows land in one pandas
+    frame), completing the Pandas-UDF API matrix next to
+    ``mapInPandas`` (mm features) and ``applyInPandasWithState`` (the
+    J1 state machine). The shape every per-group feature-scaling /
+    per-shard normalization step uses.
+
+    Determinism contract: the per-vector score is the SUM of
+    e9-quantized components (exact int64, order-free — the kmeans
+    quantization idiom), and the scaling is pure integer arithmetic on
+    non-negative numerators, so numpy and the SQL oracle are
+    bit-identical; no float ever crosses the group boundary. Scale
+    shape: one label-keyed shuffle (the groupBy), mapper-side
+    quantization below it — group size is corpus/|labels|, the
+    documented constraint of any grouped-map op (a skewed label needs
+    the salt-and-merge variant).
+    """
+    import pandas as pd
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings").selectExpr(
+        "vec_id",
+        "label",
+        f"aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_MINMAX_E9}) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (a, v) -> a + v) AS score_e9",
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["score_e9"].min(), pdf["score_e9"].max()
+        rng = int(mx) - int(mn)
+        if rng == 0:
+            pdf["scaled_e6"] = 0
+        else:
+            pdf["scaled_e6"] = (pdf["score_e9"] - mn) * 1_000_000 // rng
+        return pdf[["vec_id", "label", "score_e9", "scaled_e6"]]
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(scale, "vec_id bigint, label int, score_e9 bigint, scaled_e6 bigint")
+        .orderBy("vec_id")
+    )
+
+
+def label_minmax_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, label,
+         list_reduce(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_MINMAX_E9}) AS BIGINT)),
+                     (a, v) -> a + v) AS score_e9
+  FROM embeddings),
+b AS (SELECT label, min(score_e9) AS mn, max(score_e9) AS mx FROM s GROUP BY label)
+SELECT s.vec_id, s.label, CAST(s.score_e9 AS BIGINT) AS score_e9,
+       CAST(CASE WHEN b.mx = b.mn THEN 0
+            ELSE ((s.score_e9 - b.mn) * 1000000) // (b.mx - b.mn) END AS BIGINT) AS scaled_e6
+FROM s JOIN b ON s.label = b.label
+ORDER BY s.vec_id
+"""

@@ -559,3 +559,28 @@ def test_triangle_count_wedge_free_graph_reports_zero(spark):
     finally:
         orig.createOrReplaceTempView("lineitem")
     assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 2, 0, 0)
+
+
+# --------------------------------------- batch 10: grouped-map minmax
+
+
+def test_label_minmax_matches_python(spark):
+    """The applyInPandas grouped-map scaling equals an exact Python
+    integer replay; per label, min maps to 0 and max to 1e6."""
+    out = {r.vec_id: r for r in fsim.label_minmax(spark, SF).collect()}
+    emb = load_table(spark, SF, "embeddings").collect()
+    scores: dict[int, int] = {}
+    by_label: dict[int, list[int]] = {}
+    for r in emb:
+        s = sum(int(round(float(x) * 1_000_000_000)) for x in r.embedding)
+        scores[r.vec_id] = s
+        by_label.setdefault(r.label, []).append(s)
+    for r in emb:
+        got = out[r.vec_id]
+        assert got.score_e9 == scores[r.vec_id]
+        mn, mx = min(by_label[r.label]), max(by_label[r.label])
+        want = 0 if mx == mn else (scores[r.vec_id] - mn) * 1_000_000 // (mx - mn)
+        assert got.scaled_e6 == want
+    for lab, ss in by_label.items():
+        vals = [out[v].scaled_e6 for v in out if out[v].label == lab]
+        assert min(vals) == 0 and (max(vals) == 1_000_000 or len(set(ss)) == 1)
