@@ -250,6 +250,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 10): first-order user-journey transition
         # matrix with exact-integer shares
         "events_path_transitions": evan.path_transitions,
+        # new in round 4 (batch 11): mergeable HLL partials — per-day
+        # sketches unioned without re-scanning raw data; the hash
+        # certifies merge-exactness AND the accuracy bound
+        "events_hll_partials": evan.hll_partials,
+        # new in round 4 (batch 11): Z-order (Morton) layout pass —
+        # per-z-bucket zone map proving rectangle bounds on both dims
+        "events_zorder_layout": evan.zorder_layout,
+        # new in round 4 (batch 11): hashing-trick bag-of-words features
+        # (fixed dimension, no vocabulary state)
+        "text_hashed_features": ftext.hashed_features,
+        # new in round 4 (batch 11): stream-static broadcast enrichment
+        # (the stateless dimension-join streaming shape)
+        "streaming_static_enrich": stp.streaming_static_enrich_query,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -538,6 +551,10 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "events_hll_partials": evan.hll_partials_sql(),
+        "events_zorder_layout": evan.zorder_layout_sql(),
+        "text_hashed_features": ftext.hashed_features_sql(),
+        "streaming_static_enrich": stp.streaming_static_enrich_sql(),
         "dedup_simhash_pairs": fdedup.simhash_pairs_sql(),
         "split_token_chunks": fsplit.pack_token_chunks_sql(),
         "curate_domain_mix": fsplit.domain_mix_sql(),

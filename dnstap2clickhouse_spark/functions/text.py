@@ -686,3 +686,52 @@ def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def code_detect_sql() -> str:
     return _code_detect_sql("duckdb")
+
+
+# ----------------------------------------------- hashing-trick features
+
+HASHED_DIM = 32  # fixed feature dimension (buckets)
+
+
+def _hashed_features_sql(dialect: str) -> str:
+    """Feature hashing (Weinberger et al. 2009, the "hashing trick") —
+    the fixed-dimension bag-of-words featurizer large-scale linear
+    models and dataset classifiers use: no vocabulary is ever built or
+    broadcast (the step that does NOT scale — a 100 TB corpus's vocab is
+    unbounded); each token maps straight to ``bucket =
+    lehmer(md5_28bit(token)) % D`` and the document's feature vector is
+    the per-bucket count, emitted sparse as (doc_id, bucket, n) rows.
+
+    One explode + one (doc_id, bucket) hash aggregate with map-side
+    partials — no joins, no vocabulary state, dimension fixed at
+    ``HASHED_DIM`` regardless of corpus size. The token hash is the
+    shared ``_hash_tok`` md5 arithmetic and the bucket is the shared
+    Lehmer mix from functions.splits, so the features are deterministic
+    and engine-portable (the DuckDB oracle replays them bit-for-bit).
+    Reference scope: beyond dnstap2clickhouse; completes the text
+    family's model-input side (stats/quality gates -> training
+    features).
+    """
+    from .splits import _bucket_sql
+
+    toks = _toks(dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    bucket = _bucket_sql(_hash_tok(dialect, "tok"), HASHED_DIM)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {unnest}({toks}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {bucket} AS bucket FROM toks)
+SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n
+FROM hashed GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+"""
+
+
+def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed bag-of-words features, ``HASHED_DIM`` buckets."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_hashed_features_sql("spark"))
+
+
+def hashed_features_sql() -> str:
+    return _hashed_features_sql("duckdb")

@@ -1093,3 +1093,170 @@ def path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def path_transitions_sql() -> str:
     return _path_transitions_sql("duckdb")
+
+
+# ------------------------------------------- mergeable HLL partials
+
+#: Apache DataSketches HLL at lgConfigK=14: relative standard error
+#: ~= 1.04 / sqrt(2^14) ~= 0.8%. 0.05 is a >6-sigma bound — a meaningful
+#: accuracy claim with no re-roll risk when the corpus regenerates
+#: (same rationale as HLL_REL_TOL above).
+HLL_PARTIAL_LGK = 14
+HLL_PARTIAL_TOL = 0.05
+
+
+def hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the incremental pattern that makes
+    distinct counts affordable at 100 TB: per (event_type, day) HLL
+    sketches (``hll_sketch_agg``) are built ONCE, then any coarser
+    rollup (here: per event_type over the whole span) merges the
+    sketch binaries with ``hll_union_agg`` — never re-scanning the raw
+    corpus. A daily ingest materializes the day's sketches; every
+    dashboard window (7d/30d/all-time) is an O(days x groups) union.
+
+    The entry certifies both properties in the hash:
+
+    - ``merge_exact_ok`` — the estimate from the union of daily
+      partials EQUALS the estimate from a direct whole-span sketch.
+      HLL registers are max-of-hashes, so a union over any partitioning
+      reproduces the direct sketch's registers exactly: mergeability is
+      deterministic, not approximate. This is the property that makes
+      the incremental rollup SAFE.
+    - ``est_ok`` — |estimate - exact distinct| <= 5% of exact
+      (>6 sigma at lgK=14), the accuracy claim.
+
+    Scale: pass 1 is one (event_type, day) shuffle with mergeable
+    O(2^lgK)-byte state per group; the union re-shuffles only
+    O(groups x days) sketch rows; the exact ``countDistinct`` exists
+    ONLY to certify the bound (a production rollup never computes it).
+    Reference scope: beyond dnstap2clickhouse (its ClickHouse tables
+    would use ``uniqState``/``uniqMerge`` — this is the engine-side
+    equivalent of that exact merge pattern).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr(f"hll_sketch_agg(user_id, {HLL_PARTIAL_LGK})").alias("sketch")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("merged_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr(
+            f"hll_sketch_estimate(hll_sketch_agg(user_id, {HLL_PARTIAL_LGK}))"
+        ).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (F.col("merged_est") == F.col("direct_est")).alias("merge_exact_ok"),
+            (
+                F.abs(F.col("merged_est") - F.col("exact_users"))
+                <= HLL_PARTIAL_TOL * F.col("exact_users")
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hll_partials_sql() -> str:
+    """Oracle: exact distincts + day counts + literal TRUEs (the merge
+    identity and accuracy bound are certified by the hash)."""
+    return """
+SELECT event_type,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS merge_exact_ok, TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ------------------------------------------------- Z-order layout
+
+ZORDER_BITS = 16  # per-dimension bits interleaved into a 32-bit z-value
+ZORDER_BUCKET_SHIFT = 26  # bucket = z >> shift: 6-bit bucket ids, a
+#                           3-bit x 3-bit rectangle grid (<= 64 zones)
+
+
+def _zorder_interleave(a: str, b: str, bits: int = ZORDER_BITS) -> str:
+    """Exact-integer bit interleave (Morton code): bit i of ``a`` lands
+    at position 2i, bit i of ``b`` at 2i+1. Plain >>/<</& arithmetic —
+    renders identically in Spark and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zorder_layout_sql(dialect: str) -> str:
+    """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
+    ZORDER BY pass: each dimension is min/max-normalized to the full
+    16-bit range (the step every real implementation performs — raw
+    values would leave the high interleaved bits constant and collapse
+    the curve), rows map to the interleaved-bit curve position over
+    (user_id, event hour), and fixed z-ranges become the physical file
+    grouping. Because the curve interleaves bits, every z-range is a
+    RECTANGLE in (user, hour) space — one physical sort order yields
+    zone maps that prune on BOTH dimensions (a plain sort prunes on its
+    leading key only). The output IS the zone map: per z-bucket row
+    count and min/max of each raw dimension; the hash certifies the
+    exact rectangle bounds every file would carry.
+
+    Scale: the z-value is mapper-side integer arithmetic off ONE
+    broadcast global min/max row; the zone map is ONE hash aggregate on
+    the bucket id. The physical rewrite is ``compact_dataset(...,
+    sort_by=[zvalue])`` -> repartitionByRange, whose cost is the one
+    total-order shuffle every layout pass pays. Reference scope: beyond
+    dnstap2clickhouse; the engine-side equivalent of ClickHouse
+    ORDER BY-key data skipping generalized to 2 dimensions.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        secs = "(unix_micros(e.ts) - unix_micros(b.t0)) div 1000000"
+    else:
+        secs = "CAST(date_diff('second', b.t0, e.ts) AS BIGINT)"
+    top = (1 << ZORDER_BITS) - 1
+    z = _zorder_interleave("u16", "h16")
+    return f"""
+WITH bounds AS (
+  SELECT min(ts) AS t0, max(ts) AS t1,
+         min(user_id) AS u_lo, max(user_id) AS u_hi
+  FROM events),
+dims AS (
+  SELECT e.user_id,
+         {secs} {idiv} 3600 AS hour_idx,
+         ((e.user_id - b.u_lo) * {top})
+           {idiv} (CASE WHEN b.u_hi > b.u_lo THEN b.u_hi - b.u_lo ELSE 1 END) AS u16,
+         (({secs}) * {top})
+           {idiv} (CASE WHEN b.t1 > b.t0
+                        THEN CAST(date_diff('second', b.t0, b.t1) AS BIGINT)
+                        ELSE 1 END) AS h16
+  FROM events e CROSS JOIN bounds b),
+zvals AS (SELECT user_id, hour_idx, {z} AS zval FROM dims)
+SELECT zval >> {ZORDER_BUCKET_SHIFT} AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(user_id) AS user_lo, max(user_id) AS user_hi,
+       min(hour_idx) AS hour_lo, max(hour_idx) AS hour_hi
+FROM zvals
+GROUP BY zval >> {ZORDER_BUCKET_SHIFT}
+ORDER BY z_bucket
+"""
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map summary of the Z-order layout pass (see builder)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = _zorder_layout_sql("spark").replace(
+        "CAST(date_diff('second', b.t0, b.t1) AS BIGINT)",
+        "(unix_micros(b.t1) - unix_micros(b.t0)) div 1000000",
+    )
+    return spark.sql(sql)
+
+
+def zorder_layout_sql() -> str:
+    return _zorder_layout_sql("duckdb")

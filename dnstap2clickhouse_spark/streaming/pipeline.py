@@ -1044,3 +1044,66 @@ FROM agg, mx
 WHERE ws_us + {win_us} <= mxus - {wm_us}
 ORDER BY windowStart, event_type
 """
+
+
+# ------------------------------------------- stream-static enrichment
+
+ENRICH_CHUNKS = 4
+
+
+def streaming_static_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the most common production streaming shape
+    (an event stream enriched against a slowly-changing dimension) and
+    the one join flavor the stream-stream matrix doesn't cover: events
+    arrive in ``ENRICH_CHUNKS`` time-ordered micro-batches and every
+    batch joins the STATIC customer dimension (user_id = c_custkey) to
+    attach the market segment; per-segment counts and exact value sums
+    are then aggregated batch-side over the append output.
+
+    Semantics certified by the oracle: a stream-static equi-join is
+    STATELESS (each micro-batch joins the dimension snapshot
+    independently — no watermark, no buffered state), so the appended
+    output is exactly the batch join regardless of chunking; the
+    aggregate therefore hash-matches the batch SQL. Scale: the
+    dimension side is explicitly ``F.broadcast`` (a dimension that fits
+    executors — the 100 TB fact stream never shuffles for the join);
+    the per-segment rollup is one O(segments) aggregate. Sums are exact
+    e2 integers (value is a 2-decimal double), so the hash is
+    order-independent. Reference analogue: the identity/rcode
+    enrichment the reference does row-side (prep P2-P4) generalized to
+    a keyed dimension table.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment"))
+    )
+    with _time_chunked_stream(spark, ev, ENRICH_CHUNKS) as stream:
+        enriched = stream.join(F.broadcast(dim), "user_id").select(
+            "segment",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_e2"),
+        )
+        out = run_stream_to_memory(enriched, "append", spark)
+    return (
+        out.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_events"),
+            F.sum("value_e2").alias("value_e2_sum"),
+        )
+        .orderBy("segment")
+    )
+
+
+def streaming_static_enrich_sql() -> str:
+    """Oracle: the batch equi-join + rollup (stateless stream == batch)."""
+    return """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.event_id) AS BIGINT) AS n_distinct_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_e2_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
