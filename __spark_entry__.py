@@ -29,6 +29,7 @@ from dnstap2clickhouse_spark.operators import analytics as an
 from dnstap2clickhouse_spark.operators import prep
 from dnstap2clickhouse_spark.plans import tpch, events_analytics as evan
 from dnstap2clickhouse_spark.plans import graph as pgraph
+from dnstap2clickhouse_spark.plans import bucketed as pbkt
 from dnstap2clickhouse_spark.plans import curation as pcur
 from dnstap2clickhouse_spark.functions import text as ftext
 from dnstap2clickhouse_spark.functions import dedup as fdedup
@@ -263,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 12): theta sketch set algebra — mergeable
+        # union/intersection/difference on audience sketches
+        "events_theta_sets": evan.theta_sets,
+        # new in round 4 (batch 12): Matryoshka two-stage retrieval —
+        # prefix-dim coarse rank + full-dim rerank (dimension pruning)
+        "sim_matryoshka": fsim.matryoshka_topk,
+        # new in round 4 (batch 12): bucketed co-located fact-fact join
+        # (the pay-the-shuffle-once storage layout; zero Exchange)
+        "tpch_bucketed_join": pbkt.bucketed_join,
         # new in round 4: simhash family completed — banded Hamming pairs
         "dedup_simhash_pairs": fdedup.simhash_pairs,
         # new in round 4: GPT-style concat-and-chunk packing offsets via a
@@ -551,6 +561,9 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "events_theta_sets": evan.theta_sets_sql(),
+        "sim_matryoshka": fsim.matryoshka_topk_sql(),
+        "tpch_bucketed_join": pbkt.bucketed_join_sql(),
         "events_hll_partials": evan.hll_partials_sql(),
         "events_zorder_layout": evan.zorder_layout_sql(),
         "text_hashed_features": ftext.hashed_features_sql(),

@@ -1219,3 +1219,93 @@ SELECT s.vec_id, s.label, CAST(s.score_e9 AS BIGINT) AS score_e9,
 FROM s JOIN b ON s.label = b.label
 ORDER BY s.vec_id
 """
+
+
+# ------------------------------------------- Matryoshka prefix search
+
+MRL_PREFIX = 16  # coarse stage scores only the first 16 of 64 dims
+MRL_CANDIDATES = 50  # coarse top-C candidates reranked at full dim
+
+
+def _prefix(col: str, dialect: str, dims: int = MRL_PREFIX) -> str:
+    if dialect == "spark":
+        return f"slice({col}, 1, {dims})"
+    return f"{col}[1:{dims}]"
+
+
+def _matryoshka_sql(dialect: str) -> str:
+    """Matryoshka (MRL, Kusupati et al. 2022) two-stage retrieval — the
+    modern production ANN shape for nested-representation embeddings:
+    the COARSE stage ranks every corpus vector by cosine over only the
+    first ``MRL_PREFIX`` dims (a 4x cheaper fold; at 100 TB this is the
+    stage that touches every row, and with MRL-trained vectors the
+    prefix IS a valid embedding), keeps the top ``MRL_CANDIDATES`` per
+    query, and the RERANK stage re-scores only those candidates with
+    the full-dimension fold. Cost: corpus x prefix-dims + candidates x
+    full-dims, vs corpus x full-dims for brute force — the prefix
+    fraction of the bill.
+
+    Plan: query side broadcast with a plan-visible LIMIT (the audit
+    invariant), both rank filters are per-query windows
+    (WindowGroupLimit), candidate fetch re-joins the corpus by id.
+    All folds are the shared fixed-order ``_dot`` — doubles
+    bit-identical across engines; ties break by id. Reference scope:
+    beyond dnstap2clickhouse; completes the ANN family next to
+    LSH (hash pruning), IVF (partition pruning), and PQ (code
+    compression) with dimension pruning.
+
+    Honesty note: the test corpus's embeddings are RANDOM, so the
+    prefix carries little of the full vector's signal and measured
+    recall@5 is ~0.2-0.55 (tests pin the two-stage STRUCTURE and exact
+    scoring, not a recall floor that only training would earn). With
+    MRL-trained vectors — the deployment this targets — the prefix is
+    by construction a valid embedding and recall approaches the full
+    fold's.
+    """
+    pdot = _dot("q.pemb", "c.pemb", dialect)
+    fdot = _dot("q.embedding", "c.embedding", dialect)
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    hint2 = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+WITH e AS ({_normed(dialect)}),
+p AS (SELECT vec_id, embedding, nrm, {_prefix('embedding', dialect)} AS pemb
+      FROM e),
+pn AS (SELECT vec_id, embedding, nrm, pemb,
+              {_dot('pemb', 'pemb', dialect)} AS pnrm FROM p),
+qs AS (SELECT * FROM pn WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
+coarse AS (
+  SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {pdot} / sqrt(q.pnrm * c.pnrm) AS pcos
+  FROM qs q JOIN pn c ON q.vec_id <> c.vec_id),
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY pcos DESC, neighbor_id) AS crank
+        FROM coarse)
+  WHERE crank <= {MRL_CANDIDATES}),
+rerank AS (
+  SELECT {hint2}k.query_id, k.neighbor_id,
+         {fdot} / sqrt(q.nrm * c.nrm) AS cosine
+  FROM cand k
+  JOIN pn c ON c.vec_id = k.neighbor_id
+  JOIN qs q ON q.vec_id = k.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rerank)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dim coarse rank + full-dim rerank top-k (see builder)."""
+    _register(spark, sf_dir)
+    return spark.sql(_matryoshka_sql("spark"))
+
+
+def matryoshka_topk_sql() -> str:
+    return _matryoshka_sql("duckdb")

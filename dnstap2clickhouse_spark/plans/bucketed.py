@@ -50,3 +50,70 @@ def bucketed_order_revenue(spark: SparkSession, orders_table: str, lineitem_tabl
         )
         .orderBy("o_orderpriority")
     )
+
+
+_DISC_E4 = "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract entry for the bucketed co-located fact-fact join: both
+    fact tables are written ``bucketBy(8, key) sortBy(key)`` (external
+    tables in a temp dir so repeated driver runs overwrite cleanly),
+    then revenue per order priority runs as a sort-merge join whose
+    scans are bucket-aligned — ZERO Exchange on either fact side
+    (pinned by ``tests/test_skew.py::test_bucketed_join_is_shuffle_free``).
+    At 100 TB this is the layout decision: the orders×lineitem shuffle
+    is paid once at write time, and every downstream join on the key
+    reads co-located buckets.
+
+    The result is evaluated eagerly and the catalog entries + files are
+    dropped before returning (the contract query is self-cleaning);
+    revenue is the exact-integer e4 idiom, so the hash is
+    order-independent. Oracle: the identical join/aggregate over the
+    plain parquet views — bucketing changes the PLAN, never the answer.
+    """
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bucketed_")
+    ot, lt = "orders_bkt_entry", "lineitem_bkt_entry"
+    try:
+        for name, table, key in (
+            (ot, "orders", "o_orderkey"),
+            (lt, "lineitem", "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            load_table(spark, sf_dir, table).write.bucketBy(8, key).sortBy(
+                key
+            ).option("path", f"{d}/{name}").mode("overwrite").format(
+                "parquet"
+            ).saveAsTable(name)
+        out = (
+            spark.table(ot)
+            .join(
+                spark.table(lt),
+                spark.table(ot).o_orderkey == spark.table(lt).l_orderkey,
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum(F.expr(_DISC_E4)).alias("revenue_e4"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for name in (ot, lt):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def bucketed_join_sql() -> str:
+    return f"""
+SELECT o_orderpriority,
+       CAST(sum({_DISC_E4}) AS BIGINT) AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

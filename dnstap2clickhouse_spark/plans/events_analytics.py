@@ -1260,3 +1260,90 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def zorder_layout_sql() -> str:
     return _zorder_layout_sql("duckdb")
+
+
+# --------------------------------------------- theta sketch set algebra
+
+#: Apache DataSketches Theta default lgNomEntries=12 (k=4096): estimates
+#: are EXACT below ~4k distincts and ~2.3% RSE above; 0.08 on the union /
+#: 0.15 on intersection+difference (set-op error compounds on small
+#: results) are multi-sigma bounds with no corpus-regeneration re-roll
+#: risk at any plausible scale of the test corpora.
+THETA_UNION_TOL = 0.08
+THETA_SETOP_TOL = 0.15
+
+
+def theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra — what HLL cannot do: per-event-type
+    Theta sketches of the user set support UNION, INTERSECTION **and
+    DIFFERENCE** (audience overlap / exclusion — "users who click AND
+    purchase", "click but never error") computed on the sketch binaries
+    alone. The sketches are built in ONE corpus pass; all O(types²)
+    pairwise set operations then run on the O(types) sketch rows —
+    never re-scanning or re-shuffling the corpus. The exact relational
+    counterparts (a distinct-pair self-join PER PAIR) are computed only
+    to certify the bounds; a production rollup skips them — that is the
+    entire point of Theta at 100 TB.
+
+    Output per unordered type pair: exact |A∪B|, |A∩B|, |A\\B| (by
+    inclusion-exclusion off one distinct-pair join) + booleans asserting
+    each sketch estimate lands within tolerance. Oracle: the same exact
+    values + literal TRUEs, so the hash certifies the sketch algebra.
+    Reference scope: the ClickHouse side of the reference would use
+    uniqTheta* — this is the engine-side equivalent.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+WITH sk AS (
+  SELECT event_type, theta_sketch_agg(user_id) AS sk,
+         count(DISTINCT user_id) AS n
+  FROM events GROUP BY event_type),
+ua AS (SELECT DISTINCT event_type, user_id FROM events),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ua x JOIN ua y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type),
+est AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.n AS na, b.n AS nb,
+         theta_sketch_estimate(theta_union(a.sk, b.sk)) AS u_est,
+         theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS i_est,
+         theta_sketch_estimate(theta_difference(a.sk, b.sk)) AS d_est
+  FROM sk a JOIN sk b ON a.event_type < b.event_type)
+SELECT e.type_a, e.type_b,
+       e.na + e.nb - i.n_inter AS n_union,
+       i.n_inter,
+       e.na - i.n_inter AS n_diff,
+       abs(e.u_est - (e.na + e.nb - i.n_inter))
+         <= {THETA_UNION_TOL} * (e.na + e.nb - i.n_inter) AS union_ok,
+       abs(e.i_est - i.n_inter) <= {THETA_SETOP_TOL} * i.n_inter AS inter_ok,
+       abs(e.d_est - (e.na - i.n_inter))
+         <= {THETA_SETOP_TOL} * (e.na - i.n_inter) AS diff_ok
+FROM est e JOIN inter i ON e.type_a = i.type_a AND e.type_b = i.type_b
+ORDER BY type_a, type_b
+"""
+    )
+
+
+def theta_sets_sql() -> str:
+    """Oracle: exact set sizes by inclusion-exclusion + literal TRUEs."""
+    return """
+WITH ua AS (SELECT DISTINCT event_type, user_id FROM events),
+cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ua GROUP BY event_type),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM ua x JOIN ua y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type)
+SELECT i.type_a, i.type_b,
+       a.n + b.n - i.n_inter AS n_union,
+       i.n_inter,
+       a.n - i.n_inter AS n_diff,
+       TRUE AS union_ok, TRUE AS inter_ok, TRUE AS diff_ok
+FROM inter i
+JOIN cnt a ON a.event_type = i.type_a
+JOIN cnt b ON b.event_type = i.type_b
+ORDER BY type_a, type_b
+"""
