@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 13): mergeable top-k partials — per-day
+        # frequent-items states combined without re-scanning raw data
+        "events_approx_topk_merge": evan.approx_topk_merge,
+        # new in round 4 (batch 13): 1-bit sign-packed Hamming search —
+        # the all-integer end of the vector-compression ladder
+        "sim_binary_hamming": fsim.binary_hamming_topk,
+        # new in round 4 (batch 13): k-fold CV assignment (decoupled
+        # second-round hash, zero shuffle)
+        "split_kfold": fsplit.kfold_assign,
         # new in round 4 (batch 12): theta sketch set algebra — mergeable
         # union/intersection/difference on audience sketches
         "events_theta_sets": evan.theta_sets,
@@ -561,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "events_approx_topk_merge": evan.approx_topk_merge_sql(),
+        "sim_binary_hamming": fsim.binary_hamming_topk_sql(),
+        "split_kfold": fsplit.kfold_assign_sql(),
         "events_theta_sets": evan.theta_sets_sql(),
         "sim_matryoshka": fsim.matryoshka_topk_sql(),
         "tpch_bucketed_join": pbkt.bucketed_join_sql(),

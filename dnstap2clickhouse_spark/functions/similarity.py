@@ -1309,3 +1309,82 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def matryoshka_topk_sql() -> str:
     return _matryoshka_sql("duckdb")
+
+
+# ------------------------------------------- binary (sign) embeddings
+
+BIN_WORDS = 2  # 64 dims packed into 2 x 32-bit words
+BIN_TOP_K = 5
+
+
+def _pack_word(dialect: str, word: int) -> str:
+    """Sum-of-constants sign packing for dims [word*32+1 .. word*32+32]:
+    bit i-1 set iff dim i >= 0. No shift operators — the per-bit weights
+    are Python-precomputed literals, so the expression is identical in
+    both dialects (array indexing is the only difference: Spark is
+    0-based, DuckDB 1-based)."""
+    terms = []
+    for i in range(32):
+        dim = word * 32 + i  # 0-based dim index
+        idx = f"embedding[{dim}]" if dialect == "spark" else f"embedding[{dim + 1}]"
+        terms.append(f"(CASE WHEN {idx} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _hamming(dialect: str, a: str, b: str) -> str:
+    if dialect == "spark":
+        return f"bit_count({a} ^ {b})"
+    return f"bit_count(xor({a}, {b}))"  # DuckDB: ^ is exponentiation
+
+
+def _binary_hamming_sql(dialect: str) -> str:
+    """Binary (sign-quantized) embedding search — the cheapest vector
+    compression: 1 bit per dimension (64x smaller than float32), packed
+    into ``BIN_WORDS`` integer words at ingest; search is Hamming
+    distance = popcount of XOR per word — pure integer ALU work, no
+    floats anywhere, so the WHOLE entry is bit-deterministic (the
+    strongest oracle in the similarity family: every output column is
+    an integer). Sign-of-dimension is a 1-bit SimHash with identity
+    hyperplanes, so Hamming distance is monotone in angular distance
+    in expectation — the standard first-stage filter before a float
+    rerank (the rerank composition is `sim_matryoshka`'s pattern).
+
+    Completes the compression ladder: float64 fold (exact) -> int8
+    scalar (`sim_quantize_int8`) -> PQ codes (`sim_pq_codes`) -> 1-bit
+    sign. Scale: packing is mapper-side; the corpus side of the scan
+    carries ONLY ``BIN_WORDS`` integers per row (the point at 100 TB);
+    query side broadcast with a plan-visible LIMIT; top-k per query is
+    a window rank. Reference scope: beyond dnstap2clickhouse.
+    """
+    w0, w1 = _pack_word(dialect, 0), _pack_word(dialect, 1)
+    ham = " + ".join(
+        _hamming(dialect, f"q.w{w}", f"c.w{w}") for w in range(BIN_WORDS)
+    )
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+WITH packed AS (
+  SELECT vec_id, {w0} AS w0, {w1} AS w1 FROM embeddings),
+qs AS (SELECT * FROM packed WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
+scored AS (
+  SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM qs q JOIN packed c ON q.vec_id <> c.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming
+FROM ranked WHERE rank <= {BIN_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-packed Hamming top-k (see builder)."""
+    _register(spark, sf_dir)
+    return spark.sql(_binary_hamming_sql("spark"))
+
+
+def binary_hamming_topk_sql() -> str:
+    return _binary_hamming_sql("duckdb")

@@ -400,3 +400,40 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_budget_sample_sql() -> str:
     return _token_budget_sql("duckdb")
+
+
+# --------------------------------------------------- k-fold assignment
+
+K_FOLDS = 5
+
+
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment — the evaluation-protocol
+    primitive: every document lands in exactly one of ``K_FOLDS`` folds
+    via the second-round Lehmer hash (``hash_bucket2``), DECOUPLED from
+    the train/val/test split bucket (``hash_bucket`` % 100 determines
+    % 5, so reusing the first-round hash would make fold membership a
+    function of split membership — the same coupling
+    ``split_quality_resample`` avoids). Pure projection: zero shuffle,
+    partitioning-independent, stable under corpus growth (a doc's fold
+    never changes when other docs arrive — the property that makes
+    fold-held-out eval reproducible across corpus versions).
+
+    Output: (doc_id, fold) for every doc. Fold balance is pinned in
+    tests (multinomial, not exact); train/eval composition for fold f
+    is a WHERE clause, never a second pass. Reference scope: beyond
+    dnstap2clickhouse; completes the splits family (fixed split /
+    stratified sample / quality resample / token budget / k-fold).
+    """
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.select("doc_id", hash_bucket2(F.col("doc_id"), K_FOLDS).alias("fold"))
+        .orderBy("doc_id")
+    )
+
+
+def kfold_assign_sql() -> str:
+    return f"""
+SELECT doc_id, CAST({_bucket2_sql('doc_id', K_FOLDS)} AS BIGINT) AS fold
+FROM documents ORDER BY doc_id
+"""

@@ -1347,3 +1347,85 @@ JOIN cnt a ON a.event_type = i.type_a
 JOIN cnt b ON b.event_type = i.type_b
 ORDER BY type_a, type_b
 """
+
+
+# --------------------------------------- mergeable top-k partials
+
+TOPK_MERGE_N = 10  # final leaderboard depth per event type
+#: DataSketches frequent-items default capacity (maxItemsTracked):
+#: tracking is EXACT below this many distinct items — the certification
+#: (est == exact for every user) relies on it, and the driver corpora
+#: stay orders of magnitude under it (150-1,500 distinct users).
+TOPK_MERGE_CAP = 10_000
+
+
+def approx_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable top-k partials — the leaderboard flavor of the
+    incremental-rollup pattern (`hll_partials` counts distincts, this
+    ranks heavy users): per-(type, day) frequent-items sketch states
+    (``approx_top_k_accumulate``) are built once; any coarser
+    leaderboard merges the STATES (``approx_top_k_combine``) and
+    estimates — never re-scanning raw data. A daily ingest persists
+    the day's states; every dashboard leaderboard is an
+    O(days x groups) combine.
+
+    Certification: below ``TOPK_MERGE_CAP`` distinct items the sketch
+    tracks exactly, so the estimate drained at full width must carry
+    the EXACT per-user count for every user. The output is the exact
+    deterministic top-``TOPK_MERGE_N`` per type (ordered by exact
+    count, id tiebreak — immune to sketch tie-order nondeterminism)
+    with ``est_ok`` asserting the merged sketch agrees; oracle = exact
+    leaderboard + literal TRUEs. Complements `events_heavy_hitters`
+    (hand-built CMS, overestimate-guarantee certification) with the
+    engine-native mergeable-state API. Reference scope: ClickHouse
+    ``topKState``/``topKMerge`` in the reference's tables — this is
+    the engine-side equivalent.
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         approx_top_k_accumulate(user_id) AS st
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+merged AS (
+  SELECT event_type, approx_top_k_combine(st) AS st
+  FROM daily GROUP BY event_type),
+est AS (
+  SELECT event_type, e.item AS user_id, e.count AS est_n
+  FROM (SELECT event_type,
+               explode(approx_top_k_estimate(st, {TOPK_MERGE_CAP})) AS e
+        FROM merged)),
+exact AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id),
+ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rank
+  FROM exact)
+SELECT r.event_type, CAST(r.rank AS BIGINT) AS rank, r.user_id, r.n,
+       coalesce(f.est_n = r.n, FALSE) AS est_ok
+FROM ranked r LEFT JOIN est f
+  ON f.event_type = r.event_type AND f.user_id = r.user_id
+WHERE r.rank <= {TOPK_MERGE_N}
+ORDER BY event_type, rank
+"""
+    )
+
+
+def approx_topk_merge_sql() -> str:
+    """Oracle: the exact deterministic leaderboard + literal TRUEs."""
+    return f"""
+WITH exact AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, user_id),
+ranked AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rank
+  FROM exact)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n, TRUE AS est_ok
+FROM ranked WHERE rank <= {TOPK_MERGE_N}
+ORDER BY event_type, rank
+"""
