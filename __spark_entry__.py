@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 14): WebDataset shard packing manifest
+        # via the shared distributed prefix sum
+        "mm_shard_manifest": fmm.shard_manifest,
+        # new in round 4 (batch 14): GDPR batch erasure with in-pass
+        # zero-residue proof
+        "events_user_erasure": evan.user_erasure,
+        # new in round 4 (batch 14): k-core by unrolled peeling with an
+        # in-band convergence certificate
+        "graph_kcore": pgraph.kcore,
         # new in round 4 (batch 13): mergeable top-k partials — per-day
         # frequent-items states combined without re-scanning raw data
         "events_approx_topk_merge": evan.approx_topk_merge,
@@ -570,6 +579,9 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "mm_shard_manifest": fmm.shard_manifest_sql(),
+        "events_user_erasure": evan.user_erasure_sql(),
+        "graph_kcore": pgraph.kcore_sql(),
         "events_approx_topk_merge": evan.approx_topk_merge_sql(),
         "sim_binary_hamming": fsim.binary_hamming_topk_sql(),
         "split_kfold": fsplit.kfold_assign_sql(),

@@ -247,3 +247,66 @@ WHERE n_tokens BETWEEN {CAPTION_MIN_TOKENS} AND {CAPTION_MAX_TOKENS}
   AND (first_byte * 1000000) // 255 >= {ALIGN_MIN_E6}
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------- WebDataset shard packing
+
+SHARD_BYTES = 4096  # shard byte budget (tar-member payload + caption)
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing manifest — the layout step that
+    turns a curated (media, caption) corpus into fixed-budget training
+    shards: items are laid out in doc_id order, each item's byte cost is
+    its binary payload plus its caption, and an item belongs to the
+    shard where its START offset falls (``start_byte div SHARD_BYTES``
+    — "start-offset sharding": items never split across shards, shard
+    byte size is bounded by budget + one max item, and the assignment
+    is a pure function of the global prefix sum, so it parallelizes).
+
+    The running offset is the shared DISTRIBUTED PREFIX SUM
+    (``splits.global_prefix_sum`` — range partitions cumsum locally,
+    O(partitions) base offsets round-trip the driver); a single-task
+    global window would serialize the corpus. Output: per-item
+    (doc_id, item_bytes, start_byte, shard_id). Oracle: the plain
+    single-window cumsum, fine at oracle scale. Reference scope:
+    beyond dnstap2clickhouse; completes the multimodal family's
+    output side (metadata/features/frames/pairs -> shard layout).
+    """
+    from .splits import global_prefix_sum
+
+    items = media_table(spark, sf_dir).alias("m").join(
+        load_table(spark, sf_dir, "documents").alias("d"), "doc_id"
+    ).selectExpr(
+        "doc_id",
+        "CAST(octet_length(m.payload) + octet_length(d.text) AS BIGINT) AS item_bytes",
+    )
+    return (
+        global_prefix_sum(spark, items, "doc_id", "item_bytes")
+        .selectExpr(
+            "doc_id",
+            "item_bytes",
+            "__base + __local_end - item_bytes AS start_byte",
+            f"(__base + __local_end - item_bytes) div {SHARD_BYTES} AS shard_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def shard_manifest_sql() -> str:
+    """Oracle: single-window cumsum over the same byte costs (the media
+    payload is 32 deterministic md5 bytes, expressible in DuckDB)."""
+    return f"""
+SELECT doc_id, item_bytes,
+       CAST(cum - item_bytes AS BIGINT) AS start_byte,
+       CAST((cum - item_bytes) // {SHARD_BYTES} AS BIGINT) AS shard_id
+FROM (
+  SELECT doc_id, item_bytes,
+         sum(item_bytes) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT doc_id,
+               CAST(octet_length(unhex(repeat(md5(text), 2)))
+                    + octet_length(encode(text)) AS BIGINT) AS item_bytes
+        FROM documents))
+ORDER BY doc_id
+"""

@@ -172,6 +172,50 @@ ORDER BY doc_id
 
 SEQ_LEN = 64  # tokens per training chunk (small so the test corpus spans many)
 
+def global_prefix_sum(
+    spark: SparkSession, df: DataFrame, order_col: str, weight_col: str
+) -> DataFrame:
+    """Distributed prefix sum over ``weight_col`` in ``order_col`` order —
+    the scale-correct form of a global cumsum that a single
+    unpartitioned window (one task holding the corpus) cannot provide:
+
+    1. ``repartitionByRange(order_col)`` gives ordered, disjoint
+       partitions;
+    2. a window cumsum WITHIN each partition (parallel, partition-local);
+    3. per-partition totals (one tiny aggregate, O(partitions) rows) are
+       collected, prefix-summed on the driver, and broadcast back as
+       per-partition base offsets — one scalar join per partition.
+
+    Returns the input columns plus ``__base`` (partition base offset)
+    and ``__local_end`` (partition-local inclusive cumsum); the global
+    inclusive cumsum is ``__base + __local_end``. Partitioning-
+    independent: a row's global prefix depends only on the order, never
+    on where range boundaries land. Shared by ``pack_token_chunks``
+    (token packing) and ``multimodal.shard_manifest`` (byte packing).
+    """
+    from pyspark.sql import Window
+
+    parts = df.repartitionByRange(order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(order_col)
+    local = parts.withColumn("__local_end", F.sum(weight_col).over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in local.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
+    )
+    base, offsets = 0, {}
+    for pid, t in totals:
+        offsets[pid] = base
+        base += t
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "__pid INT, __base BIGINT"
+        )
+    )
+    return local.join(off_df, "__pid")
+
+
 def pack_token_chunks(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
     """GPT-style sequence packing offsets: concatenate all documents in
     doc_id order into one token stream, cut it into fixed ``seq_len``
@@ -195,33 +239,11 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) 
     The DuckDB oracle is the plain single-window cumsum — small scale
     lets the oracle do what the engine must not.
     """
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents").selectExpr(
         "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
     )
-    parts = docs.repartitionByRange("doc_id").withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("__pid").orderBy("doc_id")
-    local = parts.withColumn(
-        "__local_end", F.sum("n_tokens").over(w)
-    )
-    totals = sorted(
-        (r["__pid"], r["t"])
-        for r in local.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
-    )
-    base, offsets = 0, {}
-    for pid, t in totals:
-        offsets[pid] = base
-        base += t
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid INT, __base BIGINT"
-        )
-    )
     return (
-        local.join(off_df, "__pid")
+        global_prefix_sum(spark, docs, "doc_id", "n_tokens")
         .selectExpr(
             "doc_id",
             "n_tokens",

@@ -1429,3 +1429,75 @@ SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, n, TRUE AS est_ok
 FROM ranked WHERE rank <= {TOPK_MERGE_N}
 ORDER BY event_type, rank
 """
+
+
+# --------------------------------------------------- user erasure
+
+#: deterministic erasure cohort: second-round Lehmer bucket 0 of 20
+#: (~5% of users) — stands in for the user-id list a GDPR/CCPA request
+#: batch would supply as a side input.
+ERASURE_BUCKETS = 20
+
+
+def user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten batch erasure — the compliance operator
+    every production event store needs: delete EVERY event belonging to
+    a cohort of users and PROVE the deletion in the same pass. The
+    erased-user list is a broadcast side input (here derived
+    deterministically so the oracle can replay it); the delete is one
+    broadcast anti-join — the 100 TB fact side never shuffles — and the
+    proof re-probes the post-erasure relation for residue.
+
+    Output per event_type: rows before, rows after, rows erased, the
+    count of distinct erased users touched, and ``residue`` — the
+    number of post-erasure rows still belonging to an erased user,
+    which the hash certifies to be 0 (the ``text_pii_scrub``
+    self-certification pattern). Oracle: the same arithmetic on the
+    deterministic cohort + literal 0.
+    """
+    from ..functions.splits import _bucket2_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    erased = f"({_bucket2_sql('user_id', ERASURE_BUCKETS)}) = 0"
+    return spark.sql(
+        f"""
+WITH before AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_before,
+         CAST(count(DISTINCT CASE WHEN {erased} THEN user_id END) AS BIGINT)
+           AS n_erased_users
+  FROM events GROUP BY event_type),
+kept AS (SELECT * FROM events WHERE NOT ({erased})),
+after AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_after,
+         CAST(sum(CASE WHEN {erased} THEN 1 ELSE 0 END) AS BIGINT) AS residue
+  FROM kept GROUP BY event_type)
+SELECT b.event_type, b.n_before, a.n_after,
+       b.n_before - a.n_after AS n_erased,
+       b.n_erased_users,
+       coalesce(a.residue, 0) AS residue
+FROM before b JOIN after a ON a.event_type = b.event_type
+ORDER BY b.event_type
+"""
+    )
+
+
+def user_erasure_sql() -> str:
+    from ..functions.splits import _bucket2_sql
+
+    erased = f"({_bucket2_sql('user_id', ERASURE_BUCKETS)}) = 0"
+    return f"""
+WITH before AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_before,
+         CAST(count(DISTINCT CASE WHEN {erased} THEN user_id END) AS BIGINT)
+           AS n_erased_users
+  FROM events GROUP BY event_type),
+after AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_after
+  FROM events WHERE NOT ({erased}) GROUP BY event_type)
+SELECT b.event_type, b.n_before, a.n_after,
+       b.n_before - a.n_after AS n_erased,
+       b.n_erased_users,
+       CAST(0 AS BIGINT) AS residue
+FROM before b JOIN after a ON a.event_type = b.event_type
+ORDER BY b.event_type
+"""
