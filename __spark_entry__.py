@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 15): ClickHouse-style TTL GROUP BY
+        # storage tiering (raw / hourly / daily age ladder)
+        "events_ttl_rollup": evan.ttl_rollup,
+        # new in round 4 (batch 15): incremental materialized-view
+        # maintenance with in-hash merge==recompute proof
+        "events_materialized_rollup": evan.materialized_rollup,
+        # new in round 4 (batch 15): deterministic low-discrepancy
+        # dataloader interleave schedule over language weights
+        "split_interleave_mix": fsplit.interleave_mix,
         # new in round 4 (batch 14): WebDataset shard packing manifest
         # via the shared distributed prefix sum
         "mm_shard_manifest": fmm.shard_manifest,
@@ -579,6 +588,9 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "events_ttl_rollup": evan.ttl_rollup_sql(),
+        "events_materialized_rollup": evan.materialized_rollup_sql(),
+        "split_interleave_mix": fsplit.interleave_mix_sql(),
         "mm_shard_manifest": fmm.shard_manifest_sql(),
         "events_user_erasure": evan.user_erasure_sql(),
         "graph_kcore": pgraph.kcore_sql(),

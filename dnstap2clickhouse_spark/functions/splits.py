@@ -173,7 +173,11 @@ ORDER BY doc_id
 SEQ_LEN = 64  # tokens per training chunk (small so the test corpus spans many)
 
 def global_prefix_sum(
-    spark: SparkSession, df: DataFrame, order_col: str, weight_col: str
+    spark: SparkSession,
+    df: DataFrame,
+    order_col: str | tuple[str, ...],
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distributed prefix sum over ``weight_col`` in ``order_col`` order —
     the scale-correct form of a global cumsum that a single
@@ -191,29 +195,49 @@ def global_prefix_sum(
     inclusive cumsum is ``__base + __local_end``. Partitioning-
     independent: a row's global prefix depends only on the order, never
     on where range boundaries land. Shared by ``pack_token_chunks``
-    (token packing) and ``multimodal.shard_manifest`` (byte packing).
+    (token packing), ``multimodal.shard_manifest`` (byte packing), and
+    ``interleave_mix`` (per-language ranks + schedule positions).
+
+    ``order_col`` may be one column or a tuple (lexicographic order).
+    ``group_cols`` restarts the sum per group (a grouped cumsum —
+    per-language ranks): range partitioning leads with the group so a
+    partition never straddles groups mid-total incorrectly, and the
+    driver's base-offset pass resets at each group boundary. The
+    (group × partition) total table must stay driver-small — true when
+    group cardinality is bounded (languages, domains); an unbounded
+    group column calls for a plain window partitioned by it instead.
     """
     from pyspark.sql import Window
 
-    parts = df.repartitionByRange(order_col).withColumn(
+    orders = [order_col] if isinstance(order_col, str) else list(order_col)
+    groups = list(group_cols)
+    parts = df.repartitionByRange(*(groups + orders)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w = Window.partitionBy("__pid").orderBy(order_col)
+    w = Window.partitionBy(*(groups + ["__pid"])).orderBy(*orders)
     local = parts.withColumn("__local_end", F.sum(weight_col).over(w))
     totals = sorted(
-        (r["__pid"], r["t"])
-        for r in local.groupBy("__pid").agg(F.max("__local_end").alias("t")).collect()
+        (tuple(r[g] for g in groups), r["__pid"], r["t"])
+        for r in local.groupBy(*(groups + ["__pid"]))
+        .agg(F.max("__local_end").alias("t"))
+        .collect()
     )
-    base, offsets = 0, {}
-    for pid, t in totals:
-        offsets[pid] = base
+    offsets, base, cur_group = [], 0, None
+    for gkey, pid, t in totals:
+        if gkey != cur_group:
+            cur_group, base = gkey, 0
+        offsets.append((*gkey, pid, base))
         base += t
     off_df = F.broadcast(
         spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "__pid INT, __base BIGINT"
+            offsets,
+            ", ".join(
+                [f"{g} {dict(df.dtypes)[g]}" for g in groups]
+                + ["__pid INT", "__base BIGINT"]
+            ),
         )
     )
-    return local.join(off_df, "__pid")
+    return local.join(off_df, groups + ["__pid"])
 
 
 def pack_token_chunks(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
@@ -458,4 +482,75 @@ def kfold_assign_sql() -> str:
     return f"""
 SELECT doc_id, CAST({_bucket2_sql('doc_id', K_FOLDS)} AS BIGINT) AS fold
 FROM documents ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------- interleave schedule
+
+#: per-language interleave weights (relative sampling rates in the
+#: training stream) — integer so every schedule position is exact
+MIX_WEIGHTS = {"en": 4, "de": 2, "zh": 2, "fr": 1, "es": 1}
+MIX_DEFAULT_WEIGHT = 1
+#: common scale for the interleave keys (any common multiple of the
+#: doubled weights keeps ordering exact under integer division)
+MIX_SCALE = 2520
+
+
+def _mix_weight_sql(lang: str) -> str:
+    arms = " ".join(
+        f"WHEN '{k}' THEN {w}" for k, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {lang} {arms} ELSE {MIX_DEFAULT_WEIGHT} END"
+
+
+def interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dataloader interleave schedule — the step between
+    domain mixing (which docs) and training (what order): lay the
+    corpus out so each language appears at its target rate THROUGHOUT
+    the stream, not in language-sized runs. Classic low-discrepancy
+    interleave: the r-th doc of language l (weight w) gets key
+    ``(2r-1)·S div (2w)`` — language l's docs land at the midpoints of
+    a 1/w grid, so every schedule prefix holds each language within ~1
+    item of its exact quota (pinned in tests). Ties break (lang,
+    doc_id), all integers — bit-portable.
+
+    Scale shape: per-language ranks come from the grouped
+    :func:`global_prefix_sum` (never a per-language single-task
+    window — one language is ~a fifth of a 100 TB corpus), and the
+    global schedule position is a second prefix sum of ones over the
+    key order (never an unpartitioned ``row_number``). The oracle uses
+    the plain windows, fine at its scale. Output: (pos, doc_id, lang,
+    sched_key). Reference scope: beyond dnstap2clickhouse; the
+    data-loading-order analogue of ``curate_domain_mix``.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = global_prefix_sum(
+        spark, docs.withColumn("__one", F.lit(1)), "doc_id", "__one", ("lang",)
+    ).selectExpr("doc_id", "lang", "__base + __local_end AS r")
+    keyed = ranked.selectExpr(
+        "doc_id",
+        "lang",
+        f"(2 * r - 1) * {MIX_SCALE} div (2 * ({_mix_weight_sql('lang')})) AS sched_key",
+    ).withColumn("__one", F.lit(1))
+    return (
+        global_prefix_sum(spark, keyed, ("sched_key", "lang", "doc_id"), "__one")
+        .selectExpr("__base + __local_end AS pos", "doc_id", "lang", "sched_key")
+        .orderBy("pos")
+    )
+
+
+def interleave_mix_sql() -> str:
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+  FROM documents),
+keyed AS (
+  SELECT doc_id, lang,
+         CAST((2 * r - 1) * {MIX_SCALE} // (2 * ({_mix_weight_sql('lang')})) AS BIGINT)
+           AS sched_key
+  FROM ranked)
+SELECT CAST(row_number() OVER (ORDER BY sched_key, lang, doc_id) AS BIGINT) AS pos,
+       doc_id, lang, sched_key
+FROM keyed ORDER BY pos
 """

@@ -1501,3 +1501,132 @@ SELECT b.event_type, b.n_before, a.n_after,
 FROM before b JOIN after a ON a.event_type = b.event_type
 ORDER BY b.event_type
 """
+
+
+# ------------------------------------------------- TTL storage tiering
+
+#: tier boundaries in days of age relative to the corpus's last day —
+#: the ClickHouse `TTL ... GROUP BY` ladder: hot rows stay raw, warm
+#: rows collapse to hourly aggregates, cold rows to daily
+TTL_RAW_DAYS = 7
+TTL_HOURLY_DAYS = 14
+
+
+def _ttl_rollup_sql(dialect: str) -> str:
+    """Age-tiered storage rollup — ClickHouse's ``TTL ... GROUP BY``
+    semantics (clickhouse.go's target engine ages out raw rows the same
+    way): events younger than 7 days stay RAW, 7-14 days collapse to
+    per-(hour, type) aggregates, older ones to per-(day, type) — the
+    relation a dashboard actually queries after the storage engine has
+    tiered its history. Boundaries are day-truncated offsets from the
+    corpus's max ts (a one-row scalar both engines compute), so the
+    entry is regeneration-proof.
+
+    Output: (tier, bucket_ts, event_type, n, ve2_sum) — raw rows carry
+    their exact ts and n=1; rolled tiers carry the bucket start and the
+    merged counts / cents sums (the established exact-cents form).
+    Scale: one scan feeding three disjoint age slices (the predicates
+    push to the scan), each rolled tier one partial-aggregated shuffle;
+    the raw tier is a pure projection. Mass conservation across tiers
+    is pinned in tests.
+    """
+    trunc_day = "date_trunc('day', ts)" if dialect == "spark" else "date_trunc('day', ts)"
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('day', max(ts)) AS d0 FROM events),
+aged AS (
+  SELECT ts, event_type, {cents} AS ve2,
+         CASE
+           WHEN ts >= (SELECT d0 FROM bounds) - INTERVAL {TTL_RAW_DAYS} DAY THEN 'raw'
+           WHEN ts >= (SELECT d0 FROM bounds) - INTERVAL {TTL_HOURLY_DAYS} DAY THEN 'hourly'
+           ELSE 'daily'
+         END AS tier
+  FROM events)
+SELECT tier, CAST(ts AS TIMESTAMP) AS bucket_ts, event_type,
+       CAST(1 AS BIGINT) AS n, ve2 AS ve2_sum
+FROM aged WHERE tier = 'raw'
+UNION ALL
+SELECT tier, CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type,
+       CAST(count(*) AS BIGINT), CAST(sum(ve2) AS BIGINT)
+FROM aged WHERE tier = 'hourly' GROUP BY tier, date_trunc('hour', ts), event_type
+UNION ALL
+SELECT tier, CAST({trunc_day} AS TIMESTAMP), event_type,
+       CAST(count(*) AS BIGINT), CAST(sum(ve2) AS BIGINT)
+FROM aged WHERE tier = 'daily' GROUP BY tier, {trunc_day}, event_type
+ORDER BY tier, bucket_ts, event_type
+"""
+
+
+def ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Age-tiered TTL rollup (raw / hourly / daily) — see `_ttl_rollup_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ttl_rollup_sql("spark"))
+
+
+def ttl_rollup_sql() -> str:
+    return _ttl_rollup_sql("duckdb")
+
+
+# -------------------------------------------- incremental MV maintenance
+
+
+def _materialized_rollup_sql(dialect: str) -> str:
+    """Incremental materialized-view maintenance — the
+    SummingMergeTree / `MATERIALIZED VIEW` contract of the reference's
+    target store, and the shape every incremental ETL needs: yesterday's
+    persisted per-(day, type) aggregate STATE plus today's raw delta
+    must merge (a union + re-aggregate of partial states — never a
+    re-scan of history) into exactly what a from-scratch recompute
+    yields. The split point is the corpus's last day (scalar subquery),
+    standing in for the ingest boundary.
+
+    The entry certifies the merge in-band: ``consistent`` compares the
+    merged state against the full recompute per key, computed
+    identically by both engines, so the hash proves state-merge ==
+    recompute over every key (the additive-aggregate identity that
+    makes incremental rollups safe). Scale: state is aggregate-sized,
+    the delta is one day of raw rows; the merge shuffles state-sized
+    data only — history is never re-read (the recompute arm exists only
+    to certify, and tests pin that the oracle agrees).
+    """
+    day = "CAST(date_trunc('day', ts) AS DATE)"
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('day', max(ts)) AS dl FROM events),
+state AS (
+  SELECT {day} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum({cents}) AS BIGINT) AS v
+  FROM events WHERE ts < (SELECT dl FROM bounds)
+  GROUP BY {day}, event_type),
+delta AS (
+  SELECT {day} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum({cents}) AS BIGINT) AS v
+  FROM events WHERE ts >= (SELECT dl FROM bounds)
+  GROUP BY {day}, event_type),
+merged AS (
+  SELECT day, event_type, CAST(sum(n) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS v
+  FROM (SELECT * FROM state UNION ALL SELECT * FROM delta)
+  GROUP BY day, event_type),
+full_recompute AS (
+  SELECT {day} AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum({cents}) AS BIGINT) AS v
+  FROM events GROUP BY {day}, event_type)
+SELECT CAST(m.day AS STRING) AS day, m.event_type,
+       m.n AS n_merged, m.v AS ve2_merged,
+       (m.n = f.n AND m.v = f.v) AS consistent
+FROM merged m JOIN full_recompute f
+  ON m.day = f.day AND m.event_type = f.event_type
+ORDER BY m.day, m.event_type
+"""
+
+
+def materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance with in-hash merge==recompute proof."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_materialized_rollup_sql("spark"))
+
+
+def materialized_rollup_sql() -> str:
+    return _materialized_rollup_sql("duckdb").replace(" AS STRING)", " AS VARCHAR)")
