@@ -264,6 +264,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 16): CollapsingMergeTree sign-collapse
+        # final state with in-hash collapse certificate
+        "events_collapsing_state": evan.collapsing_state,
+        # new in round 4 (batch 16): integer-lexical DGA triage over
+        # query names (the DNS-telemetry security surface)
+        "dns_qname_features": lambda s, d: an.qname_features(
+            prep.decode_frames(prep.raw_frames(s, d), "CLIENT_QUERY")
+        ),
         # new in round 4 (batch 15): ClickHouse-style TTL GROUP BY
         # storage tiering (raw / hourly / daily age ladder)
         "events_ttl_rollup": evan.ttl_rollup,
@@ -588,6 +596,10 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "events_collapsing_state": evan.collapsing_state_sql(),
+        "dns_qname_features": an.qname_features_sql(
+            prep.decode_frames_sql("CLIENT_QUERY")
+        ),
         "events_ttl_rollup": evan.ttl_rollup_sql(),
         "events_materialized_rollup": evan.materialized_rollup_sql(),
         "split_interleave_mix": fsplit.interleave_mix_sql(),

@@ -136,3 +136,73 @@ def response_time_series_sql(response_time_sql: str, bucket_s: int = 60) -> str:
         f"FROM ({response_time_sql})\n"
         f"GROUP BY ALL ORDER BY bucket, identity"
     )
+
+
+# ------------------------------------------------- qname DGA features
+
+QNAME_TOP = 25  # suspicious names surfaced
+
+def _qname_feature_exprs(dialect: str) -> list[str]:
+    """Per-qname lexical features, all exact integers so the ranking is
+    bit-portable (the `text_keyword_search` discipline — no libm): name
+    and first-label lengths, digit count, label count, digit share in
+    millionths, and a composite suspicion score. Real DGA detection
+    layers an entropy / bigram model on top (public literature:
+    Antonakakis et al. 2012's lexical feature family); on this corpus's
+    synthetic names the entry pins the feature mechanics and the
+    deterministic ranking, not detector quality."""
+    digits = (
+        "length(questionName) - length(regexp_replace(questionName, '[0-9]', ''))"
+        if dialect == "spark"
+        else "length(questionName) - length(regexp_replace(questionName, '[0-9]', '', 'g'))"
+    )
+    return [
+        "questionName AS qname",
+        "CAST(sum(counter) AS BIGINT) AS n_queries",
+        "CAST(length(questionName) AS BIGINT) AS name_len",
+        f"CAST({digits} AS BIGINT) AS n_digits",
+        # trailing-dot FQDNs: #labels == #dots
+        "CAST(length(questionName) - length(replace(questionName, '.', '')) AS BIGINT) AS n_labels",
+        "CAST(instr(questionName, '.') - 1 AS BIGINT) AS first_label_len",
+        f"CAST(({digits}) * 1000000 {'div' if dialect == 'spark' else '//'} length(questionName) AS BIGINT) AS digit_share_e6",
+    ]
+
+def _qname_score_expr(dialect: str) -> str:
+    d = "div" if dialect == "spark" else "//"
+    return (
+        f"digit_share_e6 * 2 + CASE WHEN first_label_len >= 12 THEN 300000 ELSE 0 END"
+        f" + (CAST(1000000 AS BIGINT) {d} (n_labels + 1))"
+    )
+
+def qname_features(client_query: DataFrame) -> DataFrame:
+    """Top-`QNAME_TOP` suspicious query names by integer lexical score —
+    the DGA-triage surface a DNS-telemetry store serves. One
+    (qname)-keyed aggregate with map-side partials (features are
+    functions of the group key — computed once per group, mapper-side),
+    then TakeOrderedAndProject; nothing corpus-squared."""
+    exprs = _qname_feature_exprs("spark")
+    return (
+        client_query.groupBy("questionName")
+        .agg(F.expr("CAST(sum(counter) AS BIGINT)").alias("n_queries"))
+        .selectExpr(
+            *[e for e in exprs if not e.startswith("CAST(sum")],
+            "n_queries",
+        )
+        .selectExpr("*", f"CAST({_qname_score_expr('spark')} AS BIGINT) AS score_e6")
+        .orderBy(F.desc("score_e6"), F.desc("n_queries"), "qname")
+        .limit(QNAME_TOP)
+    )
+
+def qname_features_sql(client_query_sql: str) -> str:
+    exprs = _qname_feature_exprs("duckdb")
+    sel = ",\n       ".join(e for e in exprs if not e.startswith("CAST(sum"))
+    return f"""
+SELECT *, CAST({_qname_score_expr('duckdb')} AS BIGINT) AS score_e6
+FROM (
+  SELECT {sel},
+         CAST(sum(counter) AS BIGINT) AS n_queries
+  FROM ({client_query_sql})
+  GROUP BY questionName)
+ORDER BY score_e6 DESC, n_queries DESC, qname
+LIMIT {QNAME_TOP}
+"""

@@ -1630,3 +1630,66 @@ def materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def materialized_rollup_sql() -> str:
     return _materialized_rollup_sql("duckdb").replace(" AS STRING)", " AS VARCHAR)")
+
+
+# --------------------------------------------- sign-collapse final state
+
+
+def _collapsing_state_sql(dialect: str) -> str:
+    """CollapsingMergeTree semantics — the remaining merge-tree family
+    member of the reference's target store (next to Summing =
+    `materialized_rollup`, Replacing/versioned = `scd2_history` /
+    `upsert_merge`, Aggregating = `hll_partials`): state updates are
+    written as (old row, sign=-1) + (new row, sign=+1) pairs, and the
+    engine collapses each key by summing signs — reads never see
+    history, only `sum(sign * x)`.
+
+    The changelog is synthesized deterministically from the events
+    stream (each event's write cancels the user's previous value — the
+    lag window), so both engines build the identical row set. The
+    collapse itself is ONE sign-weighted aggregate per user — the whole
+    point of the write pattern: final state without ordering, merging,
+    or history scans. The entry certifies the collapse in-band:
+    ``collapsed_ok`` = (net sign == +1 AND the sign-weighted value sum
+    equals the true last value by (ts, event_id)) — the telescoping
+    identity Σve2_i − Σve2_{i−1} = ve2_last, computed by both engines.
+
+    Scale: changelog build is one user-keyed window; collapse is one
+    aggregate with map-side partials; the last-value arm (certification
+    only) is one more window over the same user-keyed exchange (AQE
+    reuses it). Nothing corpus-squared, no broadcast.
+    """
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, {cents} AS ve2,
+         lag({cents}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ve2,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events),
+changelog AS (
+  SELECT user_id, ve2, CAST(1 AS BIGINT) AS sign FROM ordered
+  UNION ALL
+  SELECT user_id, prev_ve2, CAST(-1 AS BIGINT) FROM ordered WHERE prev_ve2 IS NOT NULL),
+collapsed AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(sign) AS BIGINT) AS net_sign,
+         CAST(sum(sign * ve2) AS BIGINT) AS ve2_final
+  FROM changelog GROUP BY user_id),
+last_state AS (
+  SELECT user_id, ve2 AS ve2_last FROM ordered WHERE rn_desc = 1)
+SELECT c.user_id, c.n_rows, c.net_sign, c.ve2_final,
+       (c.net_sign = 1 AND c.ve2_final = l.ve2_last) AS collapsed_ok
+FROM collapsed c JOIN last_state l ON l.user_id = c.user_id
+ORDER BY c.user_id
+"""
+
+
+def collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-collapse final state per user + in-hash collapse certificate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_collapsing_state_sql("spark"))
+
+
+def collapsing_state_sql() -> str:
+    return _collapsing_state_sql("duckdb")
