@@ -264,6 +264,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 17): cosine radius search with per-pair
+        # LSH-hit certification (the threshold query shape next to top-k)
+        "sim_range_search": fsim.range_search,
+        # new in round 4 (batch 17): Feistel epoch shuffle — stateless
+        # deterministic per-epoch training order with in-hash bijection proof
+        "split_epoch_shuffle": fsplit.epoch_shuffle,
+        # new in round 4 (batch 17): ClickHouse windowFunnel semantics
+        # (completion window anchored at step-1) beside the unbounded funnel
+        "events_window_funnel": evan.window_funnel,
         # new in round 4 (batch 16): CollapsingMergeTree sign-collapse
         # final state with in-hash collapse certificate
         "events_collapsing_state": evan.collapsing_state,
@@ -596,6 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "sim_range_search": fsim.range_search_sql(),
+        "split_epoch_shuffle": fsplit.epoch_shuffle_sql(),
+        "events_window_funnel": evan.window_funnel_sql(),
         "events_collapsing_state": evan.collapsing_state_sql(),
         "dns_qname_features": an.qname_features_sql(
             prep.decode_frames_sql("CLIENT_QUERY")

@@ -1388,3 +1388,63 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def binary_hamming_topk_sql() -> str:
     return _binary_hamming_sql("duckdb")
+
+
+# ------------------------------------------------------- range search
+
+RANGE_TAU = 0.3  # cosine radius (~2.4 sigma for random 64-dim vectors)
+
+
+def _range_search_sql(dialect: str) -> str:
+    """Threshold (radius) search — the similarity family's remaining
+    query shape next to top-k: ALL corpus vectors within cosine >=
+    RANGE_TAU of each query vector, not a fixed count. The measured
+    path is the broadcast-query exact scan (per-query linear — the
+    correct baseline; at 100 TB the same plan runs per query batch);
+    the entry additionally probes the multi-table sign-LSH index for
+    each true match and emits ``lsh_found`` per pair, so the hash
+    certifies the deterministic recall pattern of the bucketed index
+    at this radius (the one-sided miss profile: LSH can only lose
+    pairs, never invent them — verified candidates are exact-cosine
+    filtered by the same threshold).
+
+    Scale: the exact arm is the documented per-query scan (queries
+    broadcast with plan-visible LIMIT, corpus never shuffles); the LSH
+    arm is per-table equi-joins. Nothing corpus-squared.
+    """
+    dot = _dot("q.embedding", "c.embedding", dialect)
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    buckets = ", ".join(
+        f"{_bucket_expr('embedding', t, dialect)} AS b{t}" for t in range(LSH_TABLES)
+    )
+    branches = "\nUNION\n".join(
+        f"SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id\n"
+        f"  FROM qs q JOIN e c ON q.vec_id <> c.vec_id AND q.b{t} = c.b{t}"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
+true_pairs AS (
+  SELECT * FROM (
+    SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {dot} / sqrt(q.nrm * c.nrm) AS cosine
+    FROM qs q JOIN e c ON q.vec_id <> c.vec_id)
+  WHERE cosine >= {RANGE_TAU}),
+lsh_pairs AS ({branches})
+SELECT t.query_id, t.neighbor_id, t.cosine,
+       (l.neighbor_id IS NOT NULL) AS lsh_found
+FROM true_pairs t LEFT JOIN lsh_pairs l
+  ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+ORDER BY t.query_id, t.neighbor_id
+"""
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors within the cosine radius + per-pair LSH hit flag."""
+    _register(spark, sf_dir)
+    return spark.sql(_range_search_sql("spark"))
+
+
+def range_search_sql() -> str:
+    return _range_search_sql("duckdb")

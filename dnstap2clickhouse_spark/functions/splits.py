@@ -554,3 +554,104 @@ SELECT CAST(row_number() OVER (ORDER BY sched_key, lang, doc_id) AS BIGINT) AS p
        doc_id, lang, sched_key
 FROM keyed ORDER BY pos
 """
+
+
+# --------------------------------------------------- epoch shuffling
+
+#: Feistel half-domain: 2^12 each side -> permutation over 2^24 indices.
+#: Production sizes this to the corpus (any power of two >= sqrt(N));
+#: oversizing only sparsifies the permuted values, which the compaction
+#: rank below absorbs.
+EPOCH_HALF = 4096
+EPOCH_ROUNDS = 3
+EPOCHS = 2
+
+
+def _feistel_perm_expr(idx: str, epoch: int, dialect: str) -> str:
+    """Integer Feistel-network permutation of ``idx`` over
+    [0, EPOCH_HALF^2), modular-addition flavor (L,R) -> (R, (L+f(R))
+    mod H) — a bijection per round regardless of the round function,
+    so EPOCH_ROUNDS rounds with epoch-keyed Lehmer round constants
+    give a distinct deterministic shuffle per epoch. Everything is
+    int64 arithmetic (R < 2^12, so R*A < 2^29 — no overflow anywhere),
+    bit-identical across engines."""
+    mod = "%"
+    d = "div" if dialect == "spark" else "//"
+    l = f"(({idx}) {d} {EPOCH_HALF})"
+    r = f"(({idx}) {mod} {EPOCH_HALF})"
+    for rnd in range(EPOCH_ROUNDS):
+        c = (epoch * 7919 + rnd * 104729 + 12345) % LEHMER_P
+        f = f"((({r}) * {LEHMER_A} + {c}) {mod} {LEHMER_P}) {mod} {EPOCH_HALF}"
+        l, r = r, f"((({l}) + {f}) {mod} {EPOCH_HALF})"
+    return f"(({l}) * {EPOCH_HALF} + ({r}))"
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle — the data-loading
+    primitive between packing (`split_token_chunks`) and the run loop:
+    each epoch must visit every document exactly once in a different
+    pseudorandom order, reproducibly, WITHOUT materializing and sorting
+    a random column per epoch or keeping any RNG state.
+
+    Shape: a Feistel permutation of the document's corpus rank (rank
+    via the distributed prefix sum — never a single-task window), then
+    the epoch order is the permuted value's sort order, compacted to
+    contiguous positions by a second prefix sum of ones (the
+    permutation domain is deliberately oversized, see EPOCH_HALF). The
+    entry emits both epochs and certifies bijectivity in-band:
+    ``bijective`` = (distinct permuted values == corpus size) per
+    epoch, computed by both engines. Python replay + per-epoch
+    position-permutation law pinned in tests. Reference scope: beyond
+    dnstap2clickhouse; public technique (Black & Rogaway 2002
+    cycle-free small-domain ciphers via oversized Feistel + rank
+    compaction).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "__one", F.lit(1)
+    )
+    ranked = global_prefix_sum(spark, docs, "doc_id", "__one").selectExpr(
+        "doc_id", "__base + __local_end - 1 AS idx"
+    )
+    epochs = None
+    for ep in range(1, EPOCHS + 1):
+        permed = ranked.selectExpr(
+            "doc_id",
+            f"CAST({ep} AS BIGINT) AS epoch",
+            f"CAST({_feistel_perm_expr('idx', ep, 'spark')} AS BIGINT) AS perm_val",
+        )
+        epochs = permed if epochs is None else epochs.unionAll(permed)
+    pos = global_prefix_sum(
+        spark, epochs.withColumn("__one", F.lit(1)), ("perm_val", "doc_id"), "__one", ("epoch",)
+    ).selectExpr("epoch", "doc_id", "perm_val", "__base + __local_end AS pos")
+    cert = pos.groupBy("epoch").agg(
+        (F.countDistinct("perm_val") == F.count(F.lit(1))).alias("bijective")
+    )
+    return (
+        pos.join(cert, "epoch")
+        .select("epoch", "doc_id", "perm_val", "pos", "bijective")
+        .orderBy("epoch", "pos")
+    )
+
+
+def epoch_shuffle_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT doc_id, CAST({ep} AS BIGINT) AS epoch, "
+        f"CAST({_feistel_perm_expr('idx', ep, 'duckdb')} AS BIGINT) AS perm_val FROM ranked"
+        for ep in range(1, EPOCHS + 1)
+    )
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx FROM documents),
+permed AS (
+{arms}),
+pos AS (
+  SELECT epoch, doc_id, perm_val,
+         CAST(row_number() OVER (PARTITION BY epoch ORDER BY perm_val, doc_id) AS BIGINT) AS pos
+  FROM permed),
+cert AS (
+  SELECT epoch, count(DISTINCT perm_val) = count(*) AS bijective
+  FROM pos GROUP BY epoch)
+SELECT p.epoch, p.doc_id, p.perm_val, p.pos, c.bijective
+FROM pos p JOIN cert c ON c.epoch = p.epoch
+ORDER BY p.epoch, p.pos
+"""

@@ -1693,3 +1693,64 @@ def collapsing_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def collapsing_state_sql() -> str:
     return _collapsing_state_sql("duckdb")
+
+
+# ---------------------------------------------- windowed funnel
+
+FUNNEL_WINDOW_DAYS = 3  # completion window anchored at the step-1 time
+
+
+def _window_funnel_sql(dialect: str) -> str:
+    """ClickHouse ``windowFunnel`` semantics next to the unbounded
+    `funnel_conversion`: a user converts at step N only via an ordered
+    chain signup -> click -> purchase that COMPLETES within
+    FUNNEL_WINDOW_DAYS of that user's first signup — conversions that
+    dribble in later don't count (the window is what makes funnel
+    numbers comparable across cohorts). Same chained per-step
+    conditional-min shape (every join user-keyed, AQE reuses the
+    exchange); the only change is the upper bound t1 + window carried
+    through the chain. Output is the per-step user count plus the
+    unbounded count, so the hash also certifies how many conversions
+    the window excluded (windowed <= unbounded, pinned in tests).
+    """
+    w = f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY"
+    steps = FUNNEL_STEPS
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, s1.t1, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{steps[1]}' AND e.ts >= s1.t1 AND e.ts <= s1.t1 + {w}
+  GROUP BY e.user_id, s1.t1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{steps[2]}' AND e.ts >= s2.t2 AND e.ts <= s2.t1 + {w}
+  GROUP BY e.user_id),
+u2 AS (
+  SELECT e.user_id FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{steps[1]}' AND e.ts >= s1.t1 GROUP BY e.user_id),
+u3 AS (
+  SELECT e.user_id, min(e.ts) AS t2u FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{steps[1]}' AND e.ts >= s1.t1 GROUP BY e.user_id)
+SELECT '{steps[0]}' AS step, (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_windowed,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_unbounded
+UNION ALL
+SELECT '{steps[1]}', (SELECT CAST(count(*) AS BIGINT) FROM s2),
+       (SELECT CAST(count(*) AS BIGINT) FROM u2)
+UNION ALL
+SELECT '{steps[2]}', (SELECT CAST(count(*) AS BIGINT) FROM s3),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT e.user_id FROM events e JOIN u3 USING (user_id)
+          WHERE e.event_type = '{steps[2]}' AND e.ts >= u3.t2u GROUP BY e.user_id))
+"""
+
+
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel counts next to unbounded ones — see `_window_funnel_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_window_funnel_sql("spark"))
+
+
+def window_funnel_sql() -> str:
+    return _window_funnel_sql("duckdb")
