@@ -264,6 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 11): stream-static broadcast enrichment
         # (the stateless dimension-join streaming shape)
         "streaming_static_enrich": stp.streaming_static_enrich_query,
+        # new in round 4 (batch 18): BPE merge learning — the
+        # tokenizer-training primitive (two unrolled corpus pair counts)
+        "text_bpe_merges": ftext.bpe_merges,
+        # new in round 4 (batch 18): top 3-step user journeys (n-gram
+        # extension of the 2-gram path transitions)
+        "events_top_paths": evan.top_paths,
         # new in round 4 (batch 17): cosine radius search with per-pair
         # LSH-hit certification (the threshold query shape next to top-k)
         "sim_range_search": fsim.range_search,
@@ -605,6 +611,8 @@ def oracle_sql() -> dict[str, str]:
         "split_token_budget": fsplit.token_budget_sample_sql(),
         "events_path_transitions": evan.path_transitions_sql(),
         "sim_label_minmax": fsim.label_minmax_sql(),
+        "text_bpe_merges": ftext.bpe_merges_sql(),
+        "events_top_paths": evan.top_paths_sql(),
         "sim_range_search": fsim.range_search_sql(),
         "split_epoch_shuffle": fsplit.epoch_shuffle_sql(),
         "events_window_funnel": evan.window_funnel_sql(),

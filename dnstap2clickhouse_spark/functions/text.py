@@ -735,3 +735,82 @@ def hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hashed_features_sql() -> str:
     return _hashed_features_sql("duckdb")
+
+
+# ----------------------------------------------------- BPE merge learning
+
+BPE_MERGES = 2  # unrolled merge rounds (each = one corpus pair count)
+BPE_TOP = 5  # pairs reported per round
+#: single-char placeholder for the round-1 merged symbol; the corpus is
+#: ASCII words, so '@' cannot collide with an existing symbol
+BPE_MARK = "@"
+
+
+def _bpe_merges_sql(dialect: str) -> str:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    tokenizer-TRAINING primitive of an LLM data pipeline (the existing
+    `text_regex_tokens` only applies a tokenizer): count all adjacent
+    symbol pairs across the corpus's word instances, merge the most
+    frequent pair, recount, merge again. Two rounds are unrolled as
+    CTEs (the `sim_kmeans` bounded-iteration discipline); each round is
+    one explode + one count with map-side partials — the exact shape a
+    full BPE trainer loops at 100 TB (per round: one corpus-sized
+    shuffle of pair rows, then a 1-row argmax broadcast back).
+
+    Merging IS left-to-right non-overlapping replacement — precisely
+    SQL ``replace`` semantics, so both engines apply the merge
+    identically; the round-1 winner is rewritten to the 1-char
+    BPE_MARK so round-2 windows stay 2 symbols wide. Output: per
+    round, the top-BPE_TOP pairs with exact counts and the winner
+    flagged — the hash pins the learned merge order. Ties break
+    lexicographically (deterministic vocabulary, engine-independent).
+    """
+    d = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        words = (
+            "SELECT word FROM (SELECT explode(split(text, ' ')) AS word FROM documents) "
+            "WHERE length(word) >= 2"
+        )
+        pairs = (
+            "SELECT substring(word, i, 2) AS pair FROM {src} "
+            "LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i"
+        )
+    else:
+        words = (
+            "SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            "WHERE length(word) >= 2"
+        )
+        pairs = (
+            "SELECT substring(word, i, 2) AS pair FROM {src}, "
+            "LATERAL unnest(generate_series(1, length(word) - 1)) AS t(i)"
+        )
+    return f"""
+WITH w1 AS ({words}),
+p1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM ({pairs.format(src='w1')}) GROUP BY pair),
+m1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+w2 AS (SELECT replace(word, (SELECT pair FROM m1), '{BPE_MARK}') AS word FROM w1),
+p2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n
+       FROM ({pairs.format(src='(SELECT word FROM w2 WHERE length(word) >= 2) s')})
+       GROUP BY pair),
+top1 AS (SELECT 1 AS round, pair, n,
+                row_number() OVER (ORDER BY n DESC, pair) AS rnk
+         FROM p1),
+top2 AS (SELECT 2 AS round, pair, n,
+                row_number() OVER (ORDER BY n DESC, pair) AS rnk
+         FROM p2)
+SELECT CAST(round AS BIGINT) AS round, pair, n, CAST(rnk AS BIGINT) AS rank,
+       (rnk = 1) AS is_merge
+FROM (SELECT * FROM top1 WHERE rnk <= {BPE_TOP}
+      UNION ALL SELECT * FROM top2 WHERE rnk <= {BPE_TOP})
+ORDER BY round, rank
+"""
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (2 unrolled rounds) — see `_bpe_merges_sql`."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bpe_merges_sql("spark"))
+
+
+def bpe_merges_sql() -> str:
+    return _bpe_merges_sql("duckdb")

@@ -1754,3 +1754,45 @@ def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_funnel_sql() -> str:
     return _window_funnel_sql("duckdb")
+
+
+# ------------------------------------------------ journey mining
+
+PATHS_TOP = 15  # top 3-step journeys surfaced
+PATHS_LEN = 3
+
+
+def _top_paths_sql(dialect: str) -> str:
+    """Top 3-step user journeys — the n-gram extension of the 2-gram
+    `path_transitions` (ClickHouse's sequence analytics family): for
+    every user, each consecutive (a, b, c) event-type triple in ts
+    order counts once; the global top-`PATHS_TOP` journeys with exact
+    counts and deterministic tiebreaks. One user-keyed window (two
+    lags share a single sort) + one triple count with map-side
+    partials + TakeOrderedAndProject. Output is type-domain³ bounded
+    before the limit.
+    """
+    return f"""
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS a,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b,
+         event_type AS c
+  FROM events)
+SELECT a, b, c, CAST(count(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY count(*) DESC, a, b, c) AS BIGINT) AS rank
+FROM seq WHERE a IS NOT NULL
+GROUP BY a, b, c
+ORDER BY rank
+LIMIT {PATHS_TOP}
+"""
+
+
+def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step journeys with exact counts — see `_top_paths_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_top_paths_sql("spark"))
+
+
+def top_paths_sql() -> str:
+    return _top_paths_sql("duckdb")
