@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 19): exact nearest-rank percentiles — the
+        # sketch entry's ground-truth counterpart (percentile_disc)
+        "events_exact_percentiles": evan.exact_percentiles,
+        # new in round 4 (batch 19): sequenceMatch with a negative
+        # condition (no 'error' strictly between the chain anchors)
+        "events_sequence_match": evan.sequence_match,
+        # new in round 4 (batch 19): fixed-weight linear quality
+        # classifier over hashed features (DCLM fastText-filter shape)
+        "text_quality_logit": ftext.quality_logit,
         # new in round 4 (batch 17): cosine radius search with per-pair
         # LSH-hit certification (the threshold query shape next to top-k)
         "sim_range_search": fsim.range_search,
@@ -613,6 +622,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_exact_percentiles": evan.exact_percentiles_sql(),
+        "events_sequence_match": evan.sequence_match_sql(),
+        "text_quality_logit": ftext.quality_logit_sql(),
         "sim_range_search": fsim.range_search_sql(),
         "split_epoch_shuffle": fsplit.epoch_shuffle_sql(),
         "events_window_funnel": evan.window_funnel_sql(),

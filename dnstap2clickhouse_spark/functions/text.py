@@ -814,3 +814,61 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_merges_sql() -> str:
     return _bpe_merges_sql("duckdb")
+
+
+# ----------------------------------------------- linear quality classifier
+
+LOGIT_W_BUCKETS = 17  # weight domain: lehmer2(bucket) % 17 - 8 in [-8, 8]
+LOGIT_KEEP_E6 = 0  # keep docs with mean token weight >= 0 (logit_e6 scale)
+
+
+def _quality_logit_sql(dialect: str) -> str:
+    """Model-based quality filtering, the DCLM/fastText-classifier shape
+    (Li et al. 2024's fastText filter; CCNet's linear LM gate): score
+    each document with a FIXED linear model over its hashed bag-of-words
+    features and keep docs above a logit threshold. The weight table is
+    a pure function of the feature bucket (second-round Lehmer mix of
+    the `text_hashed_features` bucket, shifted to [-8, 8]) standing in
+    for trained coefficients — the documented plug point: a real
+    deployment writes its trained weights into the same bucket-keyed
+    expression (or a broadcast D-row table), and NOTHING else changes.
+    Scoring is token -> bucket -> weight, all mapper-side integer
+    arithmetic (no vocabulary, no join — the weight fits in the hash
+    expression because the hashing trick fixed the dimension), then one
+    per-doc aggregate. The normalized score is the exact rational
+    ``score/n_tokens`` at e6 scale, computed with a non-negative
+    numerator (shift by +8 per token, subtract 8e6 after) so integer
+    division is engine-portable. One explode + one doc-keyed aggregate
+    with map-side partials; scales like `text_hashed_features`.
+    """
+    from .splits import _bucket2_sql, _bucket_sql
+
+    toks = _toks(dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    div = "div" if dialect == "spark" else "//"
+    bucket = _bucket_sql(_hash_tok(dialect, "tok"), HASHED_DIM)
+    weight = f"({_bucket2_sql(bucket, LOGIT_W_BUCKETS)} - 8)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {unnest}({toks}) AS tok FROM documents),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum({weight}) AS BIGINT) AS score
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, n_tokens, score,
+       ((score + 8 * n_tokens) * 1000000) {div} n_tokens - 8000000 AS logit_e6,
+       CAST(((score + 8 * n_tokens) * 1000000) {div} n_tokens - 8000000
+            >= {LOGIT_KEEP_E6} AS BOOLEAN) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier over hashed features."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_quality_logit_sql("spark"))
+
+
+def quality_logit_sql() -> str:
+    return _quality_logit_sql("duckdb")

@@ -1796,3 +1796,106 @@ def top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def top_paths_sql() -> str:
     return _top_paths_sql("duckdb")
+
+
+# ------------------------------------------------ exact percentiles
+
+PCT_RANKS = (50, 95, 99)  # nearest-rank percentiles reported
+
+
+def _exact_percentiles_sql(dialect: str) -> str:
+    """EXACT per-type value percentiles by nearest-rank selection
+    (``percentile_disc`` semantics, ClickHouse ``quantileExact``) — the
+    exact counterpart the approximate `events_sketch_stats` entry is
+    certified against: rank rows per type by (value, event_id) and pick
+    rank ``ceil(p*n/100) = (n*p + 99) div 100``; the percentile VALUE is
+    selected verbatim (never computed), so no float arithmetic exists
+    anywhere and the hash is bit-exact. Both window functions share one
+    (type)-keyed sort; the pick is a conditional max over the ranked
+    rows. At 100 TB the per-group sort is the cost — groupwise parallel
+    but a full sort of each type's rows; that regime is exactly why the
+    sketch entry (KLL/`approx_percentile`, fixed-size mergeable state)
+    exists — this is the exact path and the sketches' ground truth.
+    """
+    div = "div" if dialect == "spark" else "//"
+    picks = ",\n       ".join(
+        f"max(CASE WHEN r = (n * {p} + 99) {div} 100 THEN value END) AS p{p}"
+        for p in PCT_RANKS
+    )
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       {picks}
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank p50/p95/p99 per event type — see `_exact_percentiles_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_exact_percentiles_sql("spark"))
+
+
+def exact_percentiles_sql() -> str:
+    return _exact_percentiles_sql("duckdb")
+
+
+# ------------------------------------------------ sequence matching
+
+SEQ_FROM = "signup"  # chain start
+SEQ_TO = "purchase"  # chain end
+SEQ_NOT = "error"  # the negative condition: none of these strictly between
+
+
+def _sequence_match_sql(dialect: str) -> str:
+    """ClickHouse ``sequenceMatch('(?1)(?2)')`` semantics WITH a negative
+    condition — the event-pattern shape `events_window_funnel` cannot
+    express: per user, the earliest signup->purchase chain, plus whether
+    any 'error' event falls STRICTLY between the two (sequenceMatch's
+    ``(?1)(?!error)(?2)`` flavor). Anchors are deterministic (min signup
+    ts, then min purchase ts strictly after it); ``matched`` = the chain
+    exists, ``clean`` = matched with zero errors between. Every join is
+    a user-keyed equi-join (the range conditions ride along as residual
+    predicates), so the plan is three user-keyed shuffles over
+    per-user-bounded rows — no windows, no all-pairs. Users whose chain
+    never completes keep a row (t2 NULL, matched false) so the output
+    is the full signup cohort.
+    """
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{SEQ_FROM}' GROUP BY user_id),
+p1 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{SEQ_TO}' AND e.ts > s1.t1 GROUP BY e.user_id),
+chain AS (
+  SELECT s1.user_id, s1.t1, p1.t2
+  FROM s1 LEFT JOIN p1 ON s1.user_id = p1.user_id),
+errs AS (
+  SELECT c.user_id, CAST(count(e.event_id) AS BIGINT) AS n_between
+  FROM chain c LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = '{SEQ_NOT}'
+   AND e.ts > c.t1 AND e.ts < c.t2
+  GROUP BY c.user_id)
+SELECT c.user_id, c.t1, c.t2, er.n_between,
+       CAST(c.t2 IS NOT NULL AS BOOLEAN) AS matched,
+       CAST(c.t2 IS NOT NULL AND er.n_between = 0 AS BOOLEAN) AS clean
+FROM chain c JOIN errs er ON c.user_id = er.user_id
+ORDER BY c.user_id
+"""
+
+
+def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user signup->purchase chain with a no-error-between verdict."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_sequence_match_sql("spark"))
+
+
+def sequence_match_sql() -> str:
+    return _sequence_match_sql("duckdb")
