@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 20): centroid-distance OOD pruning gate
+        # (SemDeDup's sibling: drop far-from-distribution embeddings)
+        "sim_ood_centroid": fsim.ood_centroid,
+        # new in round 4 (batch 20): A/B experiment readout with exact
+        # integer chi-square significance (windowed attribution)
+        "events_ab_test": evan.ab_test,
+        # new in round 4 (batch 20): exact distinct users per hopping
+        # window (the non-mergeable aggregate, batch flavor)
+        "events_sliding_distinct": evan.sliding_distinct,
         # new in round 4 (batch 19): exact nearest-rank percentiles — the
         # sketch entry's ground-truth counterpart (percentile_disc)
         "events_exact_percentiles": evan.exact_percentiles,
@@ -622,6 +631,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "sim_ood_centroid": fsim.ood_centroid_sql(),
+        "events_ab_test": evan.ab_test_sql(),
+        "events_sliding_distinct": evan.sliding_distinct_sql(),
         "events_exact_percentiles": evan.exact_percentiles_sql(),
         "events_sequence_match": evan.sequence_match_sql(),
         "text_quality_logit": ftext.quality_logit_sql(),

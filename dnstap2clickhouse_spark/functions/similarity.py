@@ -520,6 +520,27 @@ KMEANS_K = 4  # seeds = vec_id 0..3 (deterministic init, no global sort)
 KMEANS_DIMS = 64
 _E9 = 1_000_000_000
 
+def _cdist_sql(dialect: str) -> str:
+    """Squared distance between quantized vector ``q.qv`` and integer-sum
+    centroid ``c`` (``sv``, ``n``): a fixed-order fold over dims of
+    ``(qv*n - sv)^2`` doubles, one division by ``n^2`` at the end — every
+    FP op has a fixed operand order, so both engines produce identical
+    doubles. Single definition shared by ``_kmeans_sql`` and
+    ``_ood_centroid_sql`` so the distance semantics cannot drift."""
+    nd = KMEANS_DIMS
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with(q.qv, c.sv, (a, b) -> "
+            f"CAST(a * c.n - b AS DOUBLE) * CAST(a * c.n - b AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
+        )
+    return (
+        f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
+        f"CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE) * CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE)), "
+        f"(acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
+    )
+
+
 def _kmeans_sql(dialect: str) -> str:
     """Two unrolled Lloyd iterations of k-means, bit-deterministic.
 
@@ -540,24 +561,15 @@ def _kmeans_sql(dialect: str) -> str:
     checkpointed between rounds.
     """
     k, nd, e9 = KMEANS_K, KMEANS_DIMS, _E9
+    dist = _cdist_sql(dialect)
     if dialect == "spark":
         qarr = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
-        dist = (
-            f"aggregate(zip_with(q.qv, c.sv, (a, b) -> "
-            f"CAST(a * c.n - b AS DOUBLE) * CAST(a * c.n - b AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
-        )
         series = f"explode(sequence(1, {nd}))"
         elem = "element_at(qv, CAST(dim AS INT))"
         collect = "transform(sort_array(collect_list(struct(dim, s))), x -> x.s)"
         hint = "/*+ BROADCAST(c) */ "
     else:
         qarr = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
-        dist = (
-            f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
-            f"CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE) * CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE)), "
-            f"(acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
-        )
         series = f"unnest(generate_series(1, {nd}))"
         elem = "qv[CAST(dim AS INT)]"
         collect = "list(s ORDER BY dim)"
@@ -890,6 +902,76 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_dedup_sql() -> str:
     return _semantic_dedup_sql("duckdb")
+
+# ------------------------------------------- centroid-distance OOD filter
+
+#: OOD when dist > 1.04x the vector's cluster mean distance. The factor
+#: sits near 1 deliberately: these synthetic embeddings are isotropic
+#: random vectors, so centroid distances CONCENTRATE (max/mean ~1.05 at
+#: every sf — the high-dim measure-concentration effect); a real
+#: embedding cloud is anisotropic and deployments use 1.5-2x. The
+#: verdict mechanics (exact cross-multiplied compare vs the cluster's
+#: own distance mass) are what the entry pins, not the constant.
+OOD_FACTOR_NUM = 104
+OOD_FACTOR_DEN = 100
+#: the fold's d is in (e9-quantized)^2 units; dividing by 1e12 leaves the
+#: squared distance in original units at e6 scale, BIGINT-ranged
+_OOD_DESCALE = "1e12"
+
+
+def _ood_centroid_sql(dialect: str) -> str:
+    """Embedding-space outlier pruning (the DataComp/DFN-family curation
+    gate next to SemDeDup's near-dup gate): a vector is out-of-
+    distribution when its distance to its own k-means centroid exceeds
+    ``OOD_FACTOR`` x that cluster's mean member distance — far-from-
+    distribution samples are exactly what embedding-based quality
+    filters drop before training. Reuses the two-Lloyd-round centroid
+    CTEs from ``_kmeans_sql`` verbatim (string surgery, the
+    ``_semantic_dedup_sql`` idiom) and the SAME ``_cdist_sql`` distance
+    definition, then quantizes the assigned-centroid distance once at e6
+    and makes the verdict a cross-multiplied exact-integer compare
+    (``dist * n * DEN > FACTOR_NUM * sum_dist``) against the cluster's
+    own distance mass — self-normalizing, no corpus-dependent threshold
+    constant. Plan shape: the K-row centroid table broadcasts against
+    the corpus scan (the kmeans assignment shape), then one
+    cluster-keyed aggregate of 2 integers joins back by cluster id —
+    nothing corpus-sized shuffles beyond the assignment itself.
+    """
+    km = _kmeans_sql(dialect)
+    prefix = km[: km.index("a2 AS (")].rstrip().rstrip(",") + ","
+    dist = _cdist_sql(dialect)
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    return f"""{prefix}
+d2 AS (
+  SELECT vec_id, CAST(min(cluster) FILTER (WHERE d = md) AS BIGINT) AS cluster,
+         CAST(round(min(md) / {_OOD_DESCALE}) AS BIGINT) AS dist_e6
+  FROM (
+    SELECT vec_id, cluster, d, min(d) OVER (PARTITION BY vec_id) AS md
+    FROM (
+      SELECT {hint}q.vec_id, c.cluster, {dist} AS d
+      FROM q CROSS JOIN c1 c))
+  GROUP BY vec_id),
+cstat AS (
+  SELECT cluster, CAST(sum(dist_e6) AS BIGINT) AS sum_e6,
+         CAST(count(*) AS BIGINT) AS n_members
+  FROM d2 GROUP BY cluster)
+SELECT d.vec_id, d.cluster, d.dist_e6, s.n_members,
+       CAST(d.dist_e6 * s.n_members * {OOD_FACTOR_DEN}
+            > {OOD_FACTOR_NUM} * s.sum_e6 AS BOOLEAN) AS is_ood
+FROM d2 d JOIN cstat s ON d.cluster = s.cluster
+ORDER BY d.vec_id
+"""
+
+
+def ood_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector OOD verdict vs its own cluster's mean centroid distance."""
+    _register(spark, sf_dir)
+    return spark.sql(_ood_centroid_sql("spark"))
+
+
+def ood_centroid_sql() -> str:
+    return _ood_centroid_sql("duckdb")
+
 
 # --------------------------------------------- hybrid retrieval (RRF fusion)
 

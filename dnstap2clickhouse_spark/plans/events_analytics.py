@@ -1899,3 +1899,126 @@ def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sequence_match_sql() -> str:
     return _sequence_match_sql("duckdb")
+
+
+# ------------------------------------------------ A/B experiment analysis
+
+AB_EXPOSE = "signup"  # exposure event anchoring each user's experiment entry
+AB_CONVERT = "purchase"  # conversion = this event inside the attribution window
+AB_WINDOW_H = 24  # attribution window (hours): convert within a day of exposure
+#: chi-square(1 df) critical value at 95%, as the exact rational 38415/10000
+AB_CHI2_NUM = 38_415
+AB_CHI2_DEN = 10_000
+
+
+def _ab_test_sql(dialect: str) -> str:
+    """Experiment (A/B) analysis — the product-analytics readout every
+    event pipeline ends in: users are assigned a variant by the
+    second-round Lehmer hash (deterministic, uncorrelated with the
+    split bucket — the stand-in for a real assignment log), exposure is
+    the user's first '{signup}' and conversion any '{purchase}' inside the
+    ``AB_WINDOW_H``-hour attribution window after it (unbounded
+    attribution is degenerate here — every signup eventually purchases —
+    and real experiments always bound attribution). Per-arm counts and the e6 conversion rate are exact
+    integers; significance is the two-proportion chi-square test with
+    the division cross-multiplied away: significant iff
+    ``CHI2_DEN * N * (c1*n2 - c2*n1)^2 > CHI2_NUM * n1*n2*C*(N-C)`` —
+    an exact BIGINT compare, no float statistics anywhere (in-range for
+    user domains up to ~50k; a DECIMAL(38,0) cast on the two products
+    lifts that to millions with no other change). Plan: two user-keyed
+    equi-joins + O(arms) aggregates; the 2-row arm table self-joins to
+    a 1-row test and broadcasts back.
+    """
+    from ..functions.splits import _bucket2_sql
+
+    div = "div" if dialect == "spark" else "//"
+    variant = _bucket2_sql("user_id", 2)
+    return f"""
+WITH exposed AS (
+  SELECT user_id, CAST({variant} AS BIGINT) AS variant, min(ts) AS t0
+  FROM events WHERE event_type = '{AB_EXPOSE}' GROUP BY user_id),
+conv AS (
+  SELECT x.user_id, x.variant,
+         CAST(CASE WHEN count(e.event_id) > 0 THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM exposed x LEFT JOIN events e
+    ON e.user_id = x.user_id AND e.event_type = '{AB_CONVERT}' AND e.ts > x.t0
+   AND e.ts <= x.t0 + INTERVAL {AB_WINDOW_H} HOUR
+  GROUP BY x.user_id, x.variant),
+arm AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_conv
+  FROM conv GROUP BY variant),
+test AS (
+  SELECT a.n_users AS n1, a.n_conv AS c1, b.n_users AS n2, b.n_conv AS c2,
+         a.n_users + b.n_users AS nt, a.n_conv + b.n_conv AS ct
+  FROM arm a JOIN arm b ON a.variant = 0 AND b.variant = 1)
+SELECT m.variant, m.n_users, m.n_conv,
+       (m.n_conv * 1000000) {div} m.n_users AS conv_e6,
+       CAST({AB_CHI2_DEN} * t.nt * (t.c1 * t.n2 - t.c2 * t.n1) * (t.c1 * t.n2 - t.c2 * t.n1)
+            > {AB_CHI2_NUM} * t.n1 * t.n2 * t.ct * (t.nt - t.ct) AS BOOLEAN) AS significant
+FROM arm m CROSS JOIN test t
+ORDER BY m.variant
+"""
+
+
+def ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant conversion counts, exact e6 rates, chi-square verdict."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_ab_test_sql("spark"))
+
+
+def ab_test_sql() -> str:
+    return _ab_test_sql("duckdb")
+
+
+# ------------------------------------------- sliding-window distinct users
+
+SLIDE_WINDOW_US = 3600 * 1_000_000  # 1-hour panes ...
+SLIDE_STEP_US = 900 * 1_000_000  # ... every 15 min => 4 panes per event
+
+
+def _sliding_distinct_sql(dialect: str) -> str:
+    """EXACT distinct users per hopping window (1 h every 15 min) — the
+    batch shape whose count-only flavor `streaming_hopping_window` runs
+    as a stream, here with the aggregate no pane-merge can compose from
+    partials without sketch state: ``count(DISTINCT user_id)``. Each
+    event enumerates its 4 epoch-aligned panes by integer arithmetic
+    (``(us div step - k) * step``, the streaming entry's oracle rule —
+    every pane start is derivable per-row, no window-spine join), then
+    one (pane)-keyed aggregate computes events and exact distinct users
+    (Spark plans distinct via a two-level expand+aggregate — both
+    shuffles pane-keyed). Pane starts emit as BIGINT epoch-us so no
+    timestamp arithmetic touches the output. At 100 TB the exact
+    distinct is the expensive-but-parallel truth; the mergeable-sketch
+    path for the same question is `events_hll_partials`.
+    """
+    series = (
+        "explode(sequence(0, 3))" if dialect == "spark"
+        else "unnest(generate_series(0, 3))"
+    )
+    div = "div" if dialect == "spark" else "//"
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    return f"""
+WITH base AS (
+  SELECT {us} AS us, user_id FROM events),
+keyed AS (
+  SELECT us, user_id, {series} AS k FROM base),
+panes AS (
+  SELECT ((us {div} {SLIDE_STEP_US}) - k) * {SLIDE_STEP_US} AS win_start_us, user_id
+  FROM keyed)
+SELECT win_start_us, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM panes
+GROUP BY win_start_us
+ORDER BY win_start_us
+"""
+
+
+def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-pane event and distinct-user counts — see `_sliding_distinct_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_sliding_distinct_sql("spark"))
+
+
+def sliding_distinct_sql() -> str:
+    return _sliding_distinct_sql("duckdb")
