@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 21): CDC changeset derivation by
+        # snapshot diff (the inverse of events_upsert_merge)
+        "events_change_capture": evan.change_capture,
+        # new in round 4 (batch 21): multi-source BFS hop distance with
+        # in-band convergence certificate (frontier expansion)
+        "graph_bfs_distance": pgraph.bfs_distance,
+        # new in round 4 (batch 21): skip-gram collocation mining by
+        # exact-integer lift (the word2vec phrase-pass statistic)
+        "text_collocations": ftext.collocations,
         # new in round 4 (batch 20): centroid-distance OOD pruning gate
         # (SemDeDup's sibling: drop far-from-distribution embeddings)
         "sim_ood_centroid": fsim.ood_centroid,
@@ -631,6 +640,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_change_capture": evan.change_capture_sql(),
+        "graph_bfs_distance": pgraph.bfs_distance_sql(),
+        "text_collocations": ftext.collocations_sql(),
         "sim_ood_centroid": fsim.ood_centroid_sql(),
         "events_ab_test": evan.ab_test_sql(),
         "events_sliding_distinct": evan.sliding_distinct_sql(),

@@ -872,3 +872,84 @@ def quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quality_logit_sql() -> str:
     return _quality_logit_sql("duckdb")
+
+
+# ----------------------------------------------- collocation mining
+
+COLLOC_WINDOW = 2  # forward skip-gram offsets 1..2 (word2vec-style)
+COLLOC_MIN_SUP = 5  # minimum pair support
+COLLOC_TOP = 20  # collocations reported
+_COLLOC_E6 = 1_000_000
+
+
+def _collocations_sql(dialect: str) -> str:
+    """Collocation mining — the corpus-statistics primitive under
+    word2vec/GloVe co-occurrence matrices and phrase detection (Mikolov
+    et al. 2013's phrase pass): count directional skip-gram pairs
+    (every token with each of its next ``COLLOC_WINDOW`` tokens), then
+    rank pairs by LIFT ``P(a,b)/(P(a)P(b))`` — the PMI-monotone
+    statistic — as the exact scaled rational ``n_ab * N * e6 div
+    (n_a * n_b)`` (log dropped, the `text_keyword_search` no-libm
+    discipline; BIGINT-ranged up to ~e12 total tokens, the
+    `curate_dataset_card` quotient bound). Support floor
+    ``COLLOC_MIN_SUP`` kills rare-pair noise before ranking.
+
+    Plan: one positional explode, one doc-keyed window (both leads
+    share a single sort — the `events_top_paths` idiom), one pair
+    count with map-side partials, two vocab-keyed fetch joins for the
+    unigram masses (never a broadcast of the vocabulary), top-k via
+    TakeOrderedAndProject. Everything shuffles on token keys — scales
+    like `text_top_ngrams`.
+    """
+    if dialect == "spark":
+        pos_src = (
+            "SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents"
+        )
+        div = "div"
+    else:
+        pos_src = (
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents"
+        )
+        div = "//"
+    leads = ", ".join(
+        f"lead(tok, {k}) OVER w AS b{k}" for k in range(1, COLLOC_WINDOW + 1)
+    )
+    pair_arms = "\n  UNION ALL\n".join(
+        f"  SELECT a, b{k} AS b FROM seq WHERE b{k} IS NOT NULL"
+        for k in range(1, COLLOC_WINDOW + 1)
+    )
+    return f"""
+WITH toks AS ({pos_src}),
+seq AS (
+  SELECT doc_id, tok AS a, {leads}
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+pairs AS (
+{pair_arms}),
+pc AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pairs GROUP BY a, b),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT p.a, p.b, p.n_ab,
+       (p.n_ab * t.n * {_COLLOC_E6}) {div} (ua.n * ub.n) AS lift_e6
+FROM pc p
+JOIN uni ua ON p.a = ua.tok
+JOIN uni ub ON p.b = ub.tok
+CROSS JOIN tot t
+WHERE p.n_ab >= {COLLOC_MIN_SUP}
+ORDER BY lift_e6 DESC, p.a, p.b
+LIMIT {COLLOC_TOP}
+"""
+
+
+def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top skip-gram collocations by exact-integer lift."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_collocations_sql("spark"))
+
+
+def collocations_sql() -> str:
+    return _collocations_sql("duckdb")

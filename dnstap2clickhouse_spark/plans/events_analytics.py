@@ -2022,3 +2022,62 @@ def sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sliding_distinct_sql() -> str:
     return _sliding_distinct_sql("duckdb")
+
+
+# ------------------------------------------------ snapshot change capture
+
+CDC_LOOKBACK_DAYS = 25  # old snapshot cut: day-truncated max ts minus this
+
+
+def _change_capture_sql(dialect: str) -> str:
+    """CDC changeset DERIVATION — the inverse of `events_upsert_merge`
+    (which APPLIES a change batch): diff two as-of snapshots of the
+    per-(user, event_type) latest state and emit the (op, old, new)
+    rows a downstream MERGE would consume. Snapshot(t) = each state
+    key's latest event at or before t (deterministic: max ts, event_id
+    tiebreak); the old cut is the day-truncated corpus max minus
+    ``CDC_LOOKBACK_DAYS`` (the `events_ttl_rollup` regeneration-
+    proofing rule), the new cut is the corpus max. A key changes
+    op='update' when the latest value differs, op='insert' when first
+    seen after the old cut (both arms fire on every test corpus); an
+    append-only event log cannot express deletes, so the op domain is
+    {insert, update} by construction (a tombstone-event convention
+    would add them as one more CASE arm). Unchanged keys are dropped.
+    Plan: two key-keyed window ranks off ONE scan (the cut predicate
+    rides the same shuffle) + one key-keyed diff join.
+    """
+    return f"""
+WITH cut AS (
+  SELECT date_trunc('day', max(ts)) - INTERVAL {CDC_LOOKBACK_DAYS} DAY AS t1
+  FROM events),
+ranked AS (
+  SELECT e.user_id, e.event_type, e.ts, e.event_id, e.value, c.t1,
+         row_number() OVER (PARTITION BY e.user_id, e.event_type
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn_new,
+         CASE WHEN e.ts <= c.t1 THEN
+           row_number() OVER (PARTITION BY e.user_id, e.event_type, e.ts <= c.t1
+                              ORDER BY e.ts DESC, e.event_id DESC)
+         END AS rn_old
+  FROM events e CROSS JOIN cut c),
+old_snap AS (
+  SELECT user_id, event_type, value AS old_value FROM ranked WHERE rn_old = 1),
+new_snap AS (
+  SELECT user_id, event_type, value AS new_value FROM ranked WHERE rn_new = 1)
+SELECT n.user_id, n.event_type,
+       CASE WHEN o.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+       o.old_value, n.new_value
+FROM new_snap n LEFT JOIN old_snap o
+  ON n.user_id = o.user_id AND n.event_type = o.event_type
+WHERE o.user_id IS NULL OR o.old_value <> n.new_value
+ORDER BY n.user_id, n.event_type
+"""
+
+
+def change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff changeset (insert/update ops) — see `_change_capture_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_change_capture_sql("spark"))
+
+
+def change_capture_sql() -> str:
+    return _change_capture_sql("duckdb")

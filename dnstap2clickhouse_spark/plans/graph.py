@@ -365,3 +365,70 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def kcore_sql() -> str:
     return _kcore_sql("duckdb")
+
+
+# ------------------------------------------------ multi-source BFS
+
+BFS_SEEDS = 4  # hub seeds: top-degree vertices (deterministic id tiebreak)
+BFS_ROUNDS = 3  # unrolled frontier expansions => distances 0..BFS_ROUNDS
+
+
+def _bfs_sql(dialect: str) -> str:
+    """Multi-source BFS distance over the part co-purchase graph — the
+    frontier-expansion primitive next to the repo's other iterative
+    graph shapes (label propagation = `dedup_cc_clusters`, damped walks
+    = `graph_pagerank`, peeling = `graph_kcore`): hop distance from the
+    ``BFS_SEEDS`` highest-degree hubs to every reachable vertex, the
+    "how far is everything from the core catalogue" readout (and the
+    building block of closeness/eccentricity analytics).
+
+    ``BFS_ROUNDS`` unrolled relaxations: each round unions the previous
+    distance table with every neighbor's distance+1 and takes the
+    per-vertex min — one O(E) equi-join + one vertex-keyed aggregate
+    per round, the `graph_kcore` bounded-unroll discipline. The seed
+    CTE is a plan-visible ``LIMIT BFS_SEEDS`` top-k (broadcast-bounded
+    by construction). Because a fixed unroll cannot promise reaching
+    the whole component, the entry CERTIFIES convergence in-band:
+    ``converged`` compares the last two rounds' (reached count, distance
+    mass) — min-propagation makes both monotone, so equality == fixpoint
+    — computed identically by both engines, not asserted. Distances are
+    exact small integers; unreached vertices carry no row.
+    """
+    rounds = []
+    for r in range(1, BFS_ROUNDS + 1):
+        p = r - 1
+        rounds.append(f"""
+d{r} AS (
+  SELECT u, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT u, dist FROM d{p}
+    UNION ALL
+    SELECT s.v AS u, d.dist + 1 AS dist FROM d{p} d JOIN sym s ON s.u = d.u)
+  GROUP BY u)""")
+    last, prev = BFS_ROUNDS, BFS_ROUNDS - 1
+    chain = ",".join(rounds)
+    return f"""
+WITH edges AS ({_copurchase_cte()}),
+sym AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+seeds AS (SELECT u FROM deg ORDER BY deg DESC, u LIMIT {BFS_SEEDS}),
+d0 AS (SELECT u, CAST(0 AS BIGINT) AS dist FROM seeds),{chain},
+cert AS (
+  SELECT CAST((SELECT count(*) FROM d{last}) = (SELECT count(*) FROM d{prev})
+          AND (SELECT sum(dist) FROM d{last}) = (SELECT sum(dist) FROM d{prev})
+          AS BOOLEAN) AS converged)
+SELECT d.u, d.dist, c.converged
+FROM d{last} d CROSS JOIN cert c
+ORDER BY d.u
+"""
+
+
+def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance from the hub seed set, with convergence certificate."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_bfs_sql("spark"))
+
+
+def bfs_distance_sql() -> str:
+    return _bfs_sql("duckdb")
