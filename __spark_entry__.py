@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 22): equi-depth histogram with per-bucket
+        # NDV (the optimizer-statistics collection primitive)
+        "events_equidepth_histogram": evan.equidepth_histogram,
+        # new in round 4 (batch 22): greedy k-center farthest-point
+        # seeding with its coverage-radius ladder
+        "sim_farthest_init": fsim.farthest_init,
+        # new in round 4 (batch 22): Newman modularity of the brand
+        # partition over the co-purchase graph (fixed-point integers)
+        "graph_modularity": pgraph.modularity,
         # new in round 4 (batch 21): CDC changeset derivation by
         # snapshot diff (the inverse of events_upsert_merge)
         "events_change_capture": evan.change_capture,
@@ -640,6 +649,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_equidepth_histogram": evan.equidepth_histogram_sql(),
+        "sim_farthest_init": fsim.farthest_init_sql(),
+        "graph_modularity": pgraph.modularity_sql(),
         "events_change_capture": evan.change_capture_sql(),
         "graph_bfs_distance": pgraph.bfs_distance_sql(),
         "text_collocations": ftext.collocations_sql(),

@@ -520,6 +520,15 @@ KMEANS_K = 4  # seeds = vec_id 0..3 (deterministic init, no global sort)
 KMEANS_DIMS = 64
 _E9 = 1_000_000_000
 
+def _qarr_sql(dialect: str) -> str:
+    """e9 integer quantization of the embedding array — the shared entry
+    point into the exact-centroid arithmetic (`_kmeans_sql`,
+    `_farthest_init_sql`)."""
+    if dialect == "spark":
+        return f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_E9}) AS BIGINT))"
+    return f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_E9}) AS BIGINT))"
+
+
 def _cdist_sql(dialect: str) -> str:
     """Squared distance between quantized vector ``q.qv`` and integer-sum
     centroid ``c`` (``sv``, ``n``): a fixed-order fold over dims of
@@ -560,16 +569,15 @@ def _kmeans_sql(dialect: str) -> str:
     the same two CTE shapes in a driver loop with the centroid table
     checkpointed between rounds.
     """
-    k, nd, e9 = KMEANS_K, KMEANS_DIMS, _E9
+    k, nd = KMEANS_K, KMEANS_DIMS
     dist = _cdist_sql(dialect)
+    qarr = _qarr_sql(dialect)
     if dialect == "spark":
-        qarr = f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
         series = f"explode(sequence(1, {nd}))"
         elem = "element_at(qv, CAST(dim AS INT))"
         collect = "transform(sort_array(collect_list(struct(dim, s))), x -> x.s)"
         hint = "/*+ BROADCAST(c) */ "
     else:
-        qarr = f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {e9}) AS BIGINT))"
         series = f"unnest(generate_series(1, {nd}))"
         elem = "qv[CAST(dim AS INT)]"
         collect = "list(s ORDER BY dim)"
@@ -1530,3 +1538,73 @@ def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def range_search_sql() -> str:
     return _range_search_sql("duckdb")
+
+
+# ------------------------------------------- farthest-point seeding
+
+FPS_K = 4  # centers selected (seed + 3 greedy picks)
+_FPS_DESCALE = "1e12"  # same d-unit descale as the OOD gate
+
+
+def _farthest_init_sql(dialect: str) -> str:
+    """Greedy k-center (farthest-point) seeding — the deterministic
+    init primitive in front of Lloyd (`sim_kmeans` deliberately seeds
+    by id; THIS is the quality init real pipelines use: kmeans++'s
+    derandomized cousin, the classic 2-approximation to the k-center
+    objective, and the standard coreset/landmark selector): start from
+    vec 0, then ``FPS_K - 1`` times add the vector farthest from the
+    centers chosen so far (exact ``_cdist_sql`` fold on ``(sv, n=1)``
+    center rows, ties to the lowest id). Each selection round is one
+    corpus scan against a ≤``FPS_K``-row broadcast center table + a
+    1-row plan-visible-LIMIT argmax — the `sim_kmeans` assignment
+    shape, never corpus-shuffling. Output: the centers in selection
+    order, each with the coverage radius it was picked at (the
+    farthest-distance ladder, non-increasing — the k-center
+    objective's certificate), e6-quantized in original units.
+    """
+    dist = _cdist_sql(dialect)
+    qarr = _qarr_sql(dialect)
+    hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    one = "CAST(1 AS BIGINT)"
+    parts = [
+        f"""
+WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+c0 AS (SELECT vec_id AS cid, {one} AS sel, qv AS sv, {one} AS n
+       FROM q WHERE vec_id = 0 LIMIT 1)"""
+    ]
+    for r in range(1, FPS_K):
+        p = r - 1
+        parts.append(f"""
+m{r} AS (
+  SELECT vec_id, min(d) AS md FROM (
+    SELECT {hint}q.vec_id, {dist} AS d FROM q CROSS JOIN c{p} c)
+  GROUP BY vec_id),
+p{r} AS (SELECT vec_id, md FROM m{r} ORDER BY md DESC, vec_id LIMIT 1),
+c{r} AS (
+  SELECT cid, sel, sv, n FROM c{p}
+  UNION ALL
+  SELECT q.vec_id AS cid, CAST({r + 1} AS BIGINT) AS sel, q.qv AS sv, {one} AS n
+  FROM q JOIN p{r} ON q.vec_id = p{r}.vec_id)""")
+    radii = "\nUNION ALL\n".join(
+        f"SELECT CAST({r + 1} AS BIGINT) AS sel, CAST(round(md / {_FPS_DESCALE}) AS BIGINT) AS radius_e6 FROM p{r}"
+        for r in range(1, FPS_K)
+    )
+    return f"""{",".join(parts)},
+radii AS (
+SELECT CAST(1 AS BIGINT) AS sel, CAST(0 AS BIGINT) AS radius_e6
+UNION ALL
+{radii})
+SELECT c.sel, c.cid, r.radius_e6
+FROM c{FPS_K - 1} c JOIN radii r ON c.sel = r.sel
+ORDER BY c.sel
+"""
+
+
+def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center seed set with its coverage-radius ladder."""
+    _register(spark, sf_dir)
+    return spark.sql(_farthest_init_sql("spark"))
+
+
+def farthest_init_sql() -> str:
+    return _farthest_init_sql("duckdb")

@@ -2081,3 +2081,50 @@ def change_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def change_capture_sql() -> str:
     return _change_capture_sql("duckdb")
+
+
+# ------------------------------------------- equi-depth histogram (stats)
+
+EQD_BUCKETS = 8  # quantile buckets
+
+
+def _equidepth_histogram_sql(dialect: str) -> str:
+    """Equi-DEPTH histogram construction — the optimizer-statistics
+    primitive (ClickHouse `quantile`-based stats, Spark CBO column
+    histograms, AQE's skew detection all consume this shape), next to
+    the equi-WIDTH `events_value_histogram`: rank all values once and
+    assign bucket ``(rank-1) * K div n`` — exactly ``ceil(n/K)``-ish
+    rows per bucket by construction — then per bucket emit count,
+    bounds, and the distinct-value count (the NDV every cardinality
+    estimator wants per bucket). All boundaries are integer arithmetic
+    on the rank; values are selected verbatim (no float math). One
+    global sort-rank window then a bucket-keyed aggregate — the exact
+    path's cost story (`events_exact_percentiles`); the mergeable
+    approximate flavor at 100 TB is the KLL sketch in
+    `events_sketch_stats`.
+    """
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+WITH ranked AS (
+  SELECT value,
+         row_number() OVER (ORDER BY value, event_id) AS r,
+         count(*) OVER () AS n
+  FROM events)
+SELECT CAST((r - 1) * {EQD_BUCKETS} {div} n AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(value) AS lo, max(value) AS hi,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-bucket equi-depth histogram with per-bucket NDV."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_equidepth_histogram_sql("spark"))
+
+
+def equidepth_histogram_sql() -> str:
+    return _equidepth_histogram_sql("duckdb")

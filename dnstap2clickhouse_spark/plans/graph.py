@@ -432,3 +432,59 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bfs_distance_sql() -> str:
     return _bfs_sql("duckdb")
+
+
+# ------------------------------------------------ partition modularity
+
+_MOD_E6 = 1_000_000
+
+
+def _modularity_sql(dialect: str) -> str:
+    """Newman modularity of a vertex partition over the part
+    co-purchase graph — the community-quality readout every graph
+    clustering is scored by: ``Q = sum_c (m_c/m - (d_c/2m)^2)`` with
+    communities = part brands (does co-purchasing stay within brands?).
+    Per-community contributions emit as fixed-point integers: the
+    intra-edge fraction exact at e12 (``m_c * e12 div m``, BIGINT-safe
+    to ~9e6 edges — beyond that, one DECIMAL(38) cast), the degree
+    fraction quantized once at e6 and squared — deterministic integer
+    arithmetic in both engines, no float division anywhere. Plan: one
+    edge-community fetch join (brand rides the part dimension — a
+    broadcast at any scale), one community-keyed count each for intra
+    edges and degree mass, the 1-row edge total cross-joined back.
+    Communities with degree but no intra edges keep a row (m_c = 0).
+    """
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+WITH edges AS ({_copurchase_cte()}),
+comm AS (SELECT p_partkey AS u, p_brand AS c FROM part),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+labeled AS (
+  SELECT ca.c AS ca, cb.c AS cb
+  FROM edges e JOIN comm ca ON e.a = ca.u JOIN comm cb ON e.b = cb.u),
+intra AS (
+  SELECT ca AS c, CAST(count(*) AS BIGINT) AS m_c
+  FROM labeled WHERE ca = cb GROUP BY ca),
+sym AS (SELECT a AS u FROM edges UNION ALL SELECT b AS u FROM edges),
+deg AS (
+  SELECT cm.c, CAST(count(*) AS BIGINT) AS d_c
+  FROM sym s JOIN comm cm ON s.u = cm.u GROUP BY cm.c)
+SELECT d.c AS community, coalesce(i.m_c, 0) AS m_c, d.d_c,
+       (coalesce(i.m_c, 0) * {_MOD_E6} * {_MOD_E6}) {div} t.m
+         - ((d.d_c * {_MOD_E6}) {div} (2 * t.m))
+           * ((d.d_c * {_MOD_E6}) {div} (2 * t.m)) AS q_e12
+FROM deg d LEFT JOIN intra i ON d.c = i.c CROSS JOIN mm t
+ORDER BY d.c
+"""
+
+
+def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand modularity contributions over the co-purchase graph."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_modularity_sql("spark"))
+
+
+def modularity_sql() -> str:
+    return _modularity_sql("duckdb")
