@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 23): seasonal-naive backtest with exact
+        # integer MAEs (the forecast-evaluation analytics shape)
+        "events_seasonal_baseline": evan.seasonal_baseline,
+        # new in round 4 (batch 23): keyness / corpus-drift detection
+        # between source slices (smoothed frequency ratio)
+        "text_keyness": ftext.keyness,
+        # new in round 4 (batch 23): degree assortativity as a pure
+        # integer moment ratio (the mixing-pattern graph metric)
+        "graph_assortativity": pgraph.assortativity,
         # new in round 4 (batch 22): equi-depth histogram with per-bucket
         # NDV (the optimizer-statistics collection primitive)
         "events_equidepth_histogram": evan.equidepth_histogram,
@@ -649,6 +658,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_seasonal_baseline": evan.seasonal_baseline_sql(),
+        "text_keyness": ftext.keyness_sql(),
+        "graph_assortativity": pgraph.assortativity_sql(),
         "events_equidepth_histogram": evan.equidepth_histogram_sql(),
         "sim_farthest_init": fsim.farthest_init_sql(),
         "graph_modularity": pgraph.modularity_sql(),

@@ -953,3 +953,66 @@ def collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def collocations_sql() -> str:
     return _collocations_sql("duckdb")
+
+
+# ----------------------------------------------- keyness (corpus drift)
+
+KEYNESS_SPLIT = 10  # group A: sources with numeric suffix < this; B: rest
+KEYNESS_MIN_SUP = 5  # minimum token count in group A
+KEYNESS_TOP = 20
+_KEYNESS_E3 = 1000
+
+
+def _keyness_sql(dialect: str) -> str:
+    """Keyness / corpus-drift detection — which tokens distinguish one
+    corpus slice from another (corpus-linguistics keyness analysis;
+    the practical "did my crawl distribution shift" and "what
+    characterizes domain A vs B" curation probe). Slices are the
+    sources split by numeric suffix (a stand-in for crawl snapshots or
+    domains). The statistic is the SMOOTHED FREQUENCY RATIO
+    ``(k_a * n_b) / ((k_b + 1) * n_a)`` at e3 scale — monotone in
+    relative risk, exact BIGINT arithmetic (the chi-square/LLR flavors
+    need logs or 128-bit products; the ratio ranks identically for the
+    top of the list and stays engine-portable — the
+    `text_keyword_search` determinism move). Support floor on the A
+    count kills hapax noise. Plan: one explode + one (token,
+    group)-keyed count with map-side partials, a 1-row totals
+    broadcast, TakeOrderedAndProject top-k — `text_top_ngrams` scaling.
+    """
+    toks = _toks(dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    div = "div" if dialect == "spark" else "//"
+    suffix = (
+        "CAST(substring(source, 4) AS INT)" if dialect == "spark"
+        else "CAST(substr(source, 4) AS INT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN {suffix} < {KEYNESS_SPLIT} THEN 'a' ELSE 'b' END AS grp,
+         {unnest}({toks}) AS tok
+  FROM documents),
+counts AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+         CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(k_a) AS BIGINT) AS n_a, CAST(sum(k_b) AS BIGINT) AS n_b
+  FROM counts)
+SELECT c.tok, c.k_a, c.k_b,
+       (c.k_a * t.n_b * {_KEYNESS_E3}) {div} ((c.k_b + 1) * t.n_a) AS ratio_e3
+FROM counts c CROSS JOIN tot t
+WHERE c.k_a >= {KEYNESS_MIN_SUP}
+ORDER BY ratio_e3 DESC, c.tok
+LIMIT {KEYNESS_TOP}
+"""
+
+
+def keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top group-A-distinctive tokens by smoothed frequency ratio."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_keyness_sql("spark"))
+
+
+def keyness_sql() -> str:
+    return _keyness_sql("duckdb")

@@ -2128,3 +2128,74 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def equidepth_histogram_sql() -> str:
     return _equidepth_histogram_sql("duckdb")
+
+
+# ------------------------------------------- seasonal baseline backtest
+
+SEAS_TRAIN_DAYS = 21  # train on the first 3 weeks, test on the rest
+_SEAS_E6 = 1_000_000
+
+
+def _seasonal_baseline_sql(dialect: str) -> str:
+    """Forecast backtesting — the analytics-engine shape under every
+    capacity-planning dashboard: fit the SEASONAL-NAIVE baseline
+    (per-(type, hour-of-day) mean of the train window) and the global
+    per-type mean, score both on the held-out tail, and report exact
+    per-type MAEs. Values quantize ONCE at e6 (`round(value * e6)`),
+    then every mean/|error| is integer arithmetic — the means are
+    integer-division floors, so both engines' MAEs are bit-identical
+    (no float sums anywhere). The train cut is day-truncated corpus min
+    + ``SEAS_TRAIN_DAYS`` (regeneration-proof, the `events_ttl_rollup`
+    rule). ``seasonal_wins`` records WHICH model wins per type, in the
+    hash — on this synthetic corpus values carry no hour-of-day signal,
+    so the finer model mostly LOSES (its 24 per-hour means are fitted
+    noise — the bias-variance readout a real backtest exists to
+    surface); the entry pins the backtest mechanics, not a win
+    direction. Plan: one scan feeds train/test slices
+    (predicate-pushed), the 120-row seasonal model and 5-row global
+    model broadcast back onto the test slice; one type-keyed MAE
+    aggregate.
+    """
+    div = "div" if dialect == "spark" else "//"
+    hour = "hour(ts)" if dialect == "spark" else "CAST(hour(ts) AS BIGINT)"
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) + INTERVAL {SEAS_TRAIN_DAYS} DAY AS cut
+  FROM events),
+q AS (
+  SELECT event_type, {hour} AS hod, ts,
+         CAST(round(value * {_SEAS_E6}) AS BIGINT) AS v_e6
+  FROM events),
+seasonal AS (
+  SELECT event_type, hod,
+         CAST(sum(v_e6) AS BIGINT) {div} CAST(count(*) AS BIGINT) AS f_e6
+  FROM q CROSS JOIN bounds WHERE ts < cut GROUP BY event_type, hod),
+global AS (
+  SELECT event_type,
+         CAST(sum(v_e6) AS BIGINT) {div} CAST(count(*) AS BIGINT) AS g_e6
+  FROM q CROSS JOIN bounds WHERE ts < cut GROUP BY event_type),
+test AS (SELECT * FROM q CROSS JOIN bounds WHERE ts >= cut)
+SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(abs(t.v_e6 - s.f_e6)) AS BIGINT) {div} CAST(count(*) AS BIGINT)
+         AS mae_seasonal_e6,
+       CAST(sum(abs(t.v_e6 - g.g_e6)) AS BIGINT) {div} CAST(count(*) AS BIGINT)
+         AS mae_global_e6,
+       CAST(CAST(sum(abs(t.v_e6 - s.f_e6)) AS BIGINT)
+            <= CAST(sum(abs(t.v_e6 - g.g_e6)) AS BIGINT) AS BOOLEAN)
+         AS seasonal_wins
+FROM test t
+JOIN seasonal s ON t.event_type = s.event_type AND t.hod = s.hod
+JOIN global g ON t.event_type = g.event_type
+GROUP BY t.event_type
+ORDER BY t.event_type
+"""
+
+
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive vs global-mean backtest, exact integer MAEs."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_seasonal_baseline_sql("spark"))
+
+
+def seasonal_baseline_sql() -> str:
+    return _seasonal_baseline_sql("duckdb")

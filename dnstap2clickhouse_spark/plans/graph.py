@@ -488,3 +488,58 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def modularity_sql() -> str:
     return _modularity_sql("duckdb")
+
+
+# ------------------------------------------------ degree assortativity
+
+_ASSORT_E6 = 1_000_000
+
+
+def _assortativity_sql(dialect: str) -> str:
+    """Degree assortativity of the part co-purchase graph (Newman 2002)
+    — the mixing-pattern metric next to `graph_modularity`'s community
+    quality: do high-degree parts co-purchase with other hubs (r > 0)
+    or with the periphery (r < 0)? Over the symmetrized edge list with
+    x = deg(src), y = deg(dst), the marginals coincide, so Pearson
+    collapses to the PURE INTEGER ratio
+    ``r = (M*Sxy - Sx^2) / (M*Sxx - Sx^2)`` — numerator, denominator,
+    and every moment emitted as exact BIGINTs (in-range to ~1e6 edges
+    at these degree scales; DECIMAL(38) lifts it), with ``r_e6`` the
+    deterministic double quotient quantized once. One row out. Plan:
+    edge build + one vertex-keyed degree aggregate + one edge-degree
+    fetch join + a single global moment aggregate with map-side
+    partials.
+    """
+    return f"""
+WITH edges AS ({_copurchase_cte()}),
+sym AS (SELECT a AS u, b AS v FROM edges UNION ALL SELECT b AS u, a AS v FROM edges),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+xy AS (
+  SELECT du.d AS x, dv.d AS y
+  FROM sym s JOIN deg du ON s.u = du.u JOIN deg dv ON s.v = dv.u),
+mo AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM xy)
+SELECT m, sx, sxx, sxy,
+       m * sxy - sx * sx AS num,
+       m * sxx - sx * sx AS den,
+       CAST(round(CAST(m * sxy - sx * sx AS DOUBLE)
+                  / CAST(m * sxx - sx * sx AS DOUBLE) * {_ASSORT_E6}) AS BIGINT)
+         AS r_e6
+FROM mo
+"""
+
+
+def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row degree-assortativity moments and coefficient."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_assortativity_sql("spark"))
+
+
+def assortativity_sql() -> str:
+    return _assortativity_sql("duckdb")
