@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 24): length-bucketed batch assembly with
+        # exact padding-waste accounting (the bucketing sampler)
+        "split_length_buckets": fsplit.length_buckets,
+        # new in round 4 (batch 24): hourly-series autocorrelation at
+        # fixed lags (the seasonality detector; exact moments)
+        "events_autocorrelation": evan.autocorrelation,
+        # new in round 4 (batch 24): cosine-threshold operating curve
+        # over the LSH candidate chain (in-hash monotone certificate)
+        "sim_threshold_sweep": fsim.threshold_sweep,
         # new in round 4 (batch 23): seasonal-naive backtest with exact
         # integer MAEs (the forecast-evaluation analytics shape)
         "events_seasonal_baseline": evan.seasonal_baseline,
@@ -658,6 +667,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "split_length_buckets": fsplit.length_buckets_sql(),
+        "events_autocorrelation": evan.autocorrelation_sql(),
+        "sim_threshold_sweep": fsim.threshold_sweep_sql(),
         "events_seasonal_baseline": evan.seasonal_baseline_sql(),
         "text_keyness": ftext.keyness_sql(),
         "graph_assortativity": pgraph.assortativity_sql(),

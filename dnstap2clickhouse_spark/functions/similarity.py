@@ -1608,3 +1608,63 @@ def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def farthest_init_sql() -> str:
     return _farthest_init_sql("duckdb")
+
+
+# ------------------------------------------- threshold operating curve
+
+SWEEP_THRESHOLDS_E2 = (30, 35, 40, 45, 50, 55, 60)  # cosine e2 ladder
+
+
+def _threshold_sweep_sql(dialect: str) -> str:
+    """The dedup-threshold OPERATING CURVE — how a pipeline owner picks
+    the knob every near-dup entry fixes at ``COSINE_DUP_THRESHOLD``:
+    candidate pairs from the audited sign-LSH chain (the
+    ``_embedding_lsh_pairs_sql`` CTEs reused verbatim up to the scoring
+    relation — string surgery, the `_semantic_dedup_sql` idiom), then
+    ONE pass histograms every pair to the highest ladder threshold it
+    clears (a mapper-side CASE), and the per-threshold counts are the
+    suffix sums of that <=7-row histogram against the 7-row ladder — the
+    pair relation is scanned exactly once no matter how many thresholds
+    the ladder holds (the first draft probed pairs once per threshold;
+    at the 10x replica, where the fixed-bucket LSH candidate set
+    explodes ~15x — the documented `dedup_embedding_lsh` knob row in
+    SCALING.md — that multiplied into a 28x wall blowup; the histogram
+    form inherits only the candidate chain's own cost). Thresholds live
+    as e2 integers (``cosine * 100 >= t_e2`` — no float literals to
+    drift); ``monotone_ok`` certifies in-hash that the curve is
+    non-increasing in the threshold (a lag over the 7-row ladder).
+    """
+    base = _embedding_lsh_pairs_sql(dialect)
+    prefix = base[: base.rindex("SELECT vec_a, vec_b, cosine FROM scored")].rstrip()
+    thr = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS t_e2" for t in SWEEP_THRESHOLDS_E2
+    )
+    arms = " ".join(
+        f"WHEN cosine * 100 >= {t} THEN {t}"
+        for t in sorted(SWEEP_THRESHOLDS_E2, reverse=True)
+    )
+    return f"""{prefix},
+thr AS ({thr}),
+hist AS (
+  SELECT CASE {arms} END AS t_floor, CAST(count(*) AS BIGINT) AS n
+  FROM scored GROUP BY 1),
+counts AS (
+  SELECT t.t_e2, CAST(coalesce(sum(h.n), 0) AS BIGINT) AS n_pairs
+  FROM thr t LEFT JOIN hist h ON h.t_floor >= t.t_e2
+  GROUP BY t.t_e2)
+SELECT t_e2, n_pairs,
+       CAST(coalesce(lag(n_pairs) OVER (ORDER BY t_e2) >= n_pairs, TRUE)
+            AS BOOLEAN) AS monotone_ok
+FROM counts
+ORDER BY t_e2
+"""
+
+
+def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair counts across the cosine-threshold ladder, curve certified."""
+    _register(spark, sf_dir)
+    return spark.sql(_threshold_sweep_sql("spark"))
+
+
+def threshold_sweep_sql() -> str:
+    return _threshold_sweep_sql("duckdb")

@@ -655,3 +655,68 @@ SELECT p.epoch, p.doc_id, p.perm_val, p.pos, c.bijective
 FROM pos p JOIN cert c ON c.epoch = p.epoch
 ORDER BY p.epoch, p.pos
 """
+
+
+# ------------------------------------------- length-bucketed batching
+
+LB_BOUNDS = (64, 128, 256, 512)  # token-length bucket upper bounds
+LB_BATCH = 32  # documents per batch within a bucket
+
+
+def _length_buckets_sql(dialect: str) -> str:
+    """Length-bucketed batch assembly — the dataloader "bucketing
+    sampler" every padded-batch trainer uses (batch same-length-ish
+    docs together so padding waste stays small): docs bucket by token
+    count at the ``LB_BOUNDS`` thresholds, order INSIDE each bucket by
+    the deterministic second-round Lehmer hash (the `split_kfold`
+    decoupling discipline — batch composition must not correlate with
+    the train split), and every ``LB_BATCH`` consecutive docs form a
+    batch. Output is the per-batch manifest: size, max/sum token
+    lengths, and the exact padding waste ``max*n - sum`` a padded
+    collate would allocate — the number the bucketing exists to
+    minimize (a test proves bucketing beats the unbucketed baseline).
+    Plan: mapper-side bucket + ONE bucket-keyed window rank + one
+    (bucket, batch) aggregate; nothing global."""
+    size = "size" if dialect == "spark" else "len"
+    toks = (
+        "split(text, ' ')" if dialect == "spark" else "string_split(text, ' ')"
+    )
+    div = "div" if dialect == "spark" else "//"
+    b = _bucket2_sql("doc_id", LEHMER_P)  # full-range deterministic order key
+    arms = " ".join(
+        f"WHEN n_tok <= {t} THEN {i}" for i, t in enumerate(LB_BOUNDS)
+    )
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST({size}({toks}) AS BIGINT) AS n_tok,
+         CAST({b} AS BIGINT) AS ord
+  FROM documents),
+bucketed AS (
+  SELECT doc_id, n_tok, ord,
+         CAST(CASE {arms} ELSE {len(LB_BOUNDS)} END AS BIGINT) AS bucket
+  FROM lens),
+ranked AS (
+  SELECT bucket, n_tok,
+         row_number() OVER (PARTITION BY bucket ORDER BY ord, doc_id) AS rn
+  FROM bucketed)
+SELECT bucket, CAST((rn - 1) {div} {LB_BATCH} AS BIGINT) AS batch,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_tok,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(max(n_tok) * count(*) - sum(n_tok) AS BIGINT) AS pad_waste
+FROM ranked
+GROUP BY bucket, CAST((rn - 1) {div} {LB_BATCH} AS BIGINT)
+ORDER BY bucket, batch
+"""
+
+
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(bucket, batch) padded-collate manifest with exact waste."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_length_buckets_sql("spark"))
+
+
+def length_buckets_sql() -> str:
+    return _length_buckets_sql("duckdb")

@@ -2199,3 +2199,63 @@ def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def seasonal_baseline_sql() -> str:
     return _seasonal_baseline_sql("duckdb")
+
+
+# ------------------------------------------------ series autocorrelation
+
+ACF_LAGS = (1, 24)  # hours: adjacent-hour memory and daily seasonality
+_ACF_E6 = 1_000_000
+
+
+def _autocorrelation_sql(dialect: str) -> str:
+    """Autocorrelation of the hourly event-count series at the
+    ``ACF_LAGS`` lags — the seasonality DETECTOR whose exploitation
+    side is `events_seasonal_baseline` (a real pipeline runs this
+    first to decide whether an hour-of-day model earns its variance).
+    The series aggregates first (one hour-keyed count — the only
+    corpus-sized work), then each lag is a TIME-ALIGNED self-join of
+    the tiny hourly table (``h2 = h1 + lag`` on integer epoch-hours —
+    no dense-grid assumption, missing hours simply drop out) and one
+    moment aggregate. Pearson moments emit as exact BIGINTs; ``r_e6``
+    is the deterministic double quotient of exact integers quantized
+    once (the `graph_assortativity` idiom — sqrt of a product of
+    exact ints is correctly rounded IEEE, identical in both engines).
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    div = "div" if dialect == "spark" else "//"
+    lag_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({lag} AS BIGINT) AS lag" for lag in ACF_LAGS
+    )
+    return f"""
+WITH hourly AS (
+  SELECT {us} {div} 3600000000 AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1),
+lags AS ({lag_rows}),
+pairs AS (
+  SELECT l.lag, a.n AS x, b.n AS y
+  FROM lags l JOIN hourly a ON 1 = 1
+  JOIN hourly b ON b.h = a.h + l.lag),
+mo AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS np,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY lag)
+SELECT lag, np, sx, sy, sxx, syy, sxy,
+       CAST(round(CAST(np * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                         * CAST(np * syy - sy * sy AS DOUBLE))
+                  * {_ACF_E6}) AS BIGINT) AS r_e6
+FROM mo
+ORDER BY lag
+"""
+
+
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment autocorrelation of the hourly series at fixed lags."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_autocorrelation_sql("spark"))
+
+
+def autocorrelation_sql() -> str:
+    return _autocorrelation_sql("duckdb")
