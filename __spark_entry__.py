@@ -270,6 +270,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 25): BPE merge application with exact
+        # compression accounting (the tokenizer-run pass)
+        "text_bpe_apply": ftext.bpe_apply,
+        # new in round 4 (batch 25): MinHash estimator certification —
+        # est vs exact Jaccard per candidate (found+fixed the degenerate
+        # affine family)
+        "dedup_minhash_accuracy": fdedup.minhash_accuracy,
+        # new in round 4 (batch 25): log2-binned degree distribution
+        # with per-bin mass (the celebrity-vertex skew audit)
+        "graph_degree_histogram": pgraph.degree_histogram,
         # new in round 4 (batch 24): length-bucketed batch assembly with
         # exact padding-waste accounting (the bucketing sampler)
         "split_length_buckets": fsplit.length_buckets,
@@ -667,6 +677,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "text_bpe_apply": ftext.bpe_apply_sql(),
+        "dedup_minhash_accuracy": fdedup.minhash_accuracy_sql(),
+        "graph_degree_histogram": pgraph.degree_histogram_sql(),
         "split_length_buckets": fsplit.length_buckets_sql(),
         "events_autocorrelation": evan.autocorrelation_sql(),
         "sim_threshold_sweep": fsim.threshold_sweep_sql(),

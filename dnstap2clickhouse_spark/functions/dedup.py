@@ -145,6 +145,17 @@ def ngram_jaccard_pairs_sql() -> str:
 
 _MINHASH_P = 2_147_483_647  # 2^31-1; base hash is 28-bit so no overflow
 
+#: affine MinHash family h_i(x) = (A_i * x + 7919*i) mod P. The
+#: multipliers are Lehmer powers 48271^(i+1) mod P — large enough that
+#: the mod wraps and scrambles order per i. The original family used
+#: A_i = 2i+1: for base hashes small enough that (2i+1)*x never wraps,
+#: every h_i is MONOTONE in x, so all 16 "permutations" shared one
+#: argmin and the signature collapsed to a single effective hash —
+#: exposed by the `dedup_minhash_accuracy` instrument (est 1.0 vs exact
+#: ~0.01 on band-colliding pairs) and fixed by these multipliers.
+_MH_A = tuple(pow(48_271, i + 1, _MINHASH_P) for i in range(N_HASHES))
+_MH_A_CSV = ", ".join(str(a) for a in _MH_A)
+
 def _shingle_arrays(dialect: str) -> str:
     """(doc_id, shingle-array) — the arrays stay per-row; no explode."""
     return f"SELECT doc_id, {_shingle_expr(dialect)} AS sh FROM documents"
@@ -152,7 +163,7 @@ def _shingle_arrays(dialect: str) -> str:
 def _minhash_vec_expr() -> str:
     """Spark: the full 16-minhash vector in ONE traversal of the base-hash
     array. ``aggregate`` keeps running elementwise minima for all 16 affine
-    functions h_i(x) = ((2i+1)*x + 7919*i) mod 2^31-1 at once; the array is
+    functions h_i(x) = (A_i*x + 7919*i) mod 2^31-1 at once; the array is
     the aggregate's input (outside any lambda body), so the md5 hashing of
     shingles evaluates exactly once per doc — lambda bodies get no CSE, and
     a nested ``transform(sequence, i -> array_min(transform(hs, ...)))``
@@ -162,7 +173,8 @@ def _minhash_vec_expr() -> str:
     return (
         f"aggregate(hs, {init}, "
         f"(acc, h) -> zip_with(acc, sequence(0, {N_HASHES - 1}), "
-        f"(m, i) -> least(m, ((2 * i + 1) * h + 7919 * i) % {_MINHASH_P})))"
+        f"(m, i) -> least(m, (element_at(array({_MH_A_CSV}), CAST(i + 1 AS INT)) * h "
+        f"+ 7919 * i) % {_MINHASH_P})))"
     )
 
 def _minhash_sql(dialect: str) -> str:
@@ -191,7 +203,7 @@ WITH s AS ({sh}),
 hb AS (SELECT doc_id, {base} AS hs FROM s),
 idx AS ({series})
 SELECT doc_id, hidx,
-       list_min(list_transform(hs, h -> ((2 * hidx + 1) * h + 7919 * hidx) % {_MINHASH_P})) AS minhash
+       list_min(list_transform(hs, h -> (([{_MH_A_CSV}])[hidx + 1] * h + 7919 * hidx) % {_MINHASH_P})) AS minhash
 FROM hb CROSS JOIN idx
 """
 
@@ -988,3 +1000,72 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def containment_pairs_sql() -> str:
     return _containment_sql("duckdb")
+
+
+# ------------------------------------- MinHash estimator certification
+
+MH_TOL_E6 = 375_000  # 3 sigma at 16 permutations: 3*sqrt(.25/16) = 0.375
+
+
+def _minhash_accuracy_sql(dialect: str) -> str:
+    """MinHash ACCURACY certification — the `events_sketch_stats`
+    pattern applied to the estimator the whole LSH chain stands on:
+    for every banded-LSH candidate pair, the signature-agreement
+    estimate (matching minima / N_HASHES — the unbiased MinHash
+    Jaccard estimator) sits next to the EXACT shingle Jaccard (the
+    `_lsh_verified_sql` fetch-join form, threshold-free), with the
+    absolute error and a ``within_3sigma`` flag at the analytic
+    3*sqrt(J(1-J)/16) <= ``MH_TOL_E6`` bound. The flag is COMPUTED by
+    both engines (the `graph_kcore` certificate discipline), so the
+    hash certifies the per-pair error pattern itself — a ~0.3%-per-pair
+    3-sigma exceedance rate is expected and recorded, never asserted.
+    All quantities are exact integers at e6. Plan: the candidate join +
+    two doc-keyed fetch joins (signature vector and shingle array ride
+    the same fetch), nothing all-pairs.
+    """
+    cand = _lsh_pairs_sql(dialect)
+    sh = _shingle_arrays(dialect)
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        sig_src = f"""
+sigs AS (SELECT doc_id, {_minhash_vec_expr()} AS mh
+         FROM (SELECT doc_id, transform(sh, s -> {_hash_tok("spark", "s")}) AS hs
+               FROM shx))"""
+        agree = "size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), v -> v))"
+    else:
+        mh = _minhash_sql(dialect)
+        sig_src = f"""
+sigs AS (SELECT doc_id, list(minhash ORDER BY hidx) AS mh FROM ({mh}) GROUP BY doc_id)"""
+        agree = ("len(list_filter(list_transform(range(1, " + str(N_HASHES + 1) +
+                 "), i -> sa.mh[i] = sb.mh[i]), v -> v))")
+    return f"""
+WITH cand AS ({cand}),
+shx AS ({sh}),{sig_src},
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         (CAST({agree} AS BIGINT) * 1000000) {div} {N_HASHES} AS est_e6,
+         (CAST({size}({inter}(a.sh, b.sh)) AS BIGINT) * 1000000)
+           {div} ({size}(a.sh) + {size}(b.sh) - {size}({inter}(a.sh, b.sh))) AS exact_e6
+  FROM cand c
+  JOIN shx a ON c.doc_a = a.doc_id
+  JOIN shx b ON c.doc_b = b.doc_id
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, est_e6, exact_e6,
+       abs(est_e6 - exact_e6) AS abs_err_e6,
+       CAST(abs(est_e6 - exact_e6) <= {MH_TOL_E6} AS BOOLEAN) AS within_3sigma
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimate vs exact Jaccard, error flagged."""
+    _register(spark, sf_dir)
+    return spark.sql(_minhash_accuracy_sql("spark"))
+
+
+def minhash_accuracy_sql() -> str:
+    return _minhash_accuracy_sql("duckdb")

@@ -1016,3 +1016,58 @@ def keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def keyness_sql() -> str:
     return _keyness_sql("duckdb")
+
+
+# ----------------------------------------------- BPE merge application
+
+BPE_MARK2 = "#"  # round-2 merged symbol; ASCII corpus, cannot collide
+
+
+def _bpe_apply_sql(dialect: str) -> str:
+    """Tokenizer APPLICATION — the other half of `text_bpe_merges`
+    (which LEARNS the merge table): apply the two learned merges to
+    every word of every document and account the compression, the
+    pass a pipeline runs over 100 TB once a tokenizer is frozen.
+    The learned winners come from the SAME unrolled CTE chain
+    (string surgery on `_bpe_merges_sql`'s prefix through ``p2`` —
+    the merges applied are literally the audited learned ones, they
+    cannot drift), each applied as left-to-right non-overlapping
+    ``replace`` (identical semantics in both engines). Per document:
+    symbol counts before/after and the exact e6 compression ratio;
+    ``monotone_ok`` certifies in-hash that applying merges never
+    grows a document. Plan: the learning chain's two corpus pair
+    counts + two 1-row winner broadcasts + one mapper-side rewrite
+    and doc-keyed aggregate.
+    """
+    base = _bpe_merges_sql(dialect)
+    prefix = base[: base.index("top1 AS")].rstrip().rstrip(",")
+    toks = _toks(dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    div = "div" if dialect == "spark" else "//"
+    return f"""{prefix},
+m2 AS (SELECT pair FROM p2 ORDER BY n DESC, pair LIMIT 1),
+dw AS (SELECT doc_id, {unnest}({toks}) AS word FROM documents),
+applied AS (
+  SELECT doc_id, CAST(length(word) AS BIGINT) AS l0,
+         CAST(length(replace(replace(word, (SELECT pair FROM m1), '{BPE_MARK}'),
+                             (SELECT pair FROM m2), '{BPE_MARK2}')) AS BIGINT) AS l2
+  FROM dw)
+SELECT doc_id,
+       CAST(sum(l0) AS BIGINT) AS n_sym_before,
+       CAST(sum(l2) AS BIGINT) AS n_sym_after,
+       (CAST(sum(l2) AS BIGINT) * 1000000) {div} CAST(sum(l0) AS BIGINT) AS comp_e6,
+       CAST(sum(l2) <= sum(l0) AS BOOLEAN) AS monotone_ok
+FROM applied
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc compression from applying the learned BPE merges."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bpe_apply_sql("spark"))
+
+
+def bpe_apply_sql() -> str:
+    return _bpe_apply_sql("duckdb")

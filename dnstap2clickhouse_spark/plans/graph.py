@@ -543,3 +543,50 @@ def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def assortativity_sql() -> str:
     return _assortativity_sql("duckdb")
+
+
+# ------------------------------------------------ degree distribution
+
+DEG_HIST_MAX_BIN = 14  # log2 bins 0..14 (degree >= 2^14 folds into the top)
+
+
+def _degree_histogram_sql(dialect: str) -> str:
+    """Log-binned degree distribution of the part co-purchase graph —
+    the first diagnostic run on any production graph (is it power-law?
+    where does the celebrity tail start? which bin breaks the wedge
+    bound `graph_triangle_count` relies on?): vertices bucket by
+    floor(log2(degree)) via a fixed CASE ladder (exact integer compare,
+    no log anywhere), each bin reporting vertex count, degree bounds,
+    and its total degree mass. The mass column makes the histogram a
+    skew AUDIT: bins with few vertices but large mass are the
+    celebrity vertices a 100 TB join must salt. Plan: one edge build +
+    one vertex-keyed degree aggregate + one ≤15-row bin aggregate.
+    """
+    arms = " ".join(
+        f"WHEN d < {1 << (b + 1)} THEN {b}" for b in range(DEG_HIST_MAX_BIN)
+    )
+    return f"""
+WITH edges AS ({_copurchase_cte()}),
+sym AS (SELECT a AS u FROM edges UNION ALL SELECT b AS u FROM edges),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u)
+SELECT CAST(CASE {arms} ELSE {DEG_HIST_MAX_BIN} END AS BIGINT) AS log2_bin,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(min(d) AS BIGINT) AS min_deg,
+       CAST(max(d) AS BIGINT) AS max_deg,
+       CAST(sum(d) AS BIGINT) AS degree_mass
+FROM deg
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram with per-bin degree mass."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_degree_histogram_sql("spark"))
+
+
+def degree_histogram_sql() -> str:
+    return _degree_histogram_sql("duckdb")
