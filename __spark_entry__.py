@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 26): per-gate yield funnel of the v2
+        # curation pipeline (spliced from the audited gate relations)
+        "curate_yield_report": pcur.yield_report,
+        # new in round 4 (batch 26): leakage-safe splitting by near-dup
+        # cluster id, with measured naive-straddle certificate
+        "split_leakage_safe": fsplit.leakage_safe_split,
+        # new in round 4 (batch 26): stationary-mass power iteration of
+        # the event-type Markov chain (exact integer masses)
+        "events_markov_stationary": evan.markov_stationary,
         # new in round 4 (batch 25): BPE merge application with exact
         # compression accounting (the tokenizer-run pass)
         "text_bpe_apply": ftext.bpe_apply,
@@ -677,6 +686,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "curate_yield_report": pcur.yield_report_sql(),
+        "split_leakage_safe": fsplit.leakage_safe_split_sql(),
+        "events_markov_stationary": evan.markov_stationary_sql(),
         "text_bpe_apply": ftext.bpe_apply_sql(),
         "dedup_minhash_accuracy": fdedup.minhash_accuracy_sql(),
         "graph_degree_histogram": pgraph.degree_histogram_sql(),

@@ -720,3 +720,70 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def length_buckets_sql() -> str:
     return _length_buckets_sql("duckdb")
+
+
+# ------------------------------------------- leakage-safe splitting
+
+
+def _leakage_split_body() -> str:
+    """Dialect-free downstream of the cluster labels: split docs by the
+    hash of their near-dup CLUSTER id (not their own id), so a near-dup
+    pair can never straddle train/test — the train/test-leakage failure
+    mode naive per-doc splitting has (a test doc's near-duplicate in
+    train inflates eval). The naive assignment rides along and both
+    straddle counts are computed in-band: ``straddle_naive`` measures
+    the leakage the safe split removes, ``straddle_safe`` is 0 by
+    construction but COMPUTED, not asserted (the `graph_kcore`
+    certificate discipline)."""
+    cases = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    )
+
+    def split(key: str) -> str:
+        return f"CASE {cases.replace('b >=', key + ' >=').replace('b <', key + ' <')} END"
+
+    # rewrite CASE over an inline bucket expression per key
+    safe = _bucket_sql("cluster_id")
+    naive = _bucket_sql("doc_id")
+    return f"""
+lab AS (
+  SELECT doc_id, cluster_id,
+         {split(f"({safe})")} AS split_safe,
+         {split(f"({naive})")} AS split_naive
+  FROM cc),
+per_cluster AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT split_safe) AS BIGINT) AS d_safe,
+         CAST(count(DISTINCT split_naive) AS BIGINT) AS d_naive
+  FROM lab GROUP BY cluster_id),
+cert AS (
+  SELECT CAST(sum(CASE WHEN n > 1 AND d_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS straddle_naive,
+         CAST(sum(CASE WHEN d_safe > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS straddle_safe
+  FROM per_cluster)
+SELECT l.doc_id, l.cluster_id, l.split_safe, l.split_naive,
+       c.straddle_naive, c.straddle_safe
+FROM lab l CROSS JOIN cert c
+ORDER BY l.doc_id
+"""
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-keyed split assignment over the near-dup CC labels, with
+    in-band straddle certificates (safe = 0; naive measured)."""
+    from ..functions.dedup import cc_clusters
+
+    cc_clusters(spark, sf_dir).createOrReplaceTempView("cc_labels")
+    return spark.sql("WITH cc AS (SELECT * FROM cc_labels)," + _leakage_split_body())
+
+
+def leakage_safe_split_sql() -> str:
+    from ..functions.dedup import _cc_reach_sql
+
+    return (
+        _cc_reach_sql()
+        + ",\ncc AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),"
+        + _leakage_split_body()
+    )

@@ -246,3 +246,72 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dataset_card_sql() -> str:
     return _dataset_card_sql("duckdb")
+
+
+# ------------------------------------------------ pipeline yield report
+
+YIELD_STAGES = ("corpus", "quality", "repetition", "decontam", "near_dup", "resample")
+
+
+def _yield_report_sql(dialect: str) -> str:
+    """Per-gate YIELD funnel of the v2 curation pipeline — the ops
+    readout a pipeline owner reads before anything else (which gate is
+    eating the corpus? did a config change move a stage's drop rate?):
+    every v2 gate's survivor count as the gates apply cumulatively, in
+    the chain's documented order. Built by string surgery on
+    ``_curate_v2_sql``'s prefix (the audited gate relations themselves
+    — `rep`, `dec`, `dropped`, `scored` — so the report cannot drift
+    from the pipeline), with each gate reduced to a 0/1 flag and the
+    funnel one aggregate of running conjunctions. The final stage's
+    count equals `curate_corpus_v2`'s cardinality by construction
+    (conjunctive gates — pinned in tests). Output: one row per stage
+    with in/out/dropped counts.
+    """
+    from ..functions.splits import RESAMPLE_BUCKETS, RESAMPLE_SCALE, _bucket2_sql
+
+    v2 = _curate_v2_sql(dialect)
+    prefix = v2[: v2.index("kept AS (")].rstrip().rstrip(",") + ","
+    rs = f"{_bucket2_sql('s.doc_id', RESAMPLE_BUCKETS)} < s.quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS}"
+    stage_rows = []
+    for i, gate in enumerate(YIELD_STAGES):
+        prev = "n0" if i == 0 else f"n{i - 1}"
+        stage_rows.append(
+            f"SELECT CAST({i} AS BIGINT) AS stage, '{gate}' AS gate, "
+            f"{prev} AS n_in, n{i} AS n_out, {prev} - n{i} AS n_dropped FROM funnel"
+        )
+    stages = "\nUNION ALL\n".join(stage_rows)
+    return f"""{prefix}
+flags AS (
+  SELECT s.doc_id,
+         CAST(CASE WHEN s.quality >= {QUALITY_MIN} THEN 1 ELSE 0 END AS BIGINT) AS f_q,
+         CAST(CASE WHEN r.keep THEN 1 ELSE 0 END AS BIGINT) AS f_rep,
+         CAST(CASE WHEN NOT c.contaminated THEN 1 ELSE 0 END AS BIGINT) AS f_dec,
+         CAST(CASE WHEN v.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS f_dup,
+         CAST(CASE WHEN {rs} THEN 1 ELSE 0 END AS BIGINT) AS f_rs
+  FROM scored s
+  JOIN rep r ON r.doc_id = s.doc_id
+  JOIN dec c ON c.doc_id = s.doc_id
+  LEFT JOIN dropped v ON v.doc_id = s.doc_id),
+funnel AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0,
+         CAST(sum(f_q) AS BIGINT) AS n1,
+         CAST(sum(f_q * f_rep) AS BIGINT) AS n2,
+         CAST(sum(f_q * f_rep * f_dec) AS BIGINT) AS n3,
+         CAST(sum(f_q * f_rep * f_dec * f_dup) AS BIGINT) AS n4,
+         CAST(sum(f_q * f_rep * f_dec * f_dup * f_rs) AS BIGINT) AS n5
+  FROM flags)
+{stages}
+ORDER BY stage
+"""
+
+
+def yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-gate survivor funnel of the v2 pipeline."""
+    from ..functions.dedup import _register
+
+    _register(spark, sf_dir)
+    return spark.sql(_yield_report_sql("spark"))
+
+
+def yield_report_sql() -> str:
+    return _yield_report_sql("duckdb")

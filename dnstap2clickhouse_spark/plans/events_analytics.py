@@ -2259,3 +2259,65 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def autocorrelation_sql() -> str:
     return _autocorrelation_sql("duckdb")
+
+
+# ------------------------------------------- Markov stationary masses
+
+MARKOV_E12 = 1_000_000_000_000
+
+
+def _markov_stationary_sql(dialect: str) -> str:
+    """Power iteration toward the stationary distribution of the
+    event-type Markov chain — "where do user journeys spend their
+    time" (the `events_path_transitions` matrix put to its classic
+    use, with `graph_pagerank`'s exact-integer discipline): the
+    transition counts row-normalize implicitly by carrying each row
+    total, mass starts uniform at e12, and two unrolled rounds move
+    mass as ``x'(b) = sum_a x(a) * n_ab div n_a`` — integer divisions
+    only, so both engines produce bit-identical masses (floor dust
+    stays, conservation is certified within ``<= #states * #arcs``
+    dust in-band rather than asserted exact). The matrix is
+    type-domain² bounded: after the one corpus-sized lag window +
+    pair count, every join touches ≤25 rows.
+    """
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type AS a, event_type AS b, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+rowt AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM pairs GROUP BY a),
+states AS (SELECT a AS s FROM rowt),
+nstates AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+x0 AS (
+  SELECT s, CAST({MARKOV_E12} AS BIGINT) {div} k AS m
+  FROM states CROSS JOIN nstates),
+x1 AS (
+  SELECT p.b AS s, CAST(sum((x.m * p.n) {div} r.na) AS BIGINT) AS m
+  FROM pairs p JOIN rowt r ON p.a = r.a JOIN x0 x ON x.s = p.a
+  GROUP BY p.b),
+x2 AS (
+  SELECT p.b AS s, CAST(sum((x.m * p.n) {div} r.na) AS BIGINT) AS m
+  FROM pairs p JOIN rowt r ON p.a = r.a JOIN x1 x ON x.s = p.a
+  GROUP BY p.b)
+SELECT x2.s AS state, x1.m AS mass1_e12, x2.m AS mass2_e12,
+       CAST((SELECT sum(m) FROM x2) AS BIGINT) AS total_mass_e12,
+       CAST({MARKOV_E12} - (SELECT sum(m) FROM x2)
+            <= (SELECT k FROM nstates) * 30 AS BOOLEAN) AS mass_conserved
+FROM x2 JOIN x1 ON x1.s = x2.s
+ORDER BY x2.s
+"""
+
+
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration rounds of the event-type chain, exact ints."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_markov_stationary_sql("spark"))
+
+
+def markov_stationary_sql() -> str:
+    return _markov_stationary_sql("duckdb")
