@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 27): IVF nprobe recall curve (one corpus
+        # pass, first-probe tagging; the partition-pruning tuning knob)
+        "sim_nprobe_sweep": fsim.nprobe_sweep,
+        # new in round 4 (batch 27): near-dup cluster size distribution
+        # (dedup observability; boilerplate-blowup detector)
+        "dedup_cluster_stats": fdedup.cluster_stats,
+        # new in round 4 (batch 27): purged temporal split with measured
+        # embargo-gap certificate (the time-leakage counterpart)
+        "split_temporal_embargo": fsplit.temporal_embargo,
         # new in round 4 (batch 26): per-gate yield funnel of the v2
         # curation pipeline (spliced from the audited gate relations)
         "curate_yield_report": pcur.yield_report,
@@ -686,6 +695,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "sim_nprobe_sweep": fsim.nprobe_sweep_sql(),
+        "dedup_cluster_stats": fdedup.cluster_stats_sql(),
+        "split_temporal_embargo": fsplit.temporal_embargo_sql(),
         "curate_yield_report": pcur.yield_report_sql(),
         "split_leakage_safe": fsplit.leakage_safe_split_sql(),
         "events_markov_stationary": evan.markov_stationary_sql(),

@@ -1069,3 +1069,70 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_accuracy_sql() -> str:
     return _minhash_accuracy_sql("duckdb")
+
+
+# ------------------------------------- cluster size distribution
+
+CLUSTER_BINS = ((1, 1), (2, 2), (3, 4), (5, 8), (9, 1 << 30))
+
+
+def _cluster_stats_sql(dialect: str) -> str:
+    """Near-dup cluster SIZE DISTRIBUTION — the dedup observability
+    readout next to `graph_degree_histogram`'s skew audit: how much of
+    the corpus sits in singletons vs duplicate families, and how big
+    the biggest family is (a sudden giant cluster is the classic
+    symptom of boilerplate or a broken shingle config). Bins over the
+    audited CC labels (`_cc_reach_sql` spliced, the `cc_clusters`
+    relation itself); per bin: cluster count, document mass, and the
+    bin's largest cluster. The global max cluster size rides every row
+    (cross-joined 1-row aggregate) so the hash pins it. Plan: labels →
+    one cluster-keyed count → one ≤5-row bin aggregate.
+    """
+    arms = " ".join(
+        f"WHEN n >= {lo} AND n <= {hi} THEN {i}"
+        for i, (lo, hi) in enumerate(CLUSTER_BINS)
+    )
+    return (
+        _cc_reach_sql()
+        + f""",
+cc AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),
+sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM cc GROUP BY cluster_id),
+mx AS (SELECT CAST(max(n) AS BIGINT) AS max_cluster FROM sizes)
+SELECT CAST(CASE {arms} END AS BIGINT) AS size_bin,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(max(n) AS BIGINT) AS bin_max_size,
+       m.max_cluster
+FROM sizes CROSS JOIN mx m
+GROUP BY 1, m.max_cluster
+ORDER BY 1
+"""
+    )
+
+
+def cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned near-dup cluster sizes over the CC labels (DataFrame
+    flavor: reuses the driver-looped `cc_clusters` labels, then the
+    same dialect-free downstream)."""
+    cc_clusters(spark, sf_dir).createOrReplaceTempView("cc_labels")
+    arms = " ".join(
+        f"WHEN n >= {lo} AND n <= {hi} THEN {i}"
+        for i, (lo, hi) in enumerate(CLUSTER_BINS)
+    )
+    return spark.sql(f"""
+WITH sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+               FROM cc_labels GROUP BY cluster_id),
+mx AS (SELECT CAST(max(n) AS BIGINT) AS max_cluster FROM sizes)
+SELECT CAST(CASE {arms} END AS BIGINT) AS size_bin,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(max(n) AS BIGINT) AS bin_max_size,
+       m.max_cluster
+FROM sizes CROSS JOIN mx m
+GROUP BY 1, m.max_cluster
+ORDER BY 1
+""")
+
+
+def cluster_stats_sql() -> str:
+    return _cluster_stats_sql("duckdb")

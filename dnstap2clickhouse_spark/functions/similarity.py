@@ -1668,3 +1668,73 @@ def threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def threshold_sweep_sql() -> str:
     return _threshold_sweep_sql("duckdb")
+
+
+# ------------------------------------------- IVF nprobe operating curve
+
+NPROBE_LADDER = (1, 2, 4)  # probe counts swept (IVF_NPROBE = 2 in prod)
+
+
+def _nprobe_sweep_sql(dialect: str) -> str:
+    """The IVF tuning curve — recall@k as a function of ``nprobe``, the
+    knob every IVF deployment sweeps before fixing `IVF_NPROBE` (the
+    `sim_threshold_sweep` pattern applied to the partition-pruning
+    index): candidates are generated ONCE at the ladder's maximum probe
+    depth, each tagged with the rank of the FIRST probe cell that
+    reaches it, so every smaller nprobe's candidate set is a filter on
+    the same scored relation — one corpus pass total, the
+    histogram-not-rescan discipline. Per ladder point: hits against the
+    exact brute-force top-k (the shared `_recall_vs_brute_sql` metric
+    definition) and the exact e6 mean recall; ``monotone_ok`` certifies
+    in-hash that recall never falls as nprobe grows (more cells ⊇ fewer
+    cells, so the candidate set only grows — top-k reshuffling could in
+    principle break it; the certificate MEASURES it).
+    """
+    div = "div" if dialect == "spark" else "//"
+    dot_pair = _dot("q.embedding", "n.embedding", dialect)
+    h_probe = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
+    maxp = max(NPROBE_LADDER)
+    arms = "\nUNION ALL\n".join(f"""
+  SELECT CAST({np} AS BIGINT) AS nprobe, CAST(count(b.neighbor_id) AS BIGINT) AS n_hits
+  FROM (SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored WHERE first_probe <= {np}) r
+  JOIN brute b ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+  WHERE r.rank <= {TOP_K}""" for np in NPROBE_LADDER)
+    return f"""
+WITH {_ivf_cell_ctes(dialect)},
+probes_max AS (
+  SELECT vec_id AS query_id, label AS cell, rn
+  FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {maxp}),
+cand AS (
+  SELECT {h_probe}p.query_id, a.vec_id AS neighbor_id,
+         CAST(min(p.rn) AS BIGINT) AS first_probe
+  FROM probes_max p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+  GROUP BY p.query_id, a.vec_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.first_probe,
+         {dot_pair} / sqrt(q.nrm * n.nrm) AS cosine
+  FROM cand c
+  JOIN e q ON q.vec_id = c.query_id
+  JOIN e n ON n.vec_id = c.neighbor_id),
+brute AS ({_brute_force_sql(dialect).replace("ORDER BY query_id, rank", "")}),
+curve AS ({arms})
+SELECT nprobe, n_hits,
+       (n_hits * 1000000) {div} {N_QUERIES * TOP_K} AS recall_e6,
+       CAST(coalesce(lag(n_hits) OVER (ORDER BY nprobe) <= n_hits, TRUE)
+            AS BOOLEAN) AS monotone_ok
+FROM curve
+ORDER BY nprobe
+"""
+
+
+def nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k per IVF probe depth, curve certified monotone."""
+    _register(spark, sf_dir)
+    return spark.sql(_nprobe_sweep_sql("spark"))
+
+
+def nprobe_sweep_sql() -> str:
+    return _nprobe_sweep_sql("duckdb")

@@ -787,3 +787,62 @@ def leakage_safe_split_sql() -> str:
         + ",\ncc AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id),"
         + _leakage_split_body()
     )
+
+
+# ------------------------------------------- temporal split with embargo
+
+EMB_TEST_DAYS = 7  # test = the last full week
+EMB_GAP_DAYS = 1  # embargo: day between train end and test start is DROPPED
+
+
+def _temporal_embargo_sql(dialect: str) -> str:
+    """Time-based train/test split with an EMBARGO gap — the temporal
+    counterpart of `split_leakage_safe` (that one kills hash/near-dup
+    leakage; this kills temporal leakage, the financial-ML "purged
+    split": rows adjacent in time share state, so a gap between train
+    and test keeps lookahead information out). Cuts are day-truncated
+    off the corpus max (regeneration-proof): test takes the last
+    ``EMB_TEST_DAYS`` days, the ``EMB_GAP_DAYS`` before that are
+    dropped, the rest trains. Output: one row per split (plus the
+    embargo row) with counts and exact microsecond time bounds, and an
+    in-hash certificate that the train/test gap is >= the embargo in
+    REAL time (computed from the actual min/max, not the cut
+    definition). One scan, one 3-way CASE, one 3-row aggregate.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    return f"""
+WITH cuts AS (
+  SELECT date_trunc('day', max(ts)) - INTERVAL {EMB_TEST_DAYS} DAY AS test_start,
+         date_trunc('day', max(ts)) - INTERVAL {EMB_TEST_DAYS + EMB_GAP_DAYS} DAY
+           AS train_end
+  FROM events),
+labeled AS (
+  SELECT CASE WHEN ts >= c.test_start THEN 'test'
+              WHEN ts < c.train_end THEN 'train'
+              ELSE 'embargo' END AS split,
+         {us} AS us
+  FROM events e CROSS JOIN cuts c),
+agg AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n,
+         CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us
+  FROM labeled GROUP BY split),
+cert AS (
+  SELECT CAST((SELECT min_us FROM agg WHERE split = 'test')
+              - (SELECT max_us FROM agg WHERE split = 'train')
+              >= {EMB_GAP_DAYS} * 86400000000 AS BOOLEAN) AS gap_ok)
+SELECT a.split, a.n, a.min_us, a.max_us, c.gap_ok
+FROM agg a CROSS JOIN cert c
+ORDER BY a.split
+"""
+
+
+def temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split summary with measured-gap certificate."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_temporal_embargo_sql("spark"))
+
+
+def temporal_embargo_sql() -> str:
+    return _temporal_embargo_sql("duckdb")
