@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 28): text-side LSH pair recall vs exact
+        # Jaccard truth (precision certified 1.0 in-hash)
+        "dedup_minhash_recall": fdedup.minhash_recall,
+        # new in round 4 (batch 28): global transitivity from the
+        # audited triangle census (exact e6 quotient)
+        "graph_clustering_coefficient": pgraph.clustering_coefficient,
+        # new in round 4 (batch 28): per-source gate-failure scorecard
+        # (the evidence table domain-mix proportions are set from)
+        "curate_source_scorecard": pcur.source_scorecard,
         # new in round 4 (batch 27): IVF nprobe recall curve (one corpus
         # pass, first-probe tagging; the partition-pruning tuning knob)
         "sim_nprobe_sweep": fsim.nprobe_sweep,
@@ -695,6 +704,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "dedup_minhash_recall": fdedup.minhash_recall_sql(),
+        "graph_clustering_coefficient": pgraph.clustering_coefficient_sql(),
+        "curate_source_scorecard": pcur.source_scorecard_sql(),
         "sim_nprobe_sweep": fsim.nprobe_sweep_sql(),
         "dedup_cluster_stats": fdedup.cluster_stats_sql(),
         "split_temporal_embargo": fsplit.temporal_embargo_sql(),

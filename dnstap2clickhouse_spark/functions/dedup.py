@@ -1136,3 +1136,43 @@ ORDER BY 1
 
 def cluster_stats_sql() -> str:
     return _cluster_stats_sql("duckdb")
+
+
+# ------------------------------------- MinHash-LSH pair recall (text side)
+
+
+def _minhash_recall_sql(dialect: str) -> str:
+    """Pair recall of the text MinHash-LSH chain vs the exact all-pairs
+    `ngram_jaccard_pairs` ground truth — the text-side twin of
+    `dedup_embedding_lsh_recall`, and (with `dedup_minhash_accuracy`)
+    the second instrument the banding knob is tuned against: ONE scalar
+    row (found/true/recall), with precision structurally 1.0 — LSH
+    candidates are exact-Jaccard verified at the same threshold — and
+    CERTIFIED by ``n_false_pos`` which the oracle hash pins to 0. The
+    exact relation is the documented quadratic verifier (the audit
+    waiver family); the measured path stays candidates-only.
+    """
+    return f"""
+WITH exact_pairs AS ({_jaccard_sql(dialect).replace("ORDER BY doc_a, doc_b", "")}),
+lsh_pairs AS ({_lsh_verified_sql(dialect)}),
+hits AS (
+  SELECT x.doc_a FROM exact_pairs x JOIN lsh_pairs l
+    ON x.doc_a = l.doc_a AND x.doc_b = l.doc_b)
+SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_found,
+       CAST((SELECT count(*) FROM exact_pairs) AS BIGINT) AS n_true,
+       CASE WHEN (SELECT count(*) FROM exact_pairs) = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                   / (SELECT count(*) FROM exact_pairs) END AS pair_recall,
+       CAST((SELECT count(*) FROM lsh_pairs) AS BIGINT)
+         - CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_false_pos
+"""
+
+
+def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row recall of LSH-verified pairs vs the exact Jaccard truth."""
+    _register(spark, sf_dir)
+    return spark.sql(_minhash_recall_sql("spark"))
+
+
+def minhash_recall_sql() -> str:
+    return _minhash_recall_sql("duckdb")

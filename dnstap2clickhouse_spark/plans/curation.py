@@ -315,3 +315,67 @@ def yield_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def yield_report_sql() -> str:
     return _yield_report_sql("duckdb")
+
+
+# ------------------------------------------------ per-source scorecard
+
+
+def _source_scorecard_sql(dialect: str) -> str:
+    """Per-SOURCE curation scorecard — the "which crawls earn their
+    spot in the mix" decision input (`curate_domain_mix` sets
+    proportions; THIS is the evidence table it is set from): for every
+    source, document count, mean quality (per-doc e6-quantized before
+    summing, so the mean is exact integer arithmetic — no float sum
+    order anywhere), and each gate's failure count (low quality,
+    repetition, contamination, near-dup), plus the final kept count
+    under the full v2 rule. Gate relations are `_curate_v2_sql`'s own
+    CTEs (the `curate_yield_report` splice), so the scorecard cannot
+    disagree with the pipeline. Plan: the gate relations + one
+    source-keyed aggregate (source domain is small; output is
+    source-bounded).
+    """
+    from ..functions.splits import RESAMPLE_BUCKETS, RESAMPLE_SCALE, _bucket2_sql
+
+    v2 = _curate_v2_sql(dialect)
+    prefix = v2[: v2.index("kept AS (")].rstrip().rstrip(",") + ","
+    div = "div" if dialect == "spark" else "//"
+    rs = f"{_bucket2_sql('s.doc_id', RESAMPLE_BUCKETS)} < s.quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS}"
+    return f"""{prefix}
+per_doc AS (
+  SELECT d.source,
+         CAST(round(s.quality * 1000000) AS BIGINT) AS q_e6,
+         CAST(CASE WHEN s.quality < {QUALITY_MIN} THEN 1 ELSE 0 END AS BIGINT) AS f_lowq,
+         CAST(CASE WHEN r.keep THEN 0 ELSE 1 END AS BIGINT) AS f_rep,
+         CAST(CASE WHEN c.contaminated THEN 1 ELSE 0 END AS BIGINT) AS f_con,
+         CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS f_dup,
+         CAST(CASE WHEN s.quality >= {QUALITY_MIN} AND r.keep
+                    AND NOT c.contaminated AND v.doc_id IS NULL
+                    AND {rs} THEN 1 ELSE 0 END AS BIGINT) AS kept
+  FROM scored s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN rep r ON r.doc_id = s.doc_id
+  JOIN dec c ON c.doc_id = s.doc_id
+  LEFT JOIN dropped v ON v.doc_id = s.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q_e6) AS BIGINT) {div} CAST(count(*) AS BIGINT) AS mean_q_e6,
+       CAST(sum(f_lowq) AS BIGINT) AS n_low_quality,
+       CAST(sum(f_rep) AS BIGINT) AS n_repetitive,
+       CAST(sum(f_con) AS BIGINT) AS n_contaminated,
+       CAST(sum(f_dup) AS BIGINT) AS n_near_dup,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gate-failure and yield profile from the v2 relations."""
+    from ..functions.dedup import _register
+
+    _register(spark, sf_dir)
+    return spark.sql(_source_scorecard_sql("spark"))
+
+
+def source_scorecard_sql() -> str:
+    return _source_scorecard_sql("duckdb")

@@ -590,3 +590,46 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def degree_histogram_sql() -> str:
     return _degree_histogram_sql("duckdb")
+
+
+# ------------------------------------------------ clustering coefficient
+
+_CLUST_E6 = 1_000_000
+
+
+def _clustering_sql(dialect: str) -> str:
+    """Global clustering coefficient (transitivity) of the co-purchase
+    graph — `3 * triangles / open wedges`, the "do my customers'
+    baskets close into cliques" readout and the third global graph
+    metric beside `graph_modularity` (community quality) and
+    `graph_assortativity` (mixing). Triangles come from the audited
+    degree-ordered census (`_triangle_sql`'s CTEs spliced verbatim —
+    the count cannot drift from the standalone entry); the wedge
+    denominator is the exact ``sum(d*(d-1)/2)`` over the SAME degree
+    relation. The coefficient emits as the exact e6 integer quotient;
+    dividend ``3*T*e6`` is BIGINT-safe to ~3e12 triangles.
+    """
+    base = _triangle_sql(dialect)
+    prefix = base[: base.rindex("SELECT (SELECT")].rstrip().rstrip(",") + ","
+    div = "div" if dialect == "spark" else "//"
+    return f"""{prefix}
+wt AS (SELECT CAST(sum(d * (d - 1) {div} 2) AS BIGINT) AS n_open FROM deg)
+SELECT t.n_triangles,
+       w.n_open AS n_wedges_total,
+       CASE WHEN w.n_open = 0 THEN CAST(0 AS BIGINT)
+            ELSE (3 * t.n_triangles * {_CLUST_E6}) {div} w.n_open END
+         AS transitivity_e6
+FROM tri t CROSS JOIN wt w
+"""
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global transitivity from the audited triangle census."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_clustering_sql("spark"))
+
+
+def clustering_coefficient_sql() -> str:
+    return _clustering_sql("duckdb")
