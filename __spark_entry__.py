@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 29): per-user feature-store matrix
+        # (fixed-width conditional-sum fan-out, exact integers)
+        "events_feature_matrix": evan.feature_matrix,
+        # new in round 4 (batch 29): declarative threshold alerting
+        # (rules dim × hourly metrics broadcast join)
+        "events_alert_eval": evan.alert_eval,
+        # new in round 4 (batch 29): Heaps-law vocabulary growth curve
+        # (first-occurrence quartiles; saturation = repetition signal)
+        "text_vocab_growth": ftext.vocab_growth,
         # new in round 4 (batch 28): text-side LSH pair recall vs exact
         # Jaccard truth (precision certified 1.0 in-hash)
         "dedup_minhash_recall": fdedup.minhash_recall,
@@ -704,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_feature_matrix": evan.feature_matrix_sql(),
+        "events_alert_eval": evan.alert_eval_sql(),
+        "text_vocab_growth": ftext.vocab_growth_sql(),
         "dedup_minhash_recall": fdedup.minhash_recall_sql(),
         "graph_clustering_coefficient": pgraph.clustering_coefficient_sql(),
         "curate_source_scorecard": pcur.source_scorecard_sql(),

@@ -1071,3 +1071,69 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bpe_apply_sql() -> str:
     return _bpe_apply_sql("duckdb")
+
+
+# ----------------------------------------------- vocabulary growth curve
+
+VOCAB_QUARTILES = 4
+
+
+def _vocab_growth_sql(dialect: str) -> str:
+    """Vocabulary GROWTH curve (Heaps' law) — how fast the distinct-
+    token count grows as the corpus accretes, the statistic behind
+    "will my tokenizer/vocab saturate" and "is this crawl adding new
+    language or repeating itself" (a flattening curve at constant
+    token inflow is the repetition signature). Corpus order is the
+    deterministic full-range Lehmer hash of doc_id (the ingest-order
+    stand-in — id order would bias toward generation order); each
+    token's FIRST occurrence position assigns it to a quartile, and
+    the curve is new-types + cumulative vocabulary per quartile next
+    to the quartile's token inflow (quartiles adding NO new types keep
+    a zero row — on this synthetic closed-vocabulary corpus the curve
+    saturates in the first quartile, which is exactly the repetition
+    signature the instrument exists to show). Plan: one doc-rank window, one
+    explode + token-keyed min aggregate (map-side partials), a ≤4-row
+    cumsum window.
+    """
+    from .splits import LEHMER_P
+    from ..functions.splits import _bucket2_sql
+
+    toks = _toks(dialect)
+    unnest = "explode" if dialect == "spark" else "unnest"
+    div = "div" if dialect == "spark" else "//"
+    order_key = _bucket2_sql("doc_id", LEHMER_P)
+    return f"""
+WITH ordered AS (
+  SELECT doc_id, row_number() OVER (ORDER BY {order_key}, doc_id) AS pos,
+         count(*) OVER () AS n
+  FROM documents),
+tk AS (
+  SELECT o.pos, o.n, {unnest}({toks}) AS tok
+  FROM documents d JOIN ordered o ON d.doc_id = o.doc_id),
+inflow AS (
+  SELECT CAST((pos - 1) * {VOCAB_QUARTILES} {div} n AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n_token_instances,
+         CAST(count(DISTINCT pos) AS BIGINT) AS n_docs
+  FROM tk GROUP BY 1),
+first_seen AS (
+  SELECT tok, CAST(min((pos - 1) * {VOCAB_QUARTILES} {div} n) AS BIGINT) AS q
+  FROM tk GROUP BY tok),
+news AS (
+  SELECT q, CAST(count(*) AS BIGINT) AS n_new_types
+  FROM first_seen GROUP BY q)
+SELECT i.q AS quartile, i.n_docs, i.n_token_instances,
+       CAST(coalesce(nw.n_new_types, 0) AS BIGINT) AS n_new_types,
+       CAST(sum(coalesce(nw.n_new_types, 0)) OVER (ORDER BY i.q) AS BIGINT) AS vocab_cum
+FROM inflow i LEFT JOIN news nw ON i.q = nw.q
+ORDER BY i.q
+"""
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law quartile curve — see `_vocab_growth_sql`."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_vocab_growth_sql("spark"))
+
+
+def vocab_growth_sql() -> str:
+    return _vocab_growth_sql("duckdb")

@@ -2321,3 +2321,123 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def markov_stationary_sql() -> str:
     return _markov_stationary_sql("duckdb")
+
+
+# ------------------------------------------------ feature-store matrix
+
+FEAT_RECENT_DAYS = 7  # recency window for the *_recent features
+
+
+def _feature_matrix_sql(dialect: str) -> str:
+    """Per-user FEATURE MATRIX materialization — the feature-store
+    pass that turns an event log into a fixed-width model input table
+    (the batch half of every online/offline feature platform): per
+    user, lifetime and recent activity counts per event type (the
+    pivot is a fixed CASE fan-out over the known type domain — never a
+    dynamic pivot), monetary totals in exact e6, and recency in exact
+    microseconds against the corpus max (deterministic anchor, not
+    wall-clock). ONE user-keyed aggregate over one scan; every feature
+    is a conditional sum, so map-side partials absorb the corpus and
+    the output is user-domain bounded.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    recent = ", ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' AND ts >= c.cut THEN 1 ELSE 0 END) AS BIGINT) AS r_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+WITH cut AS (
+  SELECT max(ts) AS mx,
+         max(ts) - INTERVAL {FEAT_RECENT_DAYS} DAY AS cut
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {counts},
+       {recent},
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+       CAST(max({us}) AS BIGINT) AS last_seen_us,
+       CAST(min({us}) AS BIGINT) AS first_seen_us,
+       CAST(max(CASE WHEN 1 = 1 THEN {"unix_micros(c.mx)" if dialect == "spark" else "epoch_us(c.mx)"} END)
+            - max({us}) AS BIGINT) AS recency_us
+FROM events e CROSS JOIN cut c
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width per-user feature table — see `_feature_matrix_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_feature_matrix_sql("spark"))
+
+
+def feature_matrix_sql() -> str:
+    return _feature_matrix_sql("duckdb")
+
+
+# ------------------------------------------------ declarative alerting
+
+#: (rule_id, event_type, metric, op, threshold) — the rules table a
+#: monitoring UI would persist; literal here, a broadcast dim in prod
+ALERT_RULES = (
+    (1, "error", "hourly_count", "gt", 2),
+    (2, "purchase", "hourly_count", "lt", 20),
+    (3, "error", "hourly_value_e6", "gt", 200_000_000),
+)
+
+
+def _alert_eval_sql(dialect: str) -> str:
+    """Declarative threshold ALERTING — the monitoring-backend shape
+    the reference's ClickHouse deployment ultimately feeds (Grafana
+    alert rules over time-bucketed aggregates): a RULES table (literal
+    here; a broadcast dimension in production) joins against the
+    hourly per-type metric series, and every (rule, hour) breach emits
+    an alert row with the observed value and threshold. Metrics are
+    exact integers (counts; values e6-quantized per row before
+    summing). Plan: one hour×type aggregate with map-side partials,
+    then a ≤|rules|-row broadcast join — adding a rule never re-scans
+    the corpus. Alert volume pins the rule semantics: every rule
+    (both ops) fires at every test scale. Caveat an `lt` rule user must
+    know: the hourly relation only contains hours WITH data, so
+    absence-of-data alerting composes this with the `events_gap_fill`
+    zero-dense spine first.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    div = "div" if dialect == "spark" else "//"
+    rules = "\nUNION ALL\n".join(
+        f"SELECT CAST({rid} AS BIGINT) AS rule_id, '{t}' AS event_type, "
+        f"'{m}' AS metric, '{op}' AS op, CAST({thr} AS BIGINT) AS threshold"
+        for rid, t, m, op, thr in ALERT_RULES
+    )
+    return f"""
+WITH hourly AS (
+  SELECT ({us}) {div} 3600000000 AS h, event_type,
+         CAST(count(*) AS BIGINT) AS hourly_count,
+         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS hourly_value_e6
+  FROM events GROUP BY 1, 2),
+rules AS ({rules}),
+metrics AS (
+  SELECT h, event_type, 'hourly_count' AS metric, hourly_count AS val FROM hourly
+  UNION ALL
+  SELECT h, event_type, 'hourly_value_e6' AS metric, hourly_value_e6 AS val FROM hourly)
+SELECT r.rule_id, m.h, m.event_type, m.metric, m.val, r.threshold, r.op
+FROM metrics m JOIN rules r
+  ON r.event_type = m.event_type AND r.metric = m.metric
+WHERE (r.op = 'gt' AND m.val > r.threshold)
+   OR (r.op = 'lt' AND m.val < r.threshold)
+ORDER BY r.rule_id, m.h
+"""
+
+
+def alert_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fired (rule, hour) alert rows — see `_alert_eval_sql`."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_alert_eval_sql("spark"))
+
+
+def alert_eval_sql() -> str:
+    return _alert_eval_sql("duckdb")
