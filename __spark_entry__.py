@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 30): MinHash banding operating curve
+        # (candidates/verified per band count, S-curve knob)
+        "dedup_band_sweep": fdedup.band_sweep,
+        # new in round 4 (batch 30): PQ distance-distortion report
+        # (ADC vs exact fold on the audited top-k pairs)
+        "sim_pq_distortion": fsim.pq_distortion,
+        # new in round 4 (batch 30): DAU/WAU stickiness via bounded
+        # pane-enumeration (no range self-join)
+        "events_dau_wau": evan.dau_wau,
         # new in round 4 (batch 29): per-user feature-store matrix
         # (fixed-width conditional-sum fan-out, exact integers)
         "events_feature_matrix": evan.feature_matrix,
@@ -713,6 +722,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "dedup_band_sweep": fdedup.band_sweep_sql(),
+        "sim_pq_distortion": fsim.pq_distortion_sql(),
+        "events_dau_wau": evan.dau_wau_sql(),
         "events_feature_matrix": evan.feature_matrix_sql(),
         "events_alert_eval": evan.alert_eval_sql(),
         "text_vocab_growth": ftext.vocab_growth_sql(),

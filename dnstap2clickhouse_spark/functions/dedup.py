@@ -1176,3 +1176,80 @@ def minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_recall_sql() -> str:
     return _minhash_recall_sql("duckdb")
+
+
+# ------------------------------------- LSH banding operating curve
+
+BAND_SWEEP = (4, 8, 16)  # band counts swept over the 16-hash signature
+
+
+def _band_sweep_sql(dialect: str) -> str:
+    """The MinHash BANDING operating curve — the third tuning
+    instrument beside `sim_threshold_sweep` (verify threshold) and
+    `sim_nprobe_sweep` (probe depth): candidate and verified-pair
+    counts at every band count in ``BAND_SWEEP`` over the SAME 16-hash
+    signatures (the S-curve knob: more bands = shorter band signatures
+    = more candidates = higher recall, more verification work). Band
+    signatures are ordered string aggregations of the one audited
+    signature relation (`_minhash_sql`) — the sweep cannot use
+    different minima than production. Each config is one (band,
+    sig)-keyed self-join + one verified count via the exact-Jaccard
+    fetch-join idiom; ``cand_monotone`` certifies in-hash that
+    candidates never shrink as bands grow (banding theory predicts it;
+    the certificate MEASURES it — the `graph_kcore` discipline).
+    """
+    mh = _minhash_sql(dialect)
+    sh = _shingle_arrays(dialect)
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    if dialect == "spark":
+        agg = ("concat_ws(',', transform(sort_array(collect_list(struct(hidx, minhash))), "
+               "x -> CAST(x.minhash AS STRING)))")
+    else:
+        agg = "string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hidx)"
+    div = "div" if dialect == "spark" else "//"
+    cfg_ctes, summary_rows = [], []
+    for b in BAND_SWEEP:
+        rpb = N_HASHES // b
+        cfg_ctes.append(f"""
+bands{b} AS (
+  SELECT doc_id, hidx {div} {rpb} AS band, {agg} AS sig
+  FROM mh GROUP BY doc_id, hidx {div} {rpb}),
+cand{b} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands{b} a JOIN bands{b} b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+ver{b} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM cand{b} c
+  JOIN shx x ON c.doc_a = x.doc_id
+  JOIN shx y ON c.doc_b = y.doc_id
+  WHERE CAST({size}({inter}(x.sh, y.sh)) AS DOUBLE)
+          / ({size}(x.sh) + {size}(y.sh) - {size}({inter}(x.sh, y.sh)))
+        >= {JACCARD_THRESHOLD})""")
+        summary_rows.append(
+            f"SELECT CAST({b} AS BIGINT) AS n_bands, CAST({rpb} AS BIGINT) AS rows_per_band, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM cand{b}) AS n_candidates, "
+            f"(SELECT n FROM ver{b}) AS n_verified"
+        )
+    ctes = ",".join(cfg_ctes)
+    rows = "\nUNION ALL\n".join(summary_rows)
+    return f"""
+WITH mh AS ({mh}),
+shx AS ({sh}),{ctes},
+curve AS ({rows})
+SELECT n_bands, rows_per_band, n_candidates, n_verified,
+       CAST(coalesce(lag(n_candidates) OVER (ORDER BY n_bands) <= n_candidates,
+                     TRUE) AS BOOLEAN) AS cand_monotone
+FROM curve
+ORDER BY n_bands
+"""
+
+
+def band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate/verified counts per band count, curve certified."""
+    _register(spark, sf_dir)
+    return spark.sql(_band_sweep_sql("spark"))
+
+
+def band_sweep_sql() -> str:
+    return _band_sweep_sql("duckdb")

@@ -1738,3 +1738,74 @@ def nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nprobe_sweep_sql() -> str:
     return _nprobe_sweep_sql("duckdb")
+
+
+# ------------------------------------------- PQ distortion report
+
+_PQ_DESCALE = "1e12"  # e18 fold units -> e6 report units
+
+
+def _pq_distortion_sql(dialect: str) -> str:
+    """PQ compression-DISTORTION report — what the code compression
+    actually costs in distance fidelity, per query (the capacity-
+    planning twin of the recall instruments: recall says "did the
+    right ids surface", this says "how wrong are the distances the
+    ranking ran on"): for each query's ADC top-k pairs (the audited
+    `_pq_adc_sql` CTEs spliced verbatim), the EXACT full-precision
+    squared distance is computed by the same fixed-order fold the
+    kmeans family uses, and the report is per-query mean ADC vs mean
+    exact distance plus the mean |ADC − exact| quantization error, all
+    e6-quantized from bit-identical doubles. Plan: the ADC chain +
+    one k-pair-per-query fetch join of raw vectors + a query-keyed
+    aggregate — the exact fold runs on k pairs per query, never the
+    corpus.
+    """
+    base = _pq_adc_sql(dialect)
+    prefix = base[: base.rindex("ranked AS (")].rstrip().rstrip(",") + ","
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        exact = (
+            "aggregate(zip_with(qa.qv, qb.qv, (x, y) -> "
+            "CAST(x - y AS DOUBLE) * CAST(x - y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    else:
+        exact = (
+            f"list_reduce(list_transform(range(1, {KMEANS_DIMS + 1}), i -> "
+            "CAST(qa.qv[i] - qb.qv[i] AS DOUBLE) * CAST(qa.qv[i] - qb.qv[i] AS DOUBLE)), "
+            "(acc, v) -> acc + v)"
+        )
+    return f"""{prefix}
+ranked AS (
+  SELECT query_id, vec_id, adc,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rank
+  FROM scored),
+topk AS (SELECT query_id, vec_id, adc FROM ranked WHERE rank <= {TOP_K}),
+qv AS (SELECT vec_id, {_qarr_sql(dialect)} AS qv FROM embeddings),
+pairs AS (
+  SELECT t.query_id, t.vec_id, t.adc, {exact} AS exact_d
+  FROM topk t
+  JOIN qv qa ON qa.vec_id = t.query_id
+  JOIN qv qb ON qb.vec_id = t.vec_id)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(round(adc / {_PQ_DESCALE}) AS BIGINT)) AS BIGINT)
+         {div} CAST(count(*) AS BIGINT) AS mean_adc_e6,
+       CAST(sum(CAST(round(exact_d / {_PQ_DESCALE}) AS BIGINT)) AS BIGINT)
+         {div} CAST(count(*) AS BIGINT) AS mean_exact_e6,
+       CAST(sum(abs(CAST(round(adc / {_PQ_DESCALE}) AS BIGINT)
+                    - CAST(round(exact_d / {_PQ_DESCALE}) AS BIGINT))) AS BIGINT)
+         {div} CAST(count(*) AS BIGINT) AS mean_abs_err_e6
+FROM pairs
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC-vs-exact distance distortion over the top-k pairs."""
+    _register(spark, sf_dir)
+    return spark.sql(_pq_distortion_sql("spark"))
+
+
+def pq_distortion_sql() -> str:
+    return _pq_distortion_sql("duckdb")

@@ -2441,3 +2441,54 @@ def alert_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def alert_eval_sql() -> str:
     return _alert_eval_sql("duckdb")
+
+
+# ------------------------------------------------ DAU / WAU stickiness
+
+WAU_DAYS = 7
+
+
+def _dau_wau_sql(dialect: str) -> str:
+    """DAU/WAU engagement with the stickiness ratio — THE product-
+    analytics headline metric pair: per day, distinct active users that
+    day (DAU), distinct users active in the trailing ``WAU_DAYS``
+    window (WAU), and ``DAU/WAU`` at exact e6. The trailing window
+    never self-joins on a range: each (day, user) pair ENUMERATES the
+    ``WAU_DAYS`` target days it supports (the `events_sliding_distinct`
+    pane idiom — an equi-groupable explode), and target days outside
+    the observed domain drop via the DAU join. Plan: one distinct
+    (day, user) reduction of the corpus, a 7× bounded explode of those
+    pairs, two day-keyed distinct aggregates.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    div = "div" if dialect == "spark" else "//"
+    series = (
+        f"explode(sequence(0, {WAU_DAYS - 1}))" if dialect == "spark"
+        else f"unnest(generate_series(0, {WAU_DAYS - 1}))"
+    )
+    return f"""
+WITH du AS (
+  SELECT DISTINCT ({us}) {div} 86400000000 AS day, user_id FROM events),
+dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+support AS (
+  SELECT day + k AS target_day, user_id
+  FROM (SELECT day, user_id, {series} AS k FROM du)),
+wau AS (
+  SELECT target_day AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM support GROUP BY target_day)
+SELECT d.day, d.dau, w.wau,
+       (d.dau * 1000000) {div} w.wau AS stickiness_e6
+FROM dau d JOIN wau w ON d.day = w.day
+ORDER BY d.day
+"""
+
+
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing WAU, and exact e6 stickiness."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_dau_wau_sql("spark"))
+
+
+def dau_wau_sql() -> str:
+    return _dau_wau_sql("duckdb")
