@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 31): skew-salted join/agg as a contract
+        # entry (oracle = the plain join: salting is answer-invariant)
+        "tpch_salted_join": tpch.salted_revenue_join,
+        # new in round 4 (batch 31): embedding-distribution drift
+        # monitor (mean-vector shift between slices)
+        "sim_embedding_drift": fsim.embedding_drift,
+        # new in round 4 (batch 31): SLO error-budget burn-down
+        # (daily breach + cumulative budget share, exact integers)
+        "events_slo_burn": evan.slo_burn,
         # new in round 4 (batch 30): MinHash banding operating curve
         # (candidates/verified per band count, S-curve knob)
         "dedup_band_sweep": fdedup.band_sweep,
@@ -722,6 +731,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "tpch_salted_join": tpch.salted_revenue_join_sql(),
+        "sim_embedding_drift": fsim.embedding_drift_sql(),
+        "events_slo_burn": evan.slo_burn_sql(),
         "dedup_band_sweep": fdedup.band_sweep_sql(),
         "sim_pq_distortion": fsim.pq_distortion_sql(),
         "events_dau_wau": evan.dau_wau_sql(),

@@ -1809,3 +1809,68 @@ def pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pq_distortion_sql() -> str:
     return _pq_distortion_sql("duckdb")
+
+
+# ------------------------------------------- embedding distribution drift
+
+DRIFT_GROUPS = 2  # slices compared: label % 2 (stand-in for two snapshots)
+
+
+def _embedding_drift_sql(dialect: str) -> str:
+    """Embedding-distribution DRIFT between two corpus slices — the
+    vector-space twin of `text_keyness` (that one asks which TOKENS
+    shifted; this asks whether the embedding cloud itself moved — the
+    monitor in front of every retrain-the-index decision): slices are
+    label parity (the stand-in for old/new snapshots), per-slice mean
+    vectors are exact integer per-dim sums over the e9-quantized
+    corpus (one (slice, dim)-keyed aggregate with map-side partials —
+    the `sim_kmeans` centroid discipline), and the report is the
+    squared distance between the two means plus the single most-
+    drifted dimension, everything quantized once at e6 from
+    bit-identical integer arithmetic. On isotropic random embeddings
+    the drift is ~0 by construction — the instrument pins the
+    mechanics; a real drift shows up as dist_e6 >> per-dim noise.
+    """
+    nd = KMEANS_DIMS
+    qarr = _qarr_sql(dialect)
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        series = f"explode(sequence(1, {nd}))"
+        elem = "element_at(qv, CAST(dim AS INT))"
+    else:
+        series = f"unnest(generate_series(1, {nd}))"
+        elem = "qv[CAST(dim AS INT)]"
+    return f"""
+WITH q AS (SELECT vec_id, label, {qarr} AS qv FROM embeddings),
+dims AS (
+  SELECT CAST(label % {DRIFT_GROUPS} AS BIGINT) AS grp,
+         CAST(dim AS BIGINT) AS dim, {elem} AS x
+  FROM (SELECT label, qv, {series} AS dim FROM q)),
+means AS (
+  SELECT grp, dim,
+         CAST(sum(x) AS BIGINT) {div} CAST(count(*) AS BIGINT) AS m
+  FROM dims GROUP BY grp, dim),
+diffs AS (
+  SELECT a.dim, a.m - b.m AS d
+  FROM means a JOIN means b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1),
+top AS (
+  SELECT dim AS top_dim, abs(d) AS top_shift
+  FROM diffs ORDER BY abs(d) DESC, dim LIMIT 1),
+tot AS (
+  SELECT CAST(sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS DOUBLE) AS dist
+  FROM diffs)
+SELECT CAST(round(t.dist / 1e12) AS BIGINT) AS dist_e6,
+       p.top_dim,
+       CAST(round(CAST(p.top_shift AS DOUBLE) / 1e3) AS BIGINT) AS top_shift_e6
+FROM tot t CROSS JOIN top p
+"""
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row mean-vector drift report between the two label slices."""
+    _register(spark, sf_dir)
+    return spark.sql(_embedding_drift_sql("spark"))
+
+
+def embedding_drift_sql() -> str:
+    return _embedding_drift_sql("duckdb")

@@ -2492,3 +2492,52 @@ def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dau_wau_sql() -> str:
     return _dau_wau_sql("duckdb")
+
+
+# ------------------------------------------------ SLO error budget
+
+SLO_BP = 2000  # error-rate SLO in basis points (20%)
+
+
+def _slo_burn_sql(dialect: str) -> str:
+    """SLO error-budget BURN-DOWN — the SRE readout over the event log
+    (the reference's telemetry store feeds exactly this dashboard):
+    per day, events/errors/exact-bp error rate, whether the day
+    breached the ``SLO_BP`` objective (cross-multiplied integer
+    compare, no division), and the cumulative share of the running
+    error budget consumed (``cum_err / (SLO * cum_total)`` as an exact
+    e6 rational — >1e6 means the budget is exhausted). One day-keyed
+    aggregate + a ≤#days cumsum window. Both breach outcomes occur at
+    every test scale (rates straddle the objective).
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+WITH daily AS (
+  SELECT ({us}) {div} 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_errors
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT day, n_events, n_errors,
+         CAST(sum(n_events) OVER (ORDER BY day) AS BIGINT) AS cum_total,
+         CAST(sum(n_errors) OVER (ORDER BY day) AS BIGINT) AS cum_err
+  FROM daily)
+SELECT day, n_events, n_errors,
+       (n_errors * 1000000) {div} n_events AS rate_e6,
+       CAST(n_errors * 10000 > {SLO_BP} * n_events AS BOOLEAN) AS day_breached,
+       (cum_err * 10000000000) {div} (cum_total * {SLO_BP}) AS budget_used_e6
+FROM cum
+ORDER BY day
+"""
+
+
+def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily SLO compliance and cumulative budget burn — exact integers."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_slo_burn_sql("spark"))
+
+
+def slo_burn_sql() -> str:
+    return _slo_burn_sql("duckdb")

@@ -1162,3 +1162,59 @@ def lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lateral_topn_orders_sql() -> str:
     return _lateral_topn_sql("duckdb")
+
+
+# ------------------------------------------------ salted-join entry
+
+
+def salted_revenue_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted AGGREGATION as a CONTRACT entry (the
+    `tpch_bucketed_join` precedent for physical strategies: the plan
+    changes, the answer may not): revenue per order-priority — FIVE hot
+    group keys over every lineitem, the structurally skewed aggregate —
+    computed via `operators/skew.salted_agg`'s two-stage spread
+    (per-(key, salt) partials, then the ``buckets``-way merge), so no
+    single reducer owns a priority. The join side stays a plain
+    equi-join: both sides are fact tables here, and `salted_join`'s
+    dim-replication trick is for SMALL dims with hot join keys (its
+    semantics are pinned in test_skew; a first draft of THIS entry
+    replicated the 6M-row orders side 16x at the scale replica — the
+    exact misuse the function's docstring warns about, caught by the
+    10x timing gate and removed). Oracle = the plain one-stage
+    aggregate: salting must be answer-invariant, and the driver hash
+    certifies it. Revenue in exact cents.
+    """
+    from ..operators.skew import salted_agg
+    from ..sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    joined = li.join(orders, "o_orderkey")
+    out = salted_agg(
+        joined.select("o_orderpriority", "cents"),
+        keys=["o_orderpriority"],
+        aggs={"cents": "sum"},
+    )
+    return (
+        out.select(
+            "o_orderpriority",
+            F.col("cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def salted_revenue_join_sql() -> str:
+    return """
+SELECT o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
