@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 32): IVF cell-occupancy balance audit
+        # (the hot-partition readout for vector search)
+        "sim_ivf_balance": fsim.ivf_balance,
+        # new in round 4 (batch 32): near-dup review surface (top pairs
+        # with snippets — the pre-drop human check)
+        "dedup_pair_examples": fdedup.pair_examples,
+        # new in round 4 (batch 32): per-split order-independent content
+        # checksums (the dataset-release reproducibility audit)
+        "split_manifest_checksums": fsplit.manifest_checksums,
         # new in round 4 (batch 31): skew-salted join/agg as a contract
         # entry (oracle = the plain join: salting is answer-invariant)
         "tpch_salted_join": tpch.salted_revenue_join,
@@ -731,6 +740,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "sim_ivf_balance": fsim.ivf_balance_sql(),
+        "dedup_pair_examples": fdedup.pair_examples_sql(),
+        "split_manifest_checksums": fsplit.manifest_checksums_sql(),
         "tpch_salted_join": tpch.salted_revenue_join_sql(),
         "sim_embedding_drift": fsim.embedding_drift_sql(),
         "events_slo_burn": evan.slo_burn_sql(),

@@ -1253,3 +1253,48 @@ def band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def band_sweep_sql() -> str:
     return _band_sweep_sql("duckdb")
+
+
+# ------------------------------------- near-dup pair review surface
+
+PAIR_EXAMPLES_TOP = 10
+PAIR_SNIPPET_CHARS = 40
+
+
+def _pair_examples_sql(dialect: str) -> str:
+    """Human-REVIEW surface for the near-dup pipeline — the "show me
+    what we are about to drop" table every curation UI renders before
+    a destructive dedup run: the top verified pairs by exact Jaccard
+    (deterministic id tiebreaks), each with both documents' leading
+    snippets and exact e6 similarity. Built on the audited
+    `_lsh_verified_sql` relation + two doc-keyed text fetch joins;
+    top-k via TakeOrderedAndProject. The fixed-length snippet keeps
+    the review row narrow no matter the document size.
+    """
+    vp = _lsh_verified_sql(dialect)
+    return f"""
+WITH vp AS ({vp}),
+ranked AS (
+  SELECT doc_a, doc_b,
+         CAST(round(jaccard * 1000000) AS BIGINT) AS jaccard_e6
+  FROM vp
+  ORDER BY jaccard DESC, doc_a, doc_b
+  LIMIT {PAIR_EXAMPLES_TOP})
+SELECT r.doc_a, r.doc_b, r.jaccard_e6,
+       substring(da.text, 1, {PAIR_SNIPPET_CHARS}) AS snippet_a,
+       substring(db.text, 1, {PAIR_SNIPPET_CHARS}) AS snippet_b
+FROM ranked r
+JOIN documents da ON da.doc_id = r.doc_a
+JOIN documents db ON db.doc_id = r.doc_b
+ORDER BY r.jaccard_e6 DESC, r.doc_a, r.doc_b
+"""
+
+
+def pair_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top verified near-dup pairs with snippets — the review table."""
+    _register(spark, sf_dir)
+    return spark.sql(_pair_examples_sql("spark"))
+
+
+def pair_examples_sql() -> str:
+    return _pair_examples_sql("duckdb")

@@ -1874,3 +1874,46 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_drift_sql() -> str:
     return _embedding_drift_sql("duckdb")
+
+
+# ------------------------------------------- IVF cell-balance audit
+
+
+def _ivf_balance_sql(dialect: str) -> str:
+    """IVF cell-OCCUPANCY balance audit — the partition-skew readout
+    for vector search (the `graph_degree_histogram` story applied to
+    the index: a hot cell is a hot partition, and at 100 TB one
+    oversized cell decides the probe latency tail): per cell of the
+    audited IVF assignment (`_ivf_cell_ctes` spliced — the same cells
+    production probes), its occupancy, plus the global min/max/imbalance
+    factor (max*cells / corpus at e6 — 1e6 means perfectly balanced)
+    cross-joined onto every row. One cell-keyed count over the
+    assignment; output is cell-domain bounded.
+    """
+    div = "div" if dialect == "spark" else "//"
+    return f"""
+WITH {_ivf_cell_ctes(dialect)},
+occ AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_members
+  FROM assign GROUP BY cell),
+gstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(min(n_members) AS BIGINT) AS min_occ,
+         CAST(max(n_members) AS BIGINT) AS max_occ,
+         CAST(sum(n_members) AS BIGINT) AS n_total
+  FROM occ)
+SELECT o.cell, o.n_members, g.n_cells, g.min_occ, g.max_occ,
+       (g.max_occ * g.n_cells * 1000000) {div} g.n_total AS imbalance_e6
+FROM occ o CROSS JOIN gstat g
+ORDER BY o.cell
+"""
+
+
+def ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell occupancy + global imbalance factor of the IVF index."""
+    _register(spark, sf_dir)
+    return spark.sql(_ivf_balance_sql("spark"))
+
+
+def ivf_balance_sql() -> str:
+    return _ivf_balance_sql("duckdb")

@@ -846,3 +846,53 @@ def temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def temporal_embargo_sql() -> str:
     return _temporal_embargo_sql("duckdb")
+
+
+# ------------------------------------------- split content checksums
+
+
+def _manifest_checksums_sql(dialect: str) -> str:
+    """Per-split CONTENT CHECKSUM manifest — the reproducibility audit
+    every dataset release ships ("did my train split change between
+    builds?"): per split, document count, token mass, and an
+    order-independent content fingerprint — the SUM of per-doc content
+    hashes (md5-derived 28-bit, the module-shared `_hash_tok`
+    arithmetic over the full text) — which any party can recompute
+    from the data alone, in any engine, under any partitioning
+    (addition commutes; the whole manifest is exact integers). One
+    projection + one 3-row aggregate.
+    """
+    from .text import _hash_tok
+
+    size = "size" if dialect == "spark" else "len"
+    toks = "split(text, ' ')" if dialect == "spark" else "string_split(text, ' ')"
+    cases = " ".join(
+        f"WHEN b >= {lo} AND b < {hi} THEN '{name}'"
+        for name, (lo, hi) in SPLIT_BOUNDS.items()
+    )
+    h = _hash_tok(dialect, "text")
+    return f"""
+WITH labeled AS (
+  SELECT CASE {cases} END AS split,
+         CAST({size}({toks}) AS BIGINT) AS n_tok,
+         CAST({h} AS BIGINT) AS content_h
+  FROM (SELECT *, {_bucket_sql('doc_id')} AS b FROM documents))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(content_h) AS BIGINT) AS content_checksum
+FROM labeled
+GROUP BY split
+ORDER BY split
+"""
+
+
+def manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-split content fingerprints."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_manifest_checksums_sql("spark"))
+
+
+def manifest_checksums_sql() -> str:
+    return _manifest_checksums_sql("duckdb")
