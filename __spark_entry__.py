@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 33): M4 pixel-perfect chart downsampling
+        # (first/last/min/max per time bucket, VLDB'14)
+        "events_m4_downsample": evan.m4_downsample,
+        # new in round 4 (batch 33): windowed-energy audio VAD/trim
+        # flags (exact-integer mean-threshold, codec-stub boundary)
+        "mm_audio_vad": fmm.audio_vad,
+        # new in round 4 (batch 33): blocked Levenshtein record linkage
+        # (prefix blocking + exact built-in edit distance)
+        "text_fuzzy_match": ftext.fuzzy_match,
         # new in round 4 (batch 32): IVF cell-occupancy balance audit
         # (the hot-partition readout for vector search)
         "sim_ivf_balance": fsim.ivf_balance,
@@ -740,6 +749,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_m4_downsample": evan.m4_downsample_sql(),
+        "mm_audio_vad": fmm.audio_vad_sql(),
+        "text_fuzzy_match": ftext.fuzzy_match_sql(),
         "sim_ivf_balance": fsim.ivf_balance_sql(),
         "dedup_pair_examples": fdedup.pair_examples_sql(),
         "split_manifest_checksums": fsplit.manifest_checksums_sql(),

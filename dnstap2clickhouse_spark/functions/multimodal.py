@@ -310,3 +310,70 @@ FROM (
         FROM documents))
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------- audio energy VAD / trim
+
+VAD_WINDOWS = 8  # analysis windows over the stand-in PCM payload
+_VAD_WIN_BYTES = 32 // VAD_WINDOWS  # samples (bytes) per window
+
+
+def _audio_vad_sql(dialect: str) -> str:
+    """Windowed-energy voice-activity detection over audio payloads —
+    the silence-trim / VAD gating pass an ASR training pipeline runs
+    before transcription (keep voiced spans, drop silence): the PCM
+    stream splits into ``VAD_WINDOWS`` fixed windows, each window's
+    energy is the sum of squared (centered) sample amplitudes, and a
+    window is voiced when its energy reaches the track's mean window
+    energy (``energy * W >= total`` — the cross-multiplied exact-integer
+    compare, no division, no float).
+
+    The codec stub boundary is the same as the rest of this module: a
+    real pipeline decodes WAV/FLAC inside the ``mapInPandas`` slot and
+    feeds true samples; here the payload's 32 deterministic digest
+    bytes stand in as the sample stream (centered at 128 like u8 PCM),
+    so the windowing/energy/threshold semantics — the part that IS the
+    engine's job — run for real in both dialects and the oracle
+    certifies them bit-for-bit.
+
+    Scale shape: one narrow mapper pass (explode 32 sample indexes per
+    audio row), one (doc, window) aggregate, one doc-keyed mean join —
+    all equi-shuffles on doc_id; output is W rows per audio row.
+    """
+    if dialect == "spark":
+        series = "explode(sequence(0, 31))"
+        byte = "CAST(conv(substring(h, 2 * i + 1, 2), 16, 10) AS BIGINT)"
+    else:
+        series = "unnest(generate_series(0, 31))"
+        byte = "('0x' || substr(h, 2 * i + 1, 2))::BIGINT"
+    return f"""
+WITH audio AS (
+  SELECT doc_id, repeat(md5(text), 2) AS h
+  FROM documents WHERE doc_id % 3 = 1),
+samples AS (
+  SELECT doc_id, i {'div' if dialect == 'spark' else '//'} {_VAD_WIN_BYTES} AS win,
+         {byte} - 128 AS s
+  FROM (SELECT doc_id, h, {series} AS i FROM audio)),
+wins AS (
+  SELECT doc_id, win, CAST(sum(s * s) AS BIGINT) AS energy
+  FROM samples GROUP BY doc_id, win),
+tot AS (
+  SELECT doc_id, CAST(sum(energy) AS BIGINT) AS total_energy
+  FROM wins GROUP BY doc_id)
+SELECT w.doc_id, w.win, w.energy, t.total_energy,
+       CAST(w.energy * {VAD_WINDOWS} >= t.total_energy AS BOOLEAN) AS voiced
+FROM wins w JOIN tot t ON w.doc_id = t.doc_id
+ORDER BY w.doc_id, w.win
+"""
+
+
+def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window audio energy + mean-threshold voiced flag."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_audio_vad_sql("spark"))
+
+
+def audio_vad_sql() -> str:
+    return _audio_vad_sql("duckdb")

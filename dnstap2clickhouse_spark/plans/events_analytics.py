@@ -2541,3 +2541,68 @@ def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def slo_burn_sql() -> str:
     return _slo_burn_sql("duckdb")
+
+
+# ------------------------------------------------ M4 chart downsampling
+
+M4_WIDTH = 64  # pixel-column buckets
+
+
+def _m4_downsample_sql(dialect: str) -> str:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014) — the
+    pixel-perfect chart reduction a Grafana-class dashboard applies
+    before rendering (the reference's telemetry store feeds exactly
+    such dashboards): the corpus span splits into ``M4_WIDTH``
+    equal-time buckets and each bucket keeps its FIRST, LAST, MIN and
+    MAX points — the four values that determine every pixel a line
+    chart can light in that column, so the reduced series renders
+    identically to the raw one at that width.
+
+    Determinism: first/last are the min/max of a (ts_us, event_id,
+    value_e6) struct — lexicographic struct min/max in BOTH engines,
+    so ties on the timestamp resolve by event_id identically; values
+    compare as exact e6 integers. Scale shape: the span comes from ONE
+    global min/max aggregate (a 1-row broadcast, the `events_gap_fill`
+    spine idiom), bucketing is mapper-side integer arithmetic, and the
+    whole reduction is a single hash aggregate with map-side partials
+    — output is 4·W points no matter the corpus size, which is the
+    entire purpose at 100 TB.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        pt = "named_struct('u', us, 'e', event_id, 'v', ve6)"
+    else:
+        pt = "{'u': us, 'e': event_id, 'v': ve6}"
+    return f"""
+WITH bounds AS (
+  SELECT min({us}) AS lo, max({us}) AS hi FROM events),
+pts AS (
+  SELECT (e.us - b.lo) * {M4_WIDTH} {div} (b.hi - b.lo + 1) AS bucket,
+         e.us, e.event_id, e.ve6
+  FROM (SELECT {us} AS us, event_id,
+               CAST(round(value * 1000000) AS BIGINT) AS ve6
+        FROM events) e
+  CROSS JOIN bounds b)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       (min({pt})).u AS t_first_us,
+       (min({pt})).v AS v_first_e6,
+       (max({pt})).u AS t_last_us,
+       (max({pt})).v AS v_last_e6,
+       min(ve6) AS v_min_e6,
+       max(ve6) AS v_max_e6
+FROM pts GROUP BY bucket ORDER BY bucket
+"""
+
+
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 first/last/min/max per time bucket — pixel-perfect reduction."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_m4_downsample_sql("spark"))
+
+
+def m4_downsample_sql() -> str:
+    return _m4_downsample_sql("duckdb")
