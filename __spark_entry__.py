@@ -270,6 +270,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 35): RFM quintile segmentation (one
+        # corpus aggregate + user-domain window sorts)
+        "events_rfm_segments": evan.rfm_segments,
+        # new in round 4 (batch 35): winnowing fingerprint selection
+        # (MOSS, SIGMOD'03 — rightmost-min window rule)
+        "text_winnow_fingerprints": ftext.winnow_fingerprints,
+        # new in round 4 (batch 35): cell-pruned kNN graph build (the
+        # graph-ANN/NN-Descent input; Σ cell² cost, SemDeDup knob)
+        "sim_knn_graph": fsim.knn_graph,
+        # new in round 4 (batch 34): Markov-1 conditional-frequency LM
+        # scoring (the bigram extension of unigram_likelihood)
+        "text_bigram_lm": ftext.bigram_lm,
+        # new in round 4 (batch 34): resource-allocation link prediction
+        # (non-edges only — the anti-join is what makes it a prediction)
+        "graph_link_predict": pgraph.link_predict,
+        # new in round 4 (batch 34): foreachBatch CDC MERGE maintenance
+        # loop (argmax-semilattice merge => chunk-free batch oracle)
+        "streaming_upsert_apply": stp.streaming_upsert_apply,
         # new in round 4 (batch 33): M4 pixel-perfect chart downsampling
         # (first/last/min/max per time bucket, VLDB'14)
         "events_m4_downsample": evan.m4_downsample,
@@ -749,6 +767,12 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_rfm_segments": evan.rfm_segments_sql(),
+        "text_winnow_fingerprints": ftext.winnow_fingerprints_sql(),
+        "sim_knn_graph": fsim.knn_graph_sql(),
+        "text_bigram_lm": ftext.bigram_lm_sql(),
+        "graph_link_predict": pgraph.link_predict_sql(),
+        "streaming_upsert_apply": stp.streaming_upsert_apply_sql(),
         "events_m4_downsample": evan.m4_downsample_sql(),
         "mm_audio_vad": fmm.audio_vad_sql(),
         "text_fuzzy_match": ftext.fuzzy_match_sql(),

@@ -1917,3 +1917,59 @@ def ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_balance_sql() -> str:
     return _ivf_balance_sql("duckdb")
+
+
+# ------------------------------------------------- cell-pruned kNN graph
+
+KNN_K = 3  # neighbors kept per vector
+
+
+def _knn_graph_sql(dialect: str) -> str:
+    """k-NN GRAPH construction, cell-pruned: every vector's top-k
+    same-cluster neighbors by exact cosine — the build step for
+    graph-based ANN (the base layer HNSW/NSG descend) and the
+    neighborhood input NN-Descent refines; SemDeDup-family corpus
+    analysis consumes the same graph. Candidates come only from the
+    vector's own k-means cell (the IVF locality assumption), so cost is
+    Σ cell-occupancy² — never all-pairs — and SemDeDup's knob (k grows
+    with the corpus, occupancy constant) bounds it at 100 TB. The
+    honest recall caveat is the same as every cell-pruned entry: true
+    neighbors in OTHER cells are missed; the `sim_ivf_recall` /
+    `sim_nprobe_sweep` instruments quantify that trade.
+
+    Reuses the two-Lloyd-round assignment CTEs from ``_kmeans_sql``
+    verbatim (string surgery, the ``_semantic_dedup_sql`` idiom) and
+    the module's bit-deterministic cosine fold, so ranks and ties
+    (cosine DESC, then neighbor id) are identical in both engines.
+    """
+    km = _kmeans_sql(dialect)
+    prefix = km[: km.rindex("SELECT vec_id, cluster FROM a2")].rstrip() + ","
+    dot = _dot("x.embedding", "y.embedding", dialect)
+    return f"""{prefix}
+e AS ({_normed(dialect)}),
+mem AS (
+  SELECT a.vec_id, a.cluster, e.embedding, e.nrm
+  FROM a2 a JOIN e ON a.vec_id = e.vec_id),
+pairs AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst, x.cluster AS cluster,
+         {dot} / sqrt(x.nrm * y.nrm) AS cosine
+  FROM mem x JOIN mem y
+    ON x.cluster = y.cluster AND x.vec_id <> y.vec_id),
+ranked AS (
+  SELECT src, dst, cluster, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM pairs)
+SELECT src, dst, cluster, cosine, CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {KNN_K}
+ORDER BY src, rank
+"""
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``KNN_K`` same-cell neighbors per vector (exact cosine)."""
+    _register(spark, sf_dir)
+    return spark.sql(_knn_graph_sql("spark"))
+
+
+def knn_graph_sql() -> str:
+    return _knn_graph_sql("duckdb")

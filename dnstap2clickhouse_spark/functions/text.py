@@ -1191,3 +1191,135 @@ def fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fuzzy_match_sql() -> str:
     return _fuzzy_match_sql("duckdb")
+
+
+# ------------------------------------------------ bigram LM scoring
+
+BIGRAM_SCALE = 1_000_000
+
+
+def _bigram_lm_sql(dialect: str) -> str:
+    """Markov-1 extension of `text_unigram_likelihood`: per document,
+    the mean CONDITIONAL bigram frequency — for each adjacent pair
+    (a, b), ``P(b|a) ~ count(a,b) / count(a,·)`` as an exact scaled
+    integer, averaged over the document's bigrams. The fluency signal a
+    2-gram LM gives quality filtering (predictable continuations score
+    high, word salad scores low), with the same determinism move as the
+    unigram entry: the probability RATIO is kept as an integer rational
+    per occurrence and the log is dropped (monotone, bit-portable).
+
+    Scale shape: one bigram explode feeding TWO model relations — the
+    bigram-keyed count and the left-token-keyed continuation total —
+    both sub-linear in corpus size and persistable exactly like a
+    trained LM; scoring is two model fetch joins + one doc-keyed sum.
+    Documents with fewer than 2 tokens have no bigrams and drop (the
+    same rows every bigram entry drops).
+    """
+    bg = _bigrams(dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    lt = "split(bigram, ' ')[0]" if dialect == "spark" else "string_split(bigram, ' ')[1]"
+    if dialect == "spark":
+        rows = (
+            f"SELECT doc_id, explode({bg}) AS bigram\n"
+            f"      FROM (SELECT doc_id, {_toks('spark')} AS toks FROM documents)"
+        )
+    else:
+        rows = f"SELECT doc_id, unnest({bg}) AS bigram FROM documents t"
+    return f"""
+WITH bg AS ({rows}),
+model2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bigram),
+model1 AS (
+  SELECT lt, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT {lt} AS lt FROM bg) l GROUP BY lt),
+occ AS (
+  SELECT b.doc_id, (m2.c2 * {BIGRAM_SCALE}) {idiv} m1.c1 AS cond_e6
+  FROM bg b
+  JOIN model2 m2 ON b.bigram = m2.bigram
+  JOIN model1 m1 ON {lt.replace('bigram', 'b.bigram')} = m1.lt)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(cond_e6) {idiv} count(*) AS BIGINT) AS mean_cond_e6
+FROM occ GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean conditional bigram frequency (exact e6 rational)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_bigram_lm_sql("spark"))
+
+
+def bigram_lm_sql() -> str:
+    return _bigram_lm_sql("duckdb")
+
+
+# ------------------------------------------------ winnowing fingerprints
+
+WINNOW_K = 3  # word k-gram granularity
+WINNOW_W = 4  # selection window (guarantee horizon = W + K - 1 words)
+
+
+def _winnow_sql(dialect: str) -> str:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``WINNOW_K``-gram,
+    slide a ``WINNOW_W``-window over the hash sequence, and in each
+    window select the RIGHTMOST MINIMAL hash. The selected (position,
+    hash) set is the document's fingerprint: any shared substring of at
+    least W+K-1 words between two documents is GUARANTEED to share a
+    selected fingerprint (the paper's coverage theorem), at an expected
+    density of 2/(W+1) — the local-selection property no fixed-stride
+    sampling has. `text_fingerprints` pins whole-document hashing;
+    this is the substring-overlap instrument plagiarism/clone detection
+    builds on.
+
+    Determinism: the rightmost-min tie rule is the lexicographic MIN of
+    the (hash, -pos) struct — identical in both engines; hashes are the
+    shared 28-bit md5 arithmetic. Scale shape: one positioned k-gram
+    explode, one doc-partitioned window pass (frame = W following
+    rows), one DISTINCT — all keyed on doc_id; selection is local, so
+    at 100 TB this is a mapper-shaped pass after the one doc-keyed
+    sort, and the fingerprint index it feeds is (hash -> doc) bucketed.
+    """
+    h = _hash_tok(dialect, "gram")
+    if dialect == "spark":
+        grams = _kgram_expr("spark", WINNOW_K)
+        rows = (
+            f"SELECT doc_id, p + 1 AS pos, {h.replace('gram', 'gram')} AS h\n"
+            f"  FROM (SELECT doc_id, {_toks('spark')} AS toks FROM documents)\n"
+            f"  LATERAL VIEW posexplode({grams}) t AS p, gram"
+        )
+    else:
+        toks = _toks("duckdb")
+        grams = _kgram_expr("duckdb", WINNOW_K)
+        rows = (
+            f"SELECT doc_id, unnest(generate_series(1, len({toks}) - {WINNOW_K - 1})) AS pos,\n"
+            f"       unnest(list_transform({grams}, gram -> {h})) AS h\n"
+            f"  FROM documents"
+        )
+    return f"""
+WITH hashes AS ({rows}),
+win AS (
+  SELECT doc_id, pos,
+         max(pos) OVER (PARTITION BY doc_id) AS n_grams,
+         min({'named_struct' if dialect == 'spark' else ''}{"('h', h, 'np', -pos)" if dialect == 'spark' else "{'h': h, 'np': -pos}"}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS m
+  FROM hashes)
+SELECT DISTINCT doc_id,
+       CAST(-((m).np) AS BIGINT) AS fp_pos,
+       CAST((m).h AS BIGINT) AS fp_hash
+FROM win
+WHERE pos <= n_grams - {WINNOW_W - 1}
+ORDER BY doc_id, fp_pos
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (position, hash) fingerprint set per document."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_winnow_sql("spark"))
+
+
+def winnow_fingerprints_sql() -> str:
+    return _winnow_sql("duckdb")

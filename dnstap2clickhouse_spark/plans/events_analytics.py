@@ -2606,3 +2606,63 @@ def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def m4_downsample_sql() -> str:
     return _m4_downsample_sql("duckdb")
+
+
+# ------------------------------------------------ RFM segmentation
+
+RFM_TILES = 5
+
+
+def _rfm_sql(dialect: str) -> str:
+    """RFM customer segmentation — the classic marketing-analytics
+    scoring (Hughes 1994): per user, Recency (time since last event),
+    Frequency (event count) and Monetary (summed cents-scaled value),
+    each scored into ``RFM_TILES`` quintiles, concatenated into the
+    familiar 3-digit segment code (555 = recent + frequent + big).
+
+    Determinism: ``ntile`` over a TOTAL order (metric, then user_id)
+    assigns identical groups in both engines (first ``count % n``
+    groups take the extra row — the standard rule both implement);
+    recency scores are inverted so 5 always means "best". Scale shape:
+    ONE user-keyed aggregate reduces the corpus, then three window
+    sorts over the USER-domain table (dimension-sized, not
+    corpus-sized) — at 100 TB the aggregate is the only big shuffle.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    return f"""
+WITH peruser AS (
+  SELECT user_id,
+         CAST(max({us}) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_e2
+  FROM events GROUP BY user_id),
+bounds AS (SELECT max(last_us) AS now_us FROM peruser),
+scored AS (
+  SELECT p.user_id,
+         b.now_us - p.last_us AS recency_us,
+         p.n_events, p.monetary_e2,
+         CAST({RFM_TILES} + 1 - ntile({RFM_TILES}) OVER
+           (ORDER BY b.now_us - p.last_us, p.user_id) AS BIGINT) AS r_score,
+         CAST(ntile({RFM_TILES}) OVER
+           (ORDER BY p.n_events, p.user_id) AS BIGINT) AS f_score,
+         CAST(ntile({RFM_TILES}) OVER
+           (ORDER BY p.monetary_e2, p.user_id) AS BIGINT) AS m_score
+  FROM peruser p CROSS JOIN bounds b)
+SELECT user_id, recency_us, n_events, monetary_e2,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM scored
+ORDER BY user_id
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM quintile scores + 3-digit segment code."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_rfm_sql("spark"))
+
+
+def rfm_segments_sql() -> str:
+    return _rfm_sql("duckdb")

@@ -633,3 +633,67 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def clustering_coefficient_sql() -> str:
     return _clustering_sql("duckdb")
+
+
+# ------------------------------------------------- link prediction
+
+LP_TOP = 20
+LP_MIN_COMMON = 2  # common-neighbor floor before a pair is scored
+
+
+def _link_predict_sql(dialect: str) -> str:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang 2009): for each NON-adjacent pair, ``RA(a,b) = Σ_{z ∈
+    N(a)∩N(b)} 1/deg(z)`` — common neighbors weighted inversely by how
+    promiscuous they are, the strongest of the classic local
+    similarity indices. "Parts never yet co-purchased but likely to
+    be" is the recommender/completion query over the same co-purchase
+    graph `graph_jaccard_neighbors` ranks EXISTING similarity on; the
+    defining difference is the anti-join — scored pairs must NOT be
+    edges, which is what makes it a prediction.
+
+    Determinism: each wedge contributes the exact integer rational
+    ``1e6 div deg(z)`` (per-term floor division, summed — both engines
+    agree bit-for-bit, the `graph_assortativity` discipline); ties
+    break by (a, b). Scale shape: wedge enumeration is the one
+    sum(deg²) shuffle (same guard options as the Jaccard entry: hub
+    cap or orientation), the degree join is vertex-keyed, the edge
+    exclusion is an equi-anti-join, top-k is TakeOrderedAndProject.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH copurchase AS ({_copurchase_cte()}),
+adj AS (
+  SELECT a AS v, b AS w FROM copurchase
+  UNION ALL
+  SELECT b, a FROM copurchase),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+wedge AS (
+  SELECT e1.w AS a, e2.w AS b, e1.v AS z
+  FROM adj e1 JOIN adj e2 ON e1.v = e2.v AND e1.w < e2.w),
+scored AS (
+  SELECT w.a, w.b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(1000000 {idiv} d.d) AS BIGINT) AS ra_e6
+  FROM wedge w JOIN deg d ON d.v = w.z
+  GROUP BY w.a, w.b
+  HAVING count(*) >= {LP_MIN_COMMON})
+SELECT s.a, s.b, s.n_common, s.ra_e6
+FROM scored s
+WHERE NOT EXISTS (
+  SELECT 1 FROM copurchase e WHERE e.a = s.a AND e.b = s.b)
+ORDER BY s.ra_e6 DESC, s.a, s.b
+LIMIT {LP_TOP}
+"""
+
+
+def link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top non-adjacent part pairs by resource-allocation index."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_link_predict_sql("spark"))
+
+
+def link_predict_sql() -> str:
+    return _link_predict_sql("duckdb")

@@ -1107,3 +1107,136 @@ FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY segment
 """
+
+
+# ------------------------------------------------ streaming CDC apply
+
+UPSERT_CHUNKS = 4
+
+_UPSERT_STATE_SCHEMA = (
+    "user_id BIGINT, us BIGINT, eid BIGINT, ve2 BIGINT, n BIGINT"
+)
+
+
+def _upsert_batch_last(batch: DataFrame) -> DataFrame:
+    """Per-key partial: argmax change by (ts_us, event_id) + count."""
+    return (
+        batch.selectExpr(
+            "user_id",
+            "named_struct('u', unix_micros(ts), 'e', event_id,"
+            " 'v', CAST(round(value * 100) AS BIGINT)) AS m",
+        )
+        .groupBy("user_id")
+        .agg(F.expr("max(m)").alias("m"), F.count(F.lit(1)).alias("n"))
+        .selectExpr("user_id", "m.u AS us", "m.e AS eid", "m.v AS ve2", "n")
+    )
+
+
+def streaming_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING flavor of `events_upsert_merge`: a CDC change log
+    (every event is an upsert of its user's row, value cents-scaled)
+    arrives as ``UPSERT_CHUNKS`` time-ordered micro-batches, and a
+    ``foreachBatch`` loop maintains the materialized key→state table on
+    storage — per batch, ONE key-equi full-outer MERGE of the previous
+    state with the batch's per-key partial (argmax change by (ts_us,
+    event_id) + change count), written to a fresh state version. This
+    is the Delta/Iceberg ``MERGE INTO`` maintenance loop (and the
+    ClickHouse ReplacingMergeTree contract the reference's target store
+    offers) run as a real incremental stream: history is never re-read,
+    each batch touches state ∪ batch only.
+
+    Why the oracle is chunk-free: last-writer-wins by (ts_us, event_id)
+    is an associative-commutative argmax semilattice and the change
+    count is a sum, so merging per-batch partials equals the one-shot
+    batch MERGE for ANY chunking — certified by delivering real
+    micro-batches and hash-matching the batch argmax SQL (the
+    `dns_streaming_agg` monotone-collapse discipline; a chunking test
+    pins 1-chunk ≡ 4-chunk). Scale shape: per batch one key-keyed
+    equi-join shuffle; state stays key-domain-sized.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    root = tempfile.mkdtemp(prefix="upsert_state_")
+    holder = {"dir": None}
+    try:
+
+        def handle(batch: DataFrame, epoch: int) -> None:
+            bl = _upsert_batch_last(batch)
+            if holder["dir"] is not None:
+                state = spark.read.parquet(holder["dir"])
+                merged = (
+                    state.alias("s")
+                    .join(bl.alias("b"), "user_id", "full_outer")
+                    .selectExpr(
+                        "user_id",
+                        "greatest("
+                        " named_struct('u', coalesce(s.us, CAST(-1 AS BIGINT)),"
+                        "              'e', coalesce(s.eid, CAST(-1 AS BIGINT)),"
+                        "              'v', coalesce(s.ve2, CAST(0 AS BIGINT))),"
+                        " named_struct('u', coalesce(b.us, CAST(-1 AS BIGINT)),"
+                        "              'e', coalesce(b.eid, CAST(-1 AS BIGINT)),"
+                        "              'v', coalesce(b.ve2, CAST(0 AS BIGINT)))"
+                        ") AS m",
+                        "coalesce(s.n, CAST(0 AS BIGINT))"
+                        " + coalesce(b.n, CAST(0 AS BIGINT)) AS n",
+                    )
+                    .selectExpr(
+                        "user_id", "m.u AS us", "m.e AS eid", "m.v AS ve2", "n"
+                    )
+                )
+            else:
+                merged = bl
+            new_dir = os.path.join(root, f"v{epoch}")
+            merged.write.parquet(new_dir)  # the action that runs the merge
+            old = holder["dir"]
+            holder["dir"] = new_dir
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        with _time_chunked_stream(spark, ev, UPSERT_CHUNKS) as stream:
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = (
+            spark.read.parquet(holder["dir"])
+            .selectExpr(
+                "user_id",
+                "us AS last_ts_us",
+                "eid AS last_event_id",
+                "ve2 AS last_ve2",
+                "n AS n_changes",
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_upsert_apply_sql() -> str:
+    """Oracle: the one-shot batch argmax MERGE (chunk-free — see the
+    semilattice argument in the entry docstring)."""
+    return """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS ve2
+  FROM events),
+last AS (
+  SELECT user_id, max({'u': us, 'e': event_id, 'v': ve2}) AS m,
+         CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY user_id)
+SELECT user_id,
+       (m).u AS last_ts_us,
+       (m).e AS last_event_id,
+       (m).v AS last_ve2,
+       n AS n_changes
+FROM last ORDER BY user_id
+"""
