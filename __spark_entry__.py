@@ -270,6 +270,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 42): CDC apply with tombstones (the
+        # ReplacingMergeTree(ver, is_deleted) contract as a stream)
+        "streaming_tombstone_apply": stp.streaming_tombstone_apply,
+        # new in round 4 (batch 42): contrastive hard-negative mining
+        # (top cross-label in-cell cosine per anchor)
+        "sim_hard_negatives": fsim.hard_negatives,
+        # new in round 4 (batch 42): tokenizer fertility by source
+        # (tokens-per-word, the compute-share budgeting table)
+        "text_tokenizer_fertility": ftext.tokenizer_fertility,
+        # new in round 4 (batch 41): rendezvous/HRW sharding with the
+        # minimal-movement resharding certificate
+        "split_rendezvous_shards": fsplit.rendezvous_shards,
+        # new in round 4 (batch 41): source-pair similarity from MERGED
+        # MinHash sketches (union = elementwise min; corpus profiling)
+        "dedup_source_sketch_sim": fdedup.source_sketch_sim,
+        # new in round 4 (batch 41): numeric feature drift vs frozen
+        # reference-half decile edges (PSI setup, TVD form)
+        "events_value_drift": evan.value_drift,
+        # new in round 4 (batch 40): qtype mix drift (per-type TVD
+        # contribution between window halves, exact e6)
+        "dns_traffic_drift": an.traffic_drift,
+        # new in round 4 (batch 40): one NN-Descent gossip round over
+        # the bootstrap kNN graph (recovered-edge flags)
+        "sim_nn_descent_round": fsim.nn_descent_round,
+        # new in round 4 (batch 40): end-to-end eval-leakage certificate
+        # over the v2 pipeline's final output (release audit)
+        "curate_decontam_certificate": pcur.decontam_certificate,
+        # new in round 4 (batch 39): video scene-cut detection (frame
+        # intensity delta over the codec-stub stream)
+        "mm_scene_cuts": fmm.scene_cuts,
+        # new in round 4 (batch 39): classifier eval harness (confusion
+        # matrix + exact per-cell precision/recall of lang_id)
+        "text_langid_eval": ftext.langid_eval,
+        # new in round 4 (batch 39): zone-map pruning audit (per-bucket
+        # scan/skip for a 2-D range predicate over the Z-order map)
+        "events_zonemap_prune": evan.zonemap_prune,
+        # new in round 4 (batch 38): resolver-cache hit simulation
+        # (TTL lag replay; per-client hit ratio)
+        "dns_cache_hit_sim": an.cache_hit_sim,
+        # new in round 4 (batch 38): b-bit MinHash storage compression
+        # with collision-floor-corrected estimator audit
+        "dedup_minhash_bbit": fdedup.bbit_minhash,
+        # new in round 4 (batch 38): HNSW layer assignment via exact
+        # trailing-zero geometric draws (level capacity plan)
+        "sim_hnsw_layers": fsim.hnsw_layers,
+        # new in round 4 (batch 37): 2-iteration HITS authorities over
+        # the client->qname bipartite graph (mutual reinforcement)
+        "dns_hits_authority": an.hits_authority,
+        # new in round 4 (batch 37): content-defined chunking (Manber
+        # anchors; edit-resynchronizing segmentation + chunk-store counts)
+        "text_cdc_chunks": ftext.cdc_chunks,
+        # new in round 4 (batch 37): KMV bottom-k distinct sketch with
+        # row-by-row estimator audit (third mergeable summary)
+        "events_kmv_distinct": evan.kmv_distinct,
+        # new in round 4 (batch 36): Count-Min sketch heavy-hitter audit
+        # (fixed 256-cell mergeable summary; overestimate >= 0 guarantee)
+        "events_count_min": evan.count_min,
+        # new in round 4 (batch 36): per-doc TF-IDF top terms (linear-IDF
+        # exact rational; vocabulary-sized model relations)
+        "text_tfidf_terms": ftext.tfidf_terms,
+        # new in round 4 (batch 36): aHash perceptual image dedup
+        # (banded Hamming join over the locality-preserving pixel stub)
+        "mm_image_ahash": fmm.image_ahash,
         # new in round 4 (batch 35): RFM quintile segmentation (one
         # corpus aggregate + user-domain window sorts)
         "events_rfm_segments": evan.rfm_segments,
@@ -767,6 +830,27 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "streaming_tombstone_apply": stp.streaming_tombstone_apply_sql(),
+        "sim_hard_negatives": fsim.hard_negatives_sql(),
+        "text_tokenizer_fertility": ftext.tokenizer_fertility_sql(),
+        "split_rendezvous_shards": fsplit.rendezvous_shards_sql(),
+        "dedup_source_sketch_sim": fdedup.source_sketch_sim_sql(),
+        "events_value_drift": evan.value_drift_sql(),
+        "dns_traffic_drift": an.traffic_drift_sql(),
+        "sim_nn_descent_round": fsim.nn_descent_round_sql(),
+        "curate_decontam_certificate": pcur.decontam_certificate_sql(),
+        "mm_scene_cuts": fmm.scene_cuts_sql(),
+        "text_langid_eval": ftext.langid_eval_sql(),
+        "events_zonemap_prune": evan.zonemap_prune_sql(),
+        "dns_cache_hit_sim": an.cache_hit_sim_sql(),
+        "dedup_minhash_bbit": fdedup.bbit_minhash_sql(),
+        "sim_hnsw_layers": fsim.hnsw_layers_sql(),
+        "dns_hits_authority": an.hits_authority_sql(),
+        "text_cdc_chunks": ftext.cdc_chunks_sql(),
+        "events_kmv_distinct": evan.kmv_distinct_sql(),
+        "events_count_min": evan.count_min_sql(),
+        "text_tfidf_terms": ftext.tfidf_terms_sql(),
+        "mm_image_ahash": fmm.image_ahash_sql(),
         "events_rfm_segments": evan.rfm_segments_sql(),
         "text_winnow_fingerprints": ftext.winnow_fingerprints_sql(),
         "sim_knn_graph": fsim.knn_graph_sql(),

@@ -1298,3 +1298,165 @@ def pair_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pair_examples_sql() -> str:
     return _pair_examples_sql("duckdb")
+
+
+# ------------------------------------------- b-bit MinHash compression
+
+BBIT_B = 2  # stored bits per minhash value
+_BBIT_MASK = (1 << BBIT_B) - 1
+_BBIT_C_E6 = 1_000_000 // (1 << BBIT_B)  # random-collision floor C = 2^-b
+
+
+def _bbit_minhash_sql(dialect: str) -> str:
+    """b-bit MinHash (Li & Koenig, 2010): store only the lowest
+    ``BBIT_B`` bits of each minhash value — a 14x storage cut vs the
+    28-bit minima at N_HASHES=16 — and correct the estimator for the
+    collision floor: unrelated minima still agree with probability
+    ``C = 2^-b``, so ``J_hat = (A_b - C) / (1 - C)`` where ``A_b`` is
+    the observed b-bit agreement. At 100 TB the signature table is the
+    thing you replicate to every joiner; this is the entry that makes
+    it 2 bits/hash instead of 28 while keeping the LSH chain's
+    semantics — the exact trade the paper quantifies.
+
+    Emitted per banded-LSH candidate pair (the same candidate relation
+    every estimator entry audits): the raw b-bit agreement, the
+    corrected estimate, the full-width estimate (`dedup_minhash_accuracy`'s
+    column, for side-by-side reading) and the exact shingle Jaccard —
+    all exact e6 integers, clamped at 0 (the correction can go negative
+    below the floor, exactly as published). Plan shape: candidate join
+    + per-doc signature fetch joins, nothing all-pairs; the b-bit
+    truncation is a free narrow map on the signature vector.
+    """
+    cand = _lsh_pairs_sql(dialect)
+    sh = _shingle_arrays(dialect)
+    size = "size" if dialect == "spark" else "len"
+    inter = "array_intersect" if dialect == "spark" else "list_intersect"
+    div = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        sig_src = f"""
+sigs AS (SELECT doc_id, {_minhash_vec_expr()} AS mh
+         FROM (SELECT doc_id, transform(sh, s -> {_hash_tok("spark", "s")}) AS hs
+               FROM shx))"""
+        agree_full = "size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), v -> v))"
+        agree_b = (f"size(filter(zip_with(sa.mh, sb.mh, "
+                   f"(x, y) -> (x & {_BBIT_MASK}) = (y & {_BBIT_MASK})), v -> v))")
+    else:
+        mh = _minhash_sql(dialect)
+        sig_src = f"""
+sigs AS (SELECT doc_id, list(minhash ORDER BY hidx) AS mh FROM ({mh}) GROUP BY doc_id)"""
+        rng = f"range(1, {N_HASHES + 1})"
+        agree_full = (f"len(list_filter(list_transform({rng}, "
+                      f"i -> sa.mh[i] = sb.mh[i]), v -> v))")
+        agree_b = (f"len(list_filter(list_transform({rng}, "
+                   f"i -> (sa.mh[i] & {_BBIT_MASK}) = (sb.mh[i] & {_BBIT_MASK})), v -> v))")
+    return f"""
+WITH cand AS ({cand}),
+shx AS ({sh}),{sig_src},
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         (CAST({agree_b} AS BIGINT) * 1000000) {div} {N_HASHES} AS agree_b_e6,
+         (CAST({agree_full} AS BIGINT) * 1000000) {div} {N_HASHES} AS est_full_e6,
+         (CAST({size}({inter}(a.sh, b.sh)) AS BIGINT) * 1000000)
+           {div} ({size}(a.sh) + {size}(b.sh) - {size}({inter}(a.sh, b.sh))) AS exact_e6
+  FROM cand c
+  JOIN shx a ON c.doc_a = a.doc_id
+  JOIN shx b ON c.doc_b = b.doc_id
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, agree_b_e6, est_full_e6, exact_e6,
+       greatest(CAST(0 AS BIGINT),
+         ((agree_b_e6 - {_BBIT_C_E6}) * 1000000)
+           {div} (1000000 - {_BBIT_C_E6})) AS est_bbit_e6
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+def bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash corrected estimates vs full-width and exact, per
+    LSH candidate pair."""
+    _register(spark, sf_dir)
+    return spark.sql(_bbit_minhash_sql("spark"))
+
+
+def bbit_minhash_sql() -> str:
+    return _bbit_minhash_sql("duckdb")
+
+
+# ------------------------------------------- mergeable source sketches
+
+
+def _source_sketch_sql(dialect: str) -> str:
+    """MinHash MERGEABILITY, demonstrated end-to-end: the signature of
+    a UNION of sets is the elementwise min of the sets' signatures, so
+    a per-SOURCE signature is just ``min(minhash) GROUP BY (source,
+    hidx)`` over the per-doc signature rows — no re-shingling, no
+    second corpus pass. The entry builds all source-level signatures
+    that way, estimates every source-pair Jaccard from signature
+    agreement, and sits the exact source-level shingle Jaccard (the
+    relational intersect/union counts) next to it with the same
+    3-sigma flag as `dedup_minhash_accuracy`. This is the corpus
+    PROFILING story at 100 TB: per-partition sketch partials roll up
+    to source/domain/crawl-level similarity matrices without touching
+    raw text again — exactly what partial aggregation computes here.
+
+    Scale shape: signature rollup is one (source, hidx)-keyed
+    aggregate over the per-doc signature rows (16 rows/doc); the pair
+    matrix is a hidx-keyed self-join of the |sources| x 16 sketch
+    table — source-domain-sized, never corpus-sized. The exact side
+    (gram self-join) is the test-scale verifier, same quarantine as
+    every exact-Jaccard oracle in this module.
+    """
+    sh = _shingle_arrays(dialect)
+    mh = _minhash_sql(dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        sg_rows = f"SELECT d.source, explode(s.sh) AS shingle FROM ({sh}) s JOIN documents d ON d.doc_id = s.doc_id"
+    else:
+        sg_rows = f"SELECT d.source, unnest(s.sh) AS shingle FROM ({sh}) s JOIN documents d ON d.doc_id = s.doc_id"
+    return f"""
+WITH docsig AS ({mh}),
+srcsig AS (
+  SELECT d.source, m.hidx, min(m.minhash) AS mh
+  FROM docsig m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY d.source, m.hidx),
+agree AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS ag
+  FROM srcsig a JOIN srcsig b
+    ON a.hidx = b.hidx AND a.source < b.source
+  GROUP BY a.source, b.source),
+sg AS (SELECT DISTINCT source, shingle FROM ({sg_rows}) r),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS i
+  FROM sg a JOIN sg b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source),
+scored AS (
+  SELECT g.source_a, g.source_b,
+         (g.ag * 1000000) {idiv} {N_HASHES} AS est_e6,
+         (coalesce(i.i, 0) * 1000000)
+           {idiv} (na.n + nb.n - coalesce(i.i, 0)) AS exact_e6
+  FROM agree g
+  LEFT JOIN inter i ON i.source_a = g.source_a AND i.source_b = g.source_b
+  JOIN sizes na ON na.source = g.source_a
+  JOIN sizes nb ON nb.source = g.source_b)
+SELECT source_a, source_b,
+       CAST(est_e6 AS BIGINT) AS est_e6,
+       CAST(exact_e6 AS BIGINT) AS exact_e6,
+       CAST(abs(est_e6 - exact_e6) AS BIGINT) AS abs_err_e6,
+       CAST(abs(est_e6 - exact_e6) <= {MH_TOL_E6} AS BOOLEAN) AS within_3sigma
+FROM scored
+ORDER BY source_a, source_b
+"""
+
+
+def source_sketch_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair Jaccard from merged (unioned) MinHash sketches."""
+    _register(spark, sf_dir)
+    return spark.sql(_source_sketch_sql("spark"))
+
+
+def source_sketch_sim_sql() -> str:
+    return _source_sketch_sql("duckdb")

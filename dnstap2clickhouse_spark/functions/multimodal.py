@@ -377,3 +377,161 @@ def audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def audio_vad_sql() -> str:
     return _audio_vad_sql("duckdb")
+
+
+# --------------------------------------------- perceptual-hash dedup
+
+AHASH_PIXELS = 64  # 8x8 grayscale thumbnail, the classic aHash grid
+AHASH_BANDS = 4
+_AHASH_BAND_BITS = AHASH_PIXELS // AHASH_BANDS  # 16
+AHASH_HAM_MAX = 3  # pigeonhole: <= 3 flips -> 1 identical band
+
+
+def _image_ahash_sql(dialect: str) -> str:
+    """Perceptual-hash near-duplicate image detection — average hash
+    (aHash): downsample to an ``AHASH_PIXELS``-pixel grayscale
+    thumbnail, set bit i when pixel i is at least the thumbnail mean
+    (cross-multiplied exact-integer compare, no division), then find
+    near-dup pairs by banded Hamming join exactly as
+    `dedup_simhash_pairs` does for text: ``AHASH_BANDS`` disjoint
+    16-bit bands, candidates = per-band equi-join, verification =
+    exact ``bit_count(xor)`` per candidate. This is the image-dedup
+    pass (LAION/DataComp-style) a multimodal curation pipeline runs
+    where the text side runs MinHash.
+
+    Codec stub boundary, locality-preserving flavor: a real pipeline
+    decodes + resizes actual image bytes inside the module's
+    ``mapInPandas`` slot; here pixel i is the hash of the document's
+    (cycled) i-th token, so near-duplicate sources — which differ in a
+    few tokens — yield thumbnails differing in a few pixels, the same
+    local-perturbation structure real near-dup images have. The
+    engine's job (mean-threshold hashing, banding, Hamming
+    verification) runs for real in both dialects over that structure;
+    at sf0.001 the corpus's image near-dups separate cleanly (pairs at
+    hamming 0 vs a noise floor at >= 13).
+
+    Scale shape: pixels/bits are narrow doc-keyed passes (fixed 64
+    rows per image), bands a fixed 4-row-per-image table; the candidate
+    join is O(colliding pairs) on (band, bval) — the signature table's
+    natural bucket key at 100 TB — and verification touches candidates
+    only. Never all-pairs.
+    """
+    from .text import _hash_tok, _toks
+
+    toks = _toks(dialect)
+    if dialect == "spark":
+        series = f"explode(sequence(0, {AHASH_PIXELS - 1}))"
+        elem = "element_at(toks, CAST(1 + i % size(toks) AS INT))"
+        band_of = f"CAST(pos div {_AHASH_BAND_BITS} AS BIGINT)"
+        shift = f"shiftleft(CAST(b AS BIGINT), pos % {_AHASH_BAND_BITS})"
+        ham = "bit_count(x.bval ^ y.bval)"
+    else:
+        series = f"unnest(generate_series(0, {AHASH_PIXELS - 1}))"
+        elem = "toks[1 + i % len(toks)]"
+        band_of = f"pos // {_AHASH_BAND_BITS}"
+        shift = f"(CAST(b AS BIGINT) << (pos % {_AHASH_BAND_BITS}))"
+        ham = "bit_count(xor(x.bval, y.bval))"
+    px = f"{_hash_tok(dialect, elem)} % 256"
+    return f"""
+WITH img AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT doc_id, i AS pos, {px} AS p
+  FROM (SELECT doc_id, toks, {series} AS i FROM img)),
+tot AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.pos,
+         CASE WHEN px.p * {AHASH_PIXELS} >= t.total THEN 1 ELSE 0 END AS b
+  FROM px JOIN tot t ON px.doc_id = t.doc_id),
+bands AS (
+  SELECT doc_id, {band_of} AS band, CAST(sum({shift}) AS BIGINT) AS bval
+  FROM (SELECT doc_id, pos, b FROM bits) s
+  GROUP BY doc_id, {band_of}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+ham AS (
+  SELECT c.doc_a, c.doc_b, CAST(sum({ham}) AS BIGINT) AS hamming
+  FROM cand c
+  JOIN bands x ON x.doc_id = c.doc_a
+  JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, hamming
+FROM ham WHERE hamming <= {AHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+def image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-verified aHash near-dup image pairs (banded candidates)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_image_ahash_sql("spark"))
+
+
+def image_ahash_sql() -> str:
+    return _image_ahash_sql("duckdb")
+
+
+# --------------------------------------------- video scene-cut detect
+
+SCENE_THRESH = 128  # |frame-intensity delta| >= threshold => cut
+
+
+def _scene_cuts_sql(dialect: str) -> str:
+    """Video scene-cut detection — the shot-segmentation pass a video
+    training pipeline runs before sampling frames or aligning captions
+    (detect cuts, then sample per shot instead of per fixed stride,
+    which `mm_frame_sample` pins): consecutive frames whose intensity
+    differs by at least ``SCENE_THRESH`` mark a cut. Emits one row per
+    detected cut (frame index, previous/current intensity, delta) —
+    the shot-boundary index downstream samplers consume.
+
+    Codec stub boundary, same contract as `mm_audio_vad`: a real
+    pipeline decodes frames inside the module's ``mapInPandas`` slot
+    and compares frame histograms; here frame f's intensity is byte f
+    of the payload digest (each video's ``meta.frames`` = 1 + doc_id %
+    30 frames, within the 32-byte stand-in stream), so the windowed
+    delta/threshold semantics — the engine's job — run for real in
+    both dialects and the oracle certifies them bit-for-bit.
+
+    Scale shape: one narrow frame explode (bounded 30 rows per video),
+    one doc-keyed window lag — no joins, no corpus-wide state; output
+    is O(cuts).
+    """
+    nfr = "1 + doc_id % 30"
+    if dialect == "spark":
+        series = f"explode(sequence(0, CAST({nfr} AS INT) - 1))"
+        byte = "CAST(conv(substring(h, 2 * f + 1, 2), 16, 10) AS BIGINT)"
+    else:
+        series = f"unnest(generate_series(0, ({nfr}) - 1))"
+        byte = "('0x' || substr(h, 2 * f + 1, 2))::BIGINT"
+    return f"""
+WITH video AS (
+  SELECT doc_id, repeat(md5(text), 2) AS h
+  FROM documents WHERE doc_id % 3 = 2),
+frames AS (
+  SELECT doc_id, f, {byte} AS v
+  FROM (SELECT doc_id, h, {series} AS f FROM video)),
+deltas AS (
+  SELECT doc_id, f AS frame_idx,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY f) AS prev_v,
+         v
+  FROM frames)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(prev_v AS BIGINT) AS prev_v, CAST(v AS BIGINT) AS v,
+       CAST(abs(v - prev_v) AS BIGINT) AS delta
+FROM deltas
+WHERE prev_v IS NOT NULL AND abs(v - prev_v) >= {SCENE_THRESH}
+ORDER BY doc_id, frame_idx
+"""
+
+
+def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detected scene cuts (frame index + intensity delta) per video."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_scene_cuts_sql("spark"))
+
+
+def scene_cuts_sql() -> str:
+    return _scene_cuts_sql("duckdb")

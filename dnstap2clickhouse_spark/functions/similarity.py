@@ -1973,3 +1973,219 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def knn_graph_sql() -> str:
     return _knn_graph_sql("duckdb")
+
+
+# --------------------------------------------- HNSW layer assignment
+
+HNSW_MAX_LAYER = 8  # cap (28-bit hash could reach 27 trailing zeros)
+
+
+def _hnsw_layers_sql(dialect: str) -> str:
+    """HNSW layer assignment (Malkov & Yashunin 2018), the index
+    SKELETON a distributed graph-ANN build partitions by: each vector
+    draws its maximum layer from a geometric distribution, realized
+    here exactly and portably as the TRAILING-ZERO COUNT of the
+    vector's 28-bit hash (P(layer >= l) = 2^-l — the paper's draw with
+    mL = 1/ln 2, no float log anywhere: ``tz = bit_count((h & -h) - 1)``).
+    Emits per layer: vector count, cumulative count at-or-above (the
+    size of each HNSW level's graph), and the expected count ``n div
+    2^(l+1)`` — so the hash match certifies the generator AND the
+    exponential decay is auditable row-by-row. `sim_knn_graph` builds
+    the base layer's neighborhoods; this entry sizes the upper levels
+    (and at 100 TB the at-or-above counts ARE the capacity plan: level
+    l's subgraph must fit the navigating tier's memory).
+
+    Scale shape: one narrow hash map over vec ids + one aggregate onto
+    a <= ``HNSW_MAX_LAYER + 1``-row layer domain; the cumulative pass
+    is a window over that tiny domain.
+    """
+    from .text import _hash_tok
+
+    key = ("CAST(vec_id AS STRING)" if dialect == "spark"
+           else "CAST(vec_id AS VARCHAR)")
+    idiv = "div" if dialect == "spark" else "//"
+    h = _hash_tok(dialect, key)
+    least = "least"
+    return f"""
+WITH hv AS (SELECT vec_id, {h} AS h FROM embeddings),
+layers AS (
+  SELECT vec_id,
+         CASE WHEN h = 0 THEN {HNSW_MAX_LAYER}
+              ELSE {least}(CAST(bit_count((h & -h) - 1) AS BIGINT),
+                           {HNSW_MAX_LAYER}) END AS layer
+  FROM hv),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM layers),
+counts AS (
+  SELECT layer, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM layers GROUP BY layer)
+SELECT c.layer, c.n_vectors,
+       CAST(sum(c.n_vectors) OVER (ORDER BY c.layer DESC) AS BIGINT)
+         AS n_at_or_above,
+       CAST(t.n_total {idiv} (CAST(2 AS BIGINT) << CAST(c.layer AS INT)) AS BIGINT)
+         AS expected_n
+FROM counts c CROSS JOIN n t
+ORDER BY c.layer
+"""
+
+
+def hnsw_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW layer histogram + level sizes from trailing-zero draws."""
+    _register(spark, sf_dir)
+    return spark.sql(_hnsw_layers_sql("spark"))
+
+
+def hnsw_layers_sql() -> str:
+    return _hnsw_layers_sql("duckdb")
+
+
+# --------------------------------------------- NN-Descent refinement
+
+
+def _nn_descent_sql(dialect: str) -> str:
+    """One NN-Descent round (Dong, Moses & Li, WWW'11): start from a
+    RANDOM initial neighborhood — the paper's init, realized as k
+    deterministic hash-offset edges per vector over the dense vec-id
+    domain — then gossip: each vector's candidate set is its current
+    neighbors, its REVERSE neighbors, and its neighbors' neighbors
+    ("a neighbor of a neighbor is likely a neighbor"), scored by exact
+    cosine, keeping a new top-``KNN_K``. Emits the refined
+    neighborhoods with ``is_new`` marking edges the gossip recovered —
+    the per-round convergence signal the paper iterates on until it
+    dries up. Complements `sim_knn_graph`: that entry bootstraps from
+    k-means cells (and SCALING.md measures its fixed-k blowup); this
+    is the index-free build that escapes cells entirely.
+
+    Determinism: init offsets come from the shared md5 hash family
+    (``dst = (src + 1 + h % (n-1)) % n`` — never self); the fixture's
+    vec ids are dense 0..n-1 (asserted by the offset arithmetic
+    itself: a production run first compacts ids or buckets the init by
+    hash, same shape). Scale: init is a narrow map + one vec-keyed
+    fetch join (n comes from a 1-row broadcast); the gossip candidate
+    relation is edge-keyed (<= k + k + k^2 rows per vertex), embedding
+    fetch is two vec-keyed joins, top-k is a per-vertex window over a
+    constant-bounded row set. No cell-sized or corpus-sized pair set
+    anywhere — each round of a 100 TB graph-ANN build pays only this
+    edge-keyed cost.
+    """
+    from .text import _hash_tok
+
+    dot = _dot("x.embedding", "y.embedding", dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        series = f"explode(sequence(1, {KNN_K}))"
+    else:
+        series = f"unnest(generate_series(1, {KNN_K}))"
+    key = f"concat(CAST(vec_id AS {s}), ':', CAST(j AS {s}))" if dialect == "spark" \
+        else f"CAST(vec_id AS {s}) || ':' || CAST(j AS {s})"
+    h = _hash_tok(dialect, key)
+    return f"""
+WITH e AS ({_normed(dialect)}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e),
+probes AS (
+  SELECT vec_id AS src, j, {h} AS h
+  FROM (SELECT vec_id, {series} AS j FROM e) p),
+init AS (
+  SELECT DISTINCT p.src,
+         (p.src + 1 + p.h % (t.n_vecs - 1)) % t.n_vecs AS dst
+  FROM probes p CROSS JOIN n t),
+init_scored AS (
+  SELECT i.src, i.dst, {dot} / sqrt(x.nrm * y.nrm) AS cosine
+  FROM init i
+  JOIN e x ON x.vec_id = i.src
+  JOIN e y ON y.vec_id = i.dst),
+knn0 AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM init_scored),
+cand AS (
+  SELECT src, dst FROM knn0
+  UNION
+  SELECT dst AS src, src AS dst FROM knn0
+  UNION
+  SELECT e1.src, e2.dst
+  FROM knn0 e1 JOIN knn0 e2 ON e1.dst = e2.src
+  WHERE e2.dst <> e1.src),
+scored AS (
+  SELECT c.src, c.dst, {dot} / sqrt(x.nrm * y.nrm) AS cosine
+  FROM cand c
+  JOIN e x ON x.vec_id = c.src
+  JOIN e y ON y.vec_id = c.dst),
+ranked AS (
+  SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM scored)
+SELECT r.src, r.dst, r.cosine, CAST(r.rk AS BIGINT) AS rank,
+       CAST(o.dst IS NULL AS BOOLEAN) AS is_new
+FROM ranked r
+LEFT JOIN knn0 o ON o.src = r.src AND o.dst = r.dst
+WHERE r.rk <= {KNN_K}
+ORDER BY 1, 4
+"""
+
+
+def nn_descent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refined top-``KNN_K`` per vector after one NN-Descent round."""
+    _register(spark, sf_dir)
+    return spark.sql(_nn_descent_sql("spark"))
+
+
+def nn_descent_round_sql() -> str:
+    return _nn_descent_sql("duckdb")
+
+
+# --------------------------------------------- hard-negative mining
+
+HARDNEG_K = 3  # negatives kept per anchor
+
+
+def _hard_negatives_sql(dialect: str) -> str:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    data-prep step): for every anchor vector, the top-``HARDNEG_K``
+    most-similar vectors with a DIFFERENT label — near-misses the loss
+    learns the most from, versus easy random negatives. Candidates are
+    cell-pruned exactly like `sim_knn_graph` (same k-means assignment
+    CTEs, same bit-deterministic cosine fold, same tie rule), with the
+    label inequality pushed into the pair join — so the mined
+    negatives are the hardest IN-CELL ones, and the same fixed-k
+    occupancy knob measured in SCALING.md governs cost.
+
+    Scale shape: identical to the kNN-graph build (Σ cell² pair
+    enumeration, vec-keyed fetch joins, per-anchor top-k window);
+    the label filter only shrinks the pair set. Output is the
+    (anchor, negative) training-pair table a contrastive run reads.
+    """
+    km = _kmeans_sql(dialect)
+    prefix = km[: km.rindex("SELECT vec_id, cluster FROM a2")].rstrip() + ","
+    dot = _dot("x.embedding", "y.embedding", dialect)
+    return f"""{prefix}
+e AS ({_normed(dialect)}),
+mem AS (
+  SELECT a.vec_id, a.cluster, e.label, e.embedding, e.nrm
+  FROM a2 a JOIN e ON a.vec_id = e.vec_id),
+pairs AS (
+  SELECT x.vec_id AS anchor, x.label AS anchor_label,
+         y.vec_id AS negative, y.label AS negative_label,
+         {dot} / sqrt(x.nrm * y.nrm) AS cosine
+  FROM mem x JOIN mem y
+    ON x.cluster = y.cluster AND x.label <> y.label),
+ranked AS (
+  SELECT anchor, anchor_label, negative, negative_label, cosine,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY cosine DESC, negative) AS rk
+  FROM pairs)
+SELECT anchor, anchor_label, negative, negative_label, cosine,
+       CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {HARDNEG_K}
+ORDER BY anchor, rank
+"""
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-label in-cell negatives per anchor (exact cosine)."""
+    _register(spark, sf_dir)
+    return spark.sql(_hard_negatives_sql("spark"))
+
+
+def hard_negatives_sql() -> str:
+    return _hard_negatives_sql("duckdb")

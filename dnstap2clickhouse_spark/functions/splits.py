@@ -896,3 +896,81 @@ def manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def manifest_checksums_sql() -> str:
     return _manifest_checksums_sql("duckdb")
+
+
+# --------------------------------------------- rendezvous sharding
+
+RV_SHARDS = 8  # current shard count; the entry also evaluates S+1
+
+
+def _rendezvous_sql(dialect: str) -> str:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998) — the consistent-assignment scheme shard routers and
+    partitioned caches use: a key lives on the shard maximizing
+    ``h(key, shard)``. The entry assigns every document under
+    ``RV_SHARDS`` and under ``RV_SHARDS + 1`` shards and emits, per
+    NEW-topology shard: key count under each topology, how many keys
+    MOVED, and the HRW minimal-movement CERTIFICATE — a key changes
+    assignment iff the NEW shard wins it (so moved == gained-by-new,
+    exactly 0 for every pre-existing shard, and the moved total is the
+    ~1/(S+1) resharding cost instead of mod-hashing's ~S/(S+1)). Both
+    computed by both engines, so the hash match certifies the scheme's
+    defining property, not just counts.
+
+    Scale shape: the argmax is a fixed (S+1)-way explode + one
+    key-keyed max-struct aggregate (map-side partials); the report is
+    a shard-keyed aggregate onto <= S+1 rows. At 100 TB this IS the
+    shard manifest builder; the explode constant is the shard count,
+    not the corpus.
+    """
+    from .text import _hash_tok
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    if dialect == "spark":
+        series = f"explode(sequence(0, {RV_SHARDS}))"  # shard S is the new one
+        key = f"concat(CAST(doc_id AS {s}), '@', CAST(shard AS {s}))"
+        strct = "named_struct('w', w, 's', shard)"
+    else:
+        series = f"unnest(generate_series(0, {RV_SHARDS}))"
+        key = f"CAST(doc_id AS {s}) || '@' || CAST(shard AS {s})"
+        strct = "{'w': w, 's': shard}"
+    h = _hash_tok(dialect, key)
+    return f"""
+WITH weights AS (
+  SELECT doc_id, shard, {h} AS w
+  FROM (SELECT doc_id, {series} AS shard FROM documents) r),
+assign AS (
+  SELECT doc_id,
+         max(CASE WHEN shard < {RV_SHARDS} THEN {strct} END) AS old_m,
+         max({strct}) AS new_m
+  FROM weights GROUP BY doc_id),
+moves AS (
+  SELECT doc_id, (old_m).s AS old_shard, (new_m).s AS new_shard
+  FROM assign),
+old AS (
+  SELECT old_shard AS shard, CAST(count(*) AS BIGINT) AS n_keys_old
+  FROM moves GROUP BY old_shard),
+new_ AS (
+  SELECT new_shard AS shard,
+         CAST(count(*) AS BIGINT) AS n_keys_new,
+         CAST(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_moved,
+         CAST(sum(CASE WHEN old_shard <> new_shard
+                        AND new_shard <> {RV_SHARDS} THEN 1 ELSE 0 END) = 0
+              AS BOOLEAN) AS hrw_minimal_movement
+  FROM moves GROUP BY new_shard)
+SELECT n.shard, coalesce(o.n_keys_old, CAST(0 AS BIGINT)) AS n_keys_old,
+       n.n_keys_new, n.n_moved, n.hrw_minimal_movement
+FROM new_ n LEFT JOIN old o ON o.shard = n.shard
+ORDER BY 1
+"""
+
+
+def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard HRW assignment counts + resharding movement audit."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_rendezvous_sql("spark"))
+
+
+def rendezvous_shards_sql() -> str:
+    return _rendezvous_sql("duckdb")

@@ -1323,3 +1323,260 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_fingerprints_sql() -> str:
     return _winnow_sql("duckdb")
+
+
+# ------------------------------------------------ TF-IDF top terms
+
+TFIDF_TOP = 3  # terms kept per document
+TFIDF_SCALE = 1_000_000
+
+
+def _tfidf_sql(dialect: str) -> str:
+    """Per-document top-``TFIDF_TOP`` terms by TF-IDF — the canonical
+    keyword-extraction / document-representation pass (the sparse
+    counterpart of the embedding column; BM25-family retrieval and
+    topic labeling both start here). IDF is the exact integer rational
+    ``N_docs * 1e6 div df`` — the log is dropped (the module's standard
+    determinism move: the linear form is monotone in the true IDF, so
+    all single-term orderings survive; cross-term scores are the
+    documented linear-IDF variant, not Robertson log-IDF).
+
+    Scale shape: one token explode feeding the (doc, term) TF aggregate
+    and the term-keyed DF aggregate (vocabulary-sized, sub-linear —
+    this is the persistable model relation, exactly like the bigram LM
+    tables); scoring is one term-keyed fetch join + a doc-partitioned
+    top-k window (rank data = docs x kept-terms). The corpus count is a
+    1-row broadcast.
+    """
+    toks = _toks(dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    if dialect == "spark":
+        rows = f"SELECT doc_id, explode({toks}) AS tok FROM documents"
+    else:
+        rows = f"SELECT doc_id, unnest({toks}) AS tok FROM documents"
+    return f"""
+WITH tok_rows AS ({rows}),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok_rows GROUP BY doc_id, tok),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM tok_rows) u GROUP BY tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf * ((n.n_docs * {TFIDF_SCALE}) {idiv} df.df) AS tfidf_e6
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, tok, tf, df, tfidf_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf_e6 DESC, tok) AS rk
+  FROM scored)
+SELECT doc_id, tok AS term, tf, df,
+       CAST(tfidf_e6 AS BIGINT) AS tfidf_e6,
+       CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= {TFIDF_TOP}
+ORDER BY doc_id, rank
+"""
+
+
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` TF-IDF terms per document (linear-IDF e6)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_tfidf_sql("spark"))
+
+
+def tfidf_terms_sql() -> str:
+    return _tfidf_sql("duckdb")
+
+
+# ------------------------------------------- content-defined chunking
+
+CDC_DIVISOR = 8  # boundary when token hash % divisor == 0 (mean chunk ~8)
+
+
+def _cdc_sql(dialect: str) -> str:
+    """Content-defined chunking (Manber 1994 / LBFS): a chunk boundary
+    falls AFTER every token whose hash is ``0 mod CDC_DIVISOR``, so
+    boundaries are decided by CONTENT, not position — insert or delete
+    a token and only the chunk containing the edit (plus at most its
+    successor up to the next anchor) changes; every later chunk keeps
+    its identity. That re-synchronization property is what fixed-stride
+    segmentation (`text_segment_dedup`) lacks, and it is the primitive
+    under dedup storage (rsync/casync), delta compression, and
+    edit-robust long-document split points for training pipelines.
+
+    Each chunk emits a position-weighted exact-integer fingerprint
+    (``sum(h * (pos - chunk_start + 1))`` — order-sensitive, bounded
+    well under 2^63) plus the corpus-wide occurrence count of that
+    (fingerprint, length) chunk — the storage-dedup readout.
+
+    Scale shape: positioned token explode (narrow mapper), one
+    doc-keyed window pass for the running boundary count, one
+    (doc, chunk) aggregate, one fingerprint-keyed count + fetch join —
+    all equi-shuffles; the chunk index is the natural bucket key for a
+    100 TB chunk store.
+    """
+    h = _hash_tok(dialect, "tok")
+    toks = _toks(dialect)
+    if dialect == "spark":
+        rows = (
+            f"SELECT doc_id, p + 1 AS pos, {h} AS h\n"
+            f"  FROM (SELECT doc_id, {toks} AS toks FROM documents)\n"
+            f"  LATERAL VIEW posexplode(toks) t AS p, tok"
+        )
+    else:
+        rows = (
+            f"SELECT doc_id, unnest(generate_series(1, len({toks}))) AS pos,\n"
+            f"       unnest(list_transform({toks}, tok -> {h})) AS h\n"
+            f"  FROM documents"
+        )
+    return f"""
+WITH rows_ AS ({rows}),
+cids AS (
+  SELECT doc_id, pos, h,
+         coalesce(sum(CASE WHEN h % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+  FROM rows_),
+anchored AS (
+  SELECT doc_id, pos, h, cid,
+         min(pos) OVER (PARTITION BY doc_id, cid) AS p0
+  FROM cids),
+chunks AS (
+  SELECT doc_id, cid,
+         CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(h * (pos - p0 + 1)) AS BIGINT) AS chunk_hash
+  FROM anchored GROUP BY doc_id, cid),
+occ AS (
+  SELECT chunk_hash, n_tokens, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM chunks GROUP BY chunk_hash, n_tokens)
+SELECT c.doc_id, CAST(c.cid AS BIGINT) AS chunk_idx,
+       c.start_pos, c.n_tokens, c.chunk_hash, o.n_occurrences
+FROM chunks c
+JOIN occ o ON o.chunk_hash = c.chunk_hash AND o.n_tokens = c.n_tokens
+ORDER BY c.doc_id, chunk_idx
+"""
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunks per document + corpus occurrence counts."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_cdc_sql("spark"))
+
+
+def cdc_chunks_sql() -> str:
+    return _cdc_sql("duckdb")
+
+
+# ------------------------------------------- classifier eval harness
+
+
+def _langid_eval_sql(dialect: str) -> str:
+    """Classifier EVALUATION harness over the lang_id heuristic: join
+    predictions to the labeled ``lang`` column and emit the confusion
+    matrix with per-cell exact-e6 precision (cell / predicted-class
+    total) and recall (cell / true-class total) — the join + marginal
+    shape every model eval at 100 TB runs (quality-classifier audits,
+    language-ID QA, toxicity-filter calibration). Honest readout on
+    THIS corpus: the fixture's ``lang`` labels are random w.r.t. the
+    text (documented at `text_lang_id`), so measured precision tracks
+    the class priors; the entry certifies the eval MACHINERY — exact
+    marginals via window sums over the confusion cells, never a second
+    corpus pass.
+
+    Scale shape: one doc-keyed aggregate producing the (truth,
+    prediction) pairs collapses the corpus to a <= |langs| x |preds|
+    cell table; the marginals are windows over that tiny table.
+    """
+    pred = (
+        f"CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens >= {LANG_THRESHOLD} "
+        f"THEN 'en' ELSE 'unk' END"
+    )
+    inner = _stats_exprs(dialect)
+    sel = ", ".join(e for e in inner if "n_stop" in e or "n_tokens" in e or e == "doc_id")
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH stats AS (
+  SELECT {sel}, lang FROM documents),
+labeled AS (
+  SELECT lang AS true_lang, {pred} AS pred_lang FROM stats),
+cells AS (
+  SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM labeled GROUP BY true_lang, pred_lang)
+SELECT true_lang, pred_lang, n,
+       CAST((n * 1000000) {idiv} sum(n) OVER (PARTITION BY pred_lang) AS BIGINT)
+         AS precision_e6,
+       CAST((n * 1000000) {idiv} sum(n) OVER (PARTITION BY true_lang) AS BIGINT)
+         AS recall_e6
+FROM cells
+ORDER BY true_lang, pred_lang
+"""
+
+
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-cell precision/recall of lang_id."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_langid_eval_sql("spark"))
+
+
+def langid_eval_sql() -> str:
+    return _langid_eval_sql("duckdb")
+
+
+# ------------------------------------------- tokenizer fertility
+
+
+def _fertility_sql(dialect: str) -> str:
+    """Tokenizer FERTILITY by source — tokens-per-word, the standard
+    tokenizer-evaluation metric (a tokenizer with fertility 2.1 on one
+    domain and 1.2 on another inflates the first domain's compute
+    share; multilingual tokenizer papers report exactly this table):
+    per source, whitespace words, BPE-style pre-tokens
+    (`text_regex_tokens`' denominator pair) and the exact e6
+    tokens-per-word ratio, plus the corpus-wide ratio for reference.
+    The budgeting input `split_token_budget` allocates by — this
+    entry says WHERE the tokens go.
+
+    Scale shape: one narrow per-doc projection (two size() calls),
+    one source-keyed aggregate with map-side partials onto the source
+    domain; the corpus row is a window over that table.
+    """
+    toks = _toks(dialect)
+    size = "size" if dialect == "spark" else "len"
+    idiv = "div" if dialect == "spark" else "//"
+    bpe = (
+        f"{size}(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
+        if dialect == "spark"
+        else f"{size}(regexp_extract_all(text, '{BPE_PATTERN}'))"
+    )
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST({size}({toks}) AS BIGINT) AS n_words,
+         CAST({bpe} AS BIGINT) AS n_bpe
+  FROM documents),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_words,
+         CAST(sum(n_bpe) AS BIGINT) AS n_bpe
+  FROM per GROUP BY source)
+SELECT source, n_docs, n_words, n_bpe,
+       CAST((n_bpe * 1000000) {idiv} n_words AS BIGINT) AS fertility_e6,
+       CAST((sum(n_bpe) OVER () * 1000000) {idiv} sum(n_words) OVER ()
+            AS BIGINT) AS corpus_fertility_e6
+FROM agg
+ORDER BY source
+"""
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokens-per-word fertility (exact e6) + corpus ratio."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_fertility_sql("spark"))
+
+
+def tokenizer_fertility_sql() -> str:
+    return _fertility_sql("duckdb")

@@ -206,3 +206,201 @@ FROM (
 ORDER BY score_e6 DESC, n_queries DESC, qname
 LIMIT {QNAME_TOP}
 """
+
+
+# --------------------------------------------- HITS over client->qname
+
+HITS_TOP = 20
+
+
+def _hits_body(src: str) -> str:
+    """HITS (Kleinberg 1999) on the bipartite client -> questionName
+    graph of the CLIENT_QUERY stream, two exact iterations: a1 = qname
+    indegree (hubs initialized to 1), h1 = per-client sum of its
+    qnames' a1, a2 = per-qname sum of its clients' h1. Emits the
+    top-``HITS_TOP`` authorities — "which names do the busiest
+    resolvers concentrate on", the mutual-reinforcement ranking plain
+    indegree (Q1/Q2's shape) can't express: a qname asked by ten
+    one-shot clients outranks one asked by ten narrow clients only
+    under HITS. Shared verbatim by both engines (no dialect split).
+
+    Determinism: integers end-to-end — iterations are UNNORMALIZED
+    (values bounded by |E|^2, fine for two rounds; a production run at
+    100 TB adds the standard per-round max-normalization, which is one
+    more 1-row broadcast per round). Scale shape: the DISTINCT edge
+    set is one (client, qname) shuffle; each half-iteration is one
+    vertex-keyed equi-join + aggregate (exactly the CC/pagerank round
+    shape); top-k is TakeOrderedAndProject.
+    """
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT queryAddress AS client, questionName AS qname
+  FROM ({src}) s),
+a1 AS (
+  SELECT qname, CAST(count(*) AS BIGINT) AS indegree
+  FROM edges GROUP BY qname),
+h1 AS (
+  SELECT e.client, CAST(sum(a.indegree) AS BIGINT) AS hub
+  FROM edges e JOIN a1 a ON e.qname = a.qname GROUP BY e.client),
+a2 AS (
+  SELECT e.qname, CAST(sum(h.hub) AS BIGINT) AS authority
+  FROM edges e JOIN h1 h ON e.client = h.client GROUP BY e.qname)
+SELECT a.qname AS questionName, a1.indegree, a.authority
+FROM a2 a JOIN a1 ON a1.qname = a.qname
+ORDER BY a.authority DESC, questionName
+LIMIT {HITS_TOP}
+"""
+
+
+def hits_authority(spark, sf_dir: str) -> DataFrame:
+    """Top DNS authorities by 2-iteration HITS over client->qname."""
+    from ..sources.events import dns_query_stream
+
+    dns_query_stream(spark, sf_dir).createOrReplaceTempView("dns_hits_src")
+    return spark.sql(_hits_body("SELECT * FROM dns_hits_src"))
+
+
+def hits_authority_sql() -> str:
+    from ..sources.events import QUERY_STREAM_SQL
+
+    return _hits_body(QUERY_STREAM_SQL)
+
+
+# --------------------------------------------- resolver-cache simulation
+
+CACHE_TTL_S = 604_800  # BIND's default max-cache-ttl cap (7 days)
+
+
+def _cache_hit_body(src: str, dialect: str) -> str:
+    """Resolver-cache hit simulation: replay the CLIENT_QUERY stream
+    against a per-client cache — a query is a HIT when the same
+    (queryAddress, questionName) was queried within ``CACHE_TTL_S``
+    seconds before it (the stub-resolver model: every miss refreshes
+    the record, so hit-vs-miss is exactly a lag() within-TTL test; the
+    TTL is BIND's default max-cache-ttl cap, the right horizon for the
+    fixture corpus's 30-day event span).
+    Emits per-client hit/miss totals + exact e6 hit ratio — the
+    cache-efficiency readout a resolver operator sizes caches with,
+    and the negative-cache/TTL-tuning instrument the reference's
+    Grafana surface implies but cannot compute in one pass.
+
+    Determinism: the replay order is (queryTime, queryPort) — the port
+    derives from event_id, so the tiebreak is total. At the smallest
+    test scale every questionName occurs once and the honest answer is
+    0 hits everywhere; repeats (and hits) appear from sf0.01 up.
+
+    Scale shape: ONE (client, qname)-keyed window sort — the lag is
+    computed inside each key's partition, state is one row deep (the
+    previous sighting), and the per-client rollup is a second
+    client-keyed aggregate over already-reduced rows. The streaming
+    twin is dropDuplicatesWithinWatermark semantics with a TTL
+    watermark; here the batch replay is exact.
+    """
+    us = "unix_micros(queryTime)" if dialect == "spark" else "epoch_us(queryTime)"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH q AS (
+  SELECT queryAddress, questionName, {us} AS t_us, queryPort
+  FROM ({src}) s),
+lagged AS (
+  SELECT queryAddress,
+         t_us - lag(t_us) OVER (
+           PARTITION BY queryAddress, questionName
+           ORDER BY t_us, queryPort) AS gap_us
+  FROM q),
+flags AS (
+  SELECT queryAddress,
+         CASE WHEN gap_us IS NOT NULL
+                   AND gap_us <= {CACHE_TTL_S * 1_000_000}
+              THEN 1 ELSE 0 END AS hit
+  FROM lagged)
+SELECT queryAddress,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(hit) AS BIGINT) AS n_hits,
+       CAST((sum(hit) * 1000000) {idiv} count(*) AS BIGINT) AS hit_ratio_e6
+FROM flags
+GROUP BY queryAddress
+ORDER BY queryAddress
+"""
+
+
+def cache_hit_sim(spark, sf_dir: str) -> DataFrame:
+    """Per-client simulated resolver-cache hit totals and ratio."""
+    from ..sources.events import dns_query_stream
+
+    dns_query_stream(spark, sf_dir).createOrReplaceTempView("dns_cache_src")
+    return spark.sql(_cache_hit_body("SELECT * FROM dns_cache_src", "spark"))
+
+
+def cache_hit_sim_sql() -> str:
+    from ..sources.events import QUERY_STREAM_SQL
+
+    return _cache_hit_body(QUERY_STREAM_SQL, "duckdb")
+
+
+# --------------------------------------------- traffic mix drift
+
+DRIFT_FLAG_E6 = 10_000  # flag a qtype whose share moved >= 1 pp
+
+
+def _traffic_drift_body(src: str, dialect: str) -> str:
+    """Query-type MIX drift between the first and second half of the
+    observation window — the traffic-change alarm a resolver operator
+    watches (an NXDOMAIN/TXT share spike is the classic tunneling/DGA
+    symptom; `dns_qname_features` triages names, this watches the
+    mix): per questionType, both halves' counts and exact e6 shares,
+    the absolute share drift (the qtype's contribution to total
+    variation distance — TVD = sum(drift)/2), and a >= 1pp flag. The
+    midpoint is derived in-query from the stream's own span, so the
+    entry survives corpus regeneration. Everything is an exact
+    integer; no chi-square statistic is materialized, so no
+    cross-multiplication can overflow at any corpus scale (the
+    `events_ab_test` boolean keeps that form for the 2x2 case).
+
+    Scale shape: one 1-row span aggregate (broadcast), one narrow
+    half-assignment map, one (qtype, half) aggregate with map-side
+    partials onto a <= 2x|qtypes| table; shares and drift are windows
+    over that tiny table.
+    """
+    us = "unix_micros(queryTime)" if dialect == "spark" else "epoch_us(queryTime)"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH q AS (SELECT questionType, {us} AS t_us FROM ({src}) s),
+b AS (SELECT min(t_us) + (max(t_us) - min(t_us)) {idiv} 2 AS mid FROM q),
+halves AS (
+  SELECT q.questionType,
+         CASE WHEN q.t_us < b.mid THEN 0 ELSE 1 END AS h
+  FROM q CROSS JOIN b),
+counts AS (
+  SELECT questionType,
+         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM halves GROUP BY questionType),
+shares AS (
+  SELECT questionType, n_first, n_second,
+         (n_first * 1000000) {idiv} sum(n_first) OVER () AS share_first_e6,
+         (n_second * 1000000) {idiv} sum(n_second) OVER () AS share_second_e6
+  FROM counts)
+SELECT questionType, n_first, n_second,
+       CAST(share_first_e6 AS BIGINT) AS share_first_e6,
+       CAST(share_second_e6 AS BIGINT) AS share_second_e6,
+       CAST(abs(share_first_e6 - share_second_e6) AS BIGINT) AS drift_e6,
+       CAST(abs(share_first_e6 - share_second_e6) >= {DRIFT_FLAG_E6}
+            AS BOOLEAN) AS drifted
+FROM shares
+ORDER BY questionType
+"""
+
+
+def traffic_drift(spark, sf_dir: str) -> DataFrame:
+    """Per-qtype first/second-half shares + TVD contribution + flag."""
+    from ..sources.events import dns_query_stream
+
+    dns_query_stream(spark, sf_dir).createOrReplaceTempView("dns_drift_src")
+    return spark.sql(_traffic_drift_body("SELECT * FROM dns_drift_src", "spark"))
+
+
+def traffic_drift_sql() -> str:
+    from ..sources.events import QUERY_STREAM_SQL
+
+    return _traffic_drift_body(QUERY_STREAM_SQL, "duckdb")

@@ -379,3 +379,64 @@ def source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def source_scorecard_sql() -> str:
     return _source_scorecard_sql("duckdb")
+
+
+# ------------------------------------------- decontamination certificate
+
+
+def _decontam_certificate_sql(dialect: str) -> str:
+    """End-to-end decontamination CERTIFICATE over the v2 pipeline's
+    FINAL output: re-derive the held-out eval split's 8-gram set,
+    re-probe every document that survived the full curation chain
+    (quality -> repetition -> decontamination -> near-dup suppression
+    -> resample -> split), and emit per final split the doc count, the
+    count of still-contaminated docs, and the certificate boolean —
+    which must read 0 / TRUE for every split. The self-certifying
+    pattern (`text_pii_scrub`): the gate is checked on the OUTPUT, not
+    trusted from the plan, so a regression anywhere in the chain (a
+    dropped filter, a join that resurrects rows) flips a driver-hashed
+    value. This is the release-blocking eval-leakage audit a training
+    run signs off on.
+
+    Scale shape: the v2 plan's own census plus one more broadcast
+    gram probe (eval grams are benchmark-sized) and one split-keyed
+    aggregate onto <= |splits| rows.
+    """
+    from ..functions.text import DECONTAM_K, EVAL_SOURCE, _kgram_rows
+
+    v2 = _curate_v2_sql(dialect).replace("ORDER BY doc_id", "")
+    train_rows = _kgram_rows(dialect, DECONTAM_K, f"WHERE source <> '{EVAL_SOURCE}'")
+    eval_rows = _kgram_rows(dialect, DECONTAM_K, f"WHERE source = '{EVAL_SOURCE}'")
+    hint = "/*+ BROADCAST(eg) */ " if dialect == "spark" else ""
+    return f"""
+WITH corpus AS ({v2}),
+eg AS (SELECT DISTINCT gram FROM ({eval_rows})),
+tg AS (SELECT DISTINCT doc_id, gram FROM ({train_rows})),
+hits AS (
+  SELECT {hint}tg.doc_id
+  FROM tg JOIN eg ON tg.gram = eg.gram
+  GROUP BY tg.doc_id),
+flagged AS (
+  SELECT c.split,
+         CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+  FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(contaminated) AS BIGINT) AS n_contaminated,
+       CAST(sum(contaminated) = 0 AS BOOLEAN) AS decontaminated
+FROM flagged
+GROUP BY split
+ORDER BY split
+"""
+
+
+def decontam_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split eval-leakage certificate over the v2 final output."""
+    from ..functions.dedup import _register
+
+    _register(spark, sf_dir)
+    return spark.sql(_decontam_certificate_sql("spark"))
+
+
+def decontam_certificate_sql() -> str:
+    return _decontam_certificate_sql("duckdb")

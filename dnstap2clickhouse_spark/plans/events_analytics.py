@@ -2666,3 +2666,290 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rfm_segments_sql() -> str:
     return _rfm_sql("duckdb")
+
+
+# ------------------------------------------------ Count-Min sketch
+
+CM_DEPTH = 4  # independent hash rows
+CM_WIDTH = 64  # counters per row (sketch = CM_DEPTH * CM_WIDTH cells)
+CM_TOP = 10  # heavy hitters audited against the sketch
+
+
+def _count_min_sql(dialect: str) -> str:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    audit: build the ``CM_DEPTH x CM_WIDTH`` counter sketch over the
+    event stream's user ids, then read the top-``CM_TOP`` users (by
+    exact count) back THROUGH the sketch — per user the estimate is the
+    min of its ``CM_DEPTH`` cells, and the emitted ``overestimate =
+    cm_est - exact_n`` is the sketch's signed error, ``>= 0`` by the CM
+    one-sided guarantee (collisions only ever ADD counts). The hash
+    match therefore certifies the sketch IMPLEMENTATION (both engines
+    build bit-identical sketches from the shared md5 hash family) while
+    the overestimate column makes its accuracy auditable row-by-row —
+    the `events_sketch_stats` accuracy-bound discipline, with the whole
+    audit exact-integer.
+
+    Scale shape: the sketch is ONE aggregate over a ``CM_DEPTH``-way
+    explode with map-side partials into a FIXED 256-cell output — the
+    textbook mergeable distributed summary (per-partition sketches sum
+    cell-wise; that is exactly what partial aggregation does here). The
+    exact side is the same user-keyed aggregate `events_heavy_hitters`
+    pins; probes are ``CM_TOP * CM_DEPTH`` rows against the 256-cell
+    sketch — both broadcast-sized at any corpus scale.
+    """
+    from ..functions.text import _hash_tok
+
+    if dialect == "spark":
+        series = f"explode(sequence(0, {CM_DEPTH - 1}))"
+        key = "concat(CAST(d AS STRING), ':', CAST(user_id AS STRING))"
+    else:
+        series = f"unnest(generate_series(0, {CM_DEPTH - 1}))"
+        key = "CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)"
+    h = f"{_hash_tok(dialect, key)} % {CM_WIDTH}"
+    return f"""
+WITH ev AS (SELECT user_id FROM events),
+cells AS (
+  SELECT d, {h} AS cell, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT user_id, {series} AS d FROM ev) r
+  GROUP BY d, {h}),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+  FROM ev GROUP BY user_id),
+top AS (
+  SELECT user_id, exact_n FROM exact
+  ORDER BY exact_n DESC, user_id LIMIT {CM_TOP}),
+probe AS (
+  SELECT user_id, exact_n, d, {h} AS cell
+  FROM (SELECT user_id, exact_n, {series} AS d FROM top) t),
+est AS (
+  SELECT p.user_id, p.exact_n, min(s.c) AS cm_est
+  FROM probe p JOIN cells s ON s.d = p.d AND s.cell = p.cell
+  GROUP BY p.user_id, p.exact_n)
+SELECT user_id, exact_n,
+       CAST(cm_est AS BIGINT) AS cm_est,
+       CAST(cm_est - exact_n AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_n DESC, user_id
+"""
+
+
+def count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top users' exact counts vs their Count-Min sketch estimates."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_count_min_sql("spark"))
+
+
+def count_min_sql() -> str:
+    return _count_min_sql("duckdb")
+
+
+# ------------------------------------------------ KMV distinct sketch
+
+KMV_K = 16
+_KMV_SPACE = 1 << 28  # the shared 28-bit hash space
+
+
+def _kmv_sql(dialect: str) -> str:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; the
+    k-minimum-values estimator under theta sketches): keep the ``KMV_K``
+    smallest distinct hash values of the key stream; the i-th smallest
+    hash ``h_(i)`` estimates distinct count as ``(i-1) * SPACE / h_(i)``
+    (hashes of n distinct keys are ~uniform, so the (i-1)-th order
+    statistic sits near ``(i-1)/n`` of the space). Emits the whole
+    estimator curve — rank, sampled user, hash, integer estimate — plus
+    the exact distinct count per row, so the hash match certifies the
+    sketch implementation AND its accuracy is auditable row-by-row
+    (the `events_count_min` / `events_sketch_stats` discipline).
+
+    This is the third mergeable-summary entry: union of bottom-k sets
+    then re-take bottom-k == sketch of the union. Scale shape: the
+    hash-keyed GROUP BY is user-domain-sized with map-side partials
+    absorbing repeats (a real KMV keeps a k-heap per partition; the
+    partial aggregate is morally that), the top-k is
+    TakeOrderedAndProject, and the exact side is the same distinct
+    aggregate `events_distinct_users` pins. Duplicates cannot move the
+    estimate: min-k of hashes is duplicate-insensitive by construction.
+    """
+    from ..functions.text import _hash_tok
+
+    key = (
+        "CAST(user_id AS STRING)" if dialect == "spark"
+        else "CAST(user_id AS VARCHAR)"
+    )
+    idiv = "div" if dialect == "spark" else "//"
+    h = _hash_tok(dialect, key)
+    return f"""
+WITH hv AS (
+  SELECT hv, min(user_id) AS user_id
+  FROM (SELECT user_id, {h} AS hv FROM events) r
+  GROUP BY hv),
+bottom AS (
+  SELECT user_id, hv FROM hv
+  ORDER BY hv, user_id LIMIT {KMV_K}),
+ranked AS (
+  SELECT user_id, hv,
+         row_number() OVER (ORDER BY hv, user_id) AS rk
+  FROM bottom),
+exact AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+SELECT CAST(rk AS BIGINT) AS rank, user_id,
+       CAST(hv AS BIGINT) AS hash_value,
+       CAST(((CAST(rk AS BIGINT) - 1) * {_KMV_SPACE}) {idiv} hv AS BIGINT) AS kmv_est,
+       e.n_exact
+FROM ranked CROSS JOIN exact e
+ORDER BY rank
+"""
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-``KMV_K`` distinct-hash sketch + estimator curve."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_kmv_sql("spark"))
+
+
+def kmv_distinct_sql() -> str:
+    return _kmv_sql("duckdb")
+
+
+# ------------------------------------------------ zone-map pruning audit
+
+
+def _zonemap_prune_sql(dialect: str) -> str:
+    """Zone-map PRUNING audit — the payoff query for the
+    `events_zorder_layout` pass: take the Z-order zone map (per-bucket
+    min/max rectangles over (user_id, hour)) and a concrete 2-D range
+    predicate (the mid-quartile box on both dimensions, derived
+    IN-QUERY from the map's own bounds so the entry survives corpus
+    regeneration), and flag which buckets a zone-map-aware scan must
+    read: exactly those whose rectangle intersects the box. The scanned
+    flag per bucket is what a lakehouse file-skipping layer (or
+    ClickHouse's skip indexes, the reference target's equivalent)
+    computes from parquet footer stats; the audit makes the layout's
+    selectivity a driver-certified number instead of a claim.
+
+    Scale shape: the zone map is already O(buckets) (<= 64); the
+    predicate box is a 1-row aggregate OVER THE MAP, not the corpus;
+    the intersect test is a narrow map over bucket rows. The corpus is
+    touched only by the layout pass this splices (one aggregate).
+    """
+    base = _zorder_layout_sql(dialect)
+    body = base[: base.rindex("ORDER BY z_bucket")].rstrip()
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH zonemap AS ({body}),
+predbox AS (
+  SELECT min(user_lo) + (max(user_hi) - min(user_lo)) {idiv} 4 AS u_a,
+         min(user_lo) + (max(user_hi) - min(user_lo)) {idiv} 2 AS u_b,
+         min(hour_lo) + (max(hour_hi) - min(hour_lo)) {idiv} 4 AS h_a,
+         min(hour_lo) + (max(hour_hi) - min(hour_lo)) {idiv} 2 AS h_b
+  FROM zonemap)
+SELECT z.z_bucket, z.n_rows, z.user_lo, z.user_hi, z.hour_lo, z.hour_hi,
+       CAST(z.user_hi >= p.u_a AND z.user_lo <= p.u_b
+            AND z.hour_hi >= p.h_a AND z.hour_lo <= p.h_b AS BOOLEAN)
+         AS scanned
+FROM zonemap z CROSS JOIN predbox p
+ORDER BY z.z_bucket
+"""
+
+
+def zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket scan/skip decision for a mid-quartile 2-D predicate."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sql = _zonemap_prune_sql("spark").replace(
+        "CAST(date_diff('second', b.t0, b.t1) AS BIGINT)",
+        "(unix_micros(b.t1) - unix_micros(b.t0)) div 1000000",
+    )
+    return spark.sql(sql)
+
+
+def zonemap_prune_sql() -> str:
+    return _zonemap_prune_sql("duckdb")
+
+
+# ------------------------------------------------ numeric feature drift
+
+VALUE_DRIFT_FLAG_E6 = 10_000  # flag a decile whose share moved >= 1 pp
+
+
+def _value_drift_sql(dialect: str) -> str:
+    """Numeric feature drift — the training-serving-skew monitor: bin
+    the REFERENCE window (first half of the observation span, the
+    "training" distribution) into exact nearest-rank deciles, bucket
+    BOTH halves by those frozen edges, and emit per decile both
+    halves' counts, exact e6 shares, the absolute share drift (the
+    bucket's total-variation contribution) and a >= 1pp flag. This is
+    PSI's setup with TVD in place of the log-ratio (the module's
+    standard move: exact integers, no float log), and the
+    reference-window binning is the part naive half-vs-half
+    histograms get wrong — serving data is always scored against the
+    training bins. Completes the drift family: `sim_embedding_drift`
+    (vectors), `dns_traffic_drift` (categorical), this (numeric).
+
+    Scale shape: one 1-row span broadcast, one global sort of the
+    REFERENCE half for the 9 edge ranks (at 100 TB: sample or use the
+    `events_equidepth_histogram` sketch edges — the documented knob),
+    then a narrow 9-comparison bucket map and one (half, bucket)
+    aggregate onto <= 20 rows; shares are windows over that table.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    idiv = "div" if dialect == "spark" else "//"
+    series = ("explode(sequence(1, 9))" if dialect == "spark"
+              else "unnest(generate_series(1, 9))")
+    return f"""
+WITH c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents, {us} AS t_us
+  FROM events),
+b AS (SELECT min(t_us) + (max(t_us) - min(t_us)) {idiv} 2 AS mid FROM c),
+tagged AS (
+  SELECT c.event_id, c.cents,
+         CASE WHEN c.t_us < b.mid THEN 0 ELSE 1 END AS h
+  FROM c CROSS JOIN b),
+ref AS (SELECT cents, event_id FROM tagged WHERE h = 0),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk FROM ref),
+n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+edges AS (
+  SELECT k, r.cents AS edge
+  FROM (SELECT {series} AS k FROM n1) ks
+  JOIN n1 ON 1 = 1
+  JOIN ranked r ON r.rk = (CAST(ks.k AS BIGINT) * n1.n) {idiv} 10),
+bucketed AS (
+  SELECT t.h,
+         CAST(coalesce(sum(CASE WHEN t.cents > e.edge THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS bucket
+  FROM tagged t LEFT JOIN edges e ON 1 = 1
+  GROUP BY t.event_id, t.h),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM bucketed GROUP BY bucket),
+shares AS (
+  SELECT bucket, n_first, n_second,
+         (n_first * 1000000) {idiv} sum(n_first) OVER () AS s1,
+         (n_second * 1000000) {idiv} sum(n_second) OVER () AS s2
+  FROM counts)
+SELECT bucket, n_first, n_second,
+       CAST(s1 AS BIGINT) AS share_first_e6,
+       CAST(s2 AS BIGINT) AS share_second_e6,
+       CAST(abs(s1 - s2) AS BIGINT) AS drift_e6,
+       CAST(abs(s1 - s2) >= {VALUE_DRIFT_FLAG_E6} AS BOOLEAN) AS drifted
+FROM shares
+ORDER BY bucket
+"""
+
+
+def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile value-share drift vs the reference-half edges."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_value_drift_sql("spark"))
+
+
+def value_drift_sql() -> str:
+    return _value_drift_sql("duckdb")

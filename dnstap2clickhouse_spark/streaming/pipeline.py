@@ -1240,3 +1240,147 @@ SELECT user_id,
        n AS n_changes
 FROM last ORDER BY user_id
 """
+
+
+# ------------------------------------------- streaming tombstone apply
+
+TOMBSTONE_CHUNKS = 4
+
+
+def _tombstone_batch_last(batch: DataFrame) -> DataFrame:
+    """Per-key partial: argmax change by (ts_us, event_id), carrying a
+    delete flag ('error' events are tombstones) + op counters."""
+    return (
+        batch.selectExpr(
+            "user_id",
+            "named_struct('u', unix_micros(ts), 'e', event_id,"
+            " 'del', event_type = 'error',"
+            " 'v', CAST(round(value * 100) AS BIGINT)) AS m",
+            "CAST(event_type = 'error' AS BIGINT) AS is_del",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("max(m)").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_del").alias("nd"),
+        )
+        .selectExpr("user_id", "m.u AS us", "m.e AS eid",
+                    "m.del AS del", "m.v AS ve2", "n", "nd")
+    )
+
+
+def streaming_tombstone_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply WITH DELETES — the ClickHouse
+    ``ReplacingMergeTree(ver, is_deleted)`` contract (the reference's
+    target store offers exactly this table engine) run as a real
+    incremental stream: 'error' events are tombstones; per micro-batch
+    one key-equi full-outer MERGE of the previous state with the
+    batch's per-key argmax partial, where the winning (ts_us,
+    event_id) row's delete flag rides INSIDE the argmax struct — so
+    merging partials stays an associative-commutative semilattice and
+    the batch oracle is chunk-free exactly as in
+    `streaming_upsert_apply`. Final read emits every key with its
+    last-writer state and the ``deleted`` flag (the FINAL-row
+    semantics ClickHouse's engine applies at merge time), plus change
+    and tombstone counters.
+
+    Scale shape: per batch one key-keyed equi-join shuffle; state is
+    key-domain-sized; the flag adds zero shuffle width beyond one
+    boolean.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="tombstone_state_")
+    holder = {"dir": None}
+    try:
+
+        def handle(batch: DataFrame, epoch: int) -> None:
+            bl = _tombstone_batch_last(batch)
+            if holder["dir"] is not None:
+                state = spark.read.parquet(holder["dir"])
+                merged = (
+                    state.alias("s")
+                    .join(bl.alias("b"), "user_id", "full_outer")
+                    .selectExpr(
+                        "user_id",
+                        "greatest("
+                        " named_struct('u', coalesce(s.us, CAST(-1 AS BIGINT)),"
+                        "              'e', coalesce(s.eid, CAST(-1 AS BIGINT)),"
+                        "              'del', coalesce(s.del, FALSE),"
+                        "              'v', coalesce(s.ve2, CAST(0 AS BIGINT))),"
+                        " named_struct('u', coalesce(b.us, CAST(-1 AS BIGINT)),"
+                        "              'e', coalesce(b.eid, CAST(-1 AS BIGINT)),"
+                        "              'del', coalesce(b.del, FALSE),"
+                        "              'v', coalesce(b.ve2, CAST(0 AS BIGINT)))"
+                        ") AS m",
+                        "coalesce(s.n, CAST(0 AS BIGINT))"
+                        " + coalesce(b.n, CAST(0 AS BIGINT)) AS n",
+                        "coalesce(s.nd, CAST(0 AS BIGINT))"
+                        " + coalesce(b.nd, CAST(0 AS BIGINT)) AS nd",
+                    )
+                    .selectExpr("user_id", "m.u AS us", "m.e AS eid",
+                                "m.del AS del", "m.v AS ve2", "n", "nd")
+                )
+            else:
+                merged = bl
+            new_dir = os.path.join(root, f"v{epoch}")
+            merged.write.parquet(new_dir)
+            old = holder["dir"]
+            holder["dir"] = new_dir
+            if old is not None:
+                shutil.rmtree(old, ignore_errors=True)
+
+        with _time_chunked_stream(spark, ev, TOMBSTONE_CHUNKS) as stream:
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = (
+            spark.read.parquet(holder["dir"])
+            .selectExpr(
+                "user_id",
+                "us AS last_ts_us",
+                "eid AS last_event_id",
+                "del AS deleted",
+                "ve2 AS last_ve2",
+                "n AS n_changes",
+                "nd AS n_tombstones",
+            )
+            .orderBy("user_id")
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_tombstone_apply_sql() -> str:
+    """Oracle: one-shot batch argmax with the flag inside the struct
+    (chunk-free by the semilattice argument)."""
+    return """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         event_type = 'error' AS del,
+         CAST(round(value * 100) AS BIGINT) AS ve2
+  FROM events),
+last AS (
+  SELECT user_id,
+         max({'u': us, 'e': event_id, 'del': del, 'v': ve2}) AS m,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN del THEN 1 ELSE 0 END) AS BIGINT) AS nd
+  FROM c GROUP BY user_id)
+SELECT user_id,
+       (m).u AS last_ts_us,
+       (m).e AS last_event_id,
+       (m).del AS deleted,
+       (m).v AS last_ve2,
+       n AS n_changes,
+       nd AS n_tombstones
+FROM last ORDER BY user_id
+"""
