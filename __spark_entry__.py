@@ -270,6 +270,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 45): decontamination gram-size sweep
+        # (the K tuning curve; monotone in k)
+        "text_decontam_sweep": ftext.decontam_sweep,
+        # new in round 4 (batch 45): v2-vs-v3 dataset release diff
+        # (kept/dropped/added per split + retention)
+        "curate_version_diff": pcur.version_diff,
+        # new in round 4 (batch 45): per-nation supplier-revenue HHI
+        # (exact-integer concentration index + DOJ-threshold flag)
+        "tpch_supplier_hhi": tpch.supplier_hhi,
+        # new in round 4 (batch 44): margin-based uncertainty sampling
+        # (the active-learning labeling queue off the quality logit)
+        "split_uncertainty_sample": fsplit.uncertainty_sample,
+        # new in round 4 (batch 44): bipartite butterfly census over
+        # order<->part (pre-projection cohesion motif)
+        "graph_butterfly_count": pgraph.butterfly_count,
+        # new in round 4 (batch 44): temperature-scaled source mixture
+        # (sqrt-flattened shares + upsample factors)
+        "curate_mixture_temperature": pcur.mixture_temperature,
+        # new in round 4 (batch 43): latency heatmap over the J1
+        # matched pairs ((hour, minute-band) distribution grid)
+        "dns_latency_heatmap": an.hit_latency_heatmap,
+        # new in round 4 (batch 43): name-hierarchy ROLLUP (TLD/SLD/
+        # FQDN grains in one pass, __ANY__ convention)
+        "dns_name_rollup": an.name_rollup,
+        # new in round 4 (batch 43): Lorenz curve + exact integer Gini
+        # of per-user value (concentration/whale analysis)
+        "events_lorenz_gini": evan.lorenz_gini,
         # new in round 4 (batch 42): CDC apply with tombstones (the
         # ReplacingMergeTree(ver, is_deleted) contract as a stream)
         "streaming_tombstone_apply": stp.streaming_tombstone_apply,
@@ -830,6 +857,15 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "text_decontam_sweep": ftext.decontam_sweep_sql(),
+        "curate_version_diff": pcur.version_diff_sql(),
+        "tpch_supplier_hhi": tpch.supplier_hhi_sql(),
+        "split_uncertainty_sample": fsplit.uncertainty_sample_sql(),
+        "graph_butterfly_count": pgraph.butterfly_count_sql(),
+        "curate_mixture_temperature": pcur.mixture_temperature_sql(),
+        "dns_latency_heatmap": an.hit_latency_heatmap_sql(),
+        "dns_name_rollup": an.name_rollup_sql(),
+        "events_lorenz_gini": evan.lorenz_gini_sql(),
         "streaming_tombstone_apply": stp.streaming_tombstone_apply_sql(),
         "sim_hard_negatives": fsim.hard_negatives_sql(),
         "text_tokenizer_fertility": ftext.tokenizer_fertility_sql(),

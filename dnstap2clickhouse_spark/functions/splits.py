@@ -974,3 +974,55 @@ def rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rendezvous_shards_sql() -> str:
     return _rendezvous_sql("duckdb")
+
+
+# --------------------------------------------- uncertainty sampling
+
+UNCERTAIN_K = 25  # docs surfaced for labeling per round
+
+
+def _uncertainty_sql(dialect: str) -> str:
+    """Active-learning UNCERTAINTY SAMPLING — the model-in-the-loop
+    labeling step of a curation pipeline: surface the ``UNCERTAIN_K``
+    documents whose quality-classifier logit (`text_quality_logit`'s
+    score, same fixed-weight plug point) sits CLOSEST to the keep
+    threshold. Those are the docs where a human label (or a stronger
+    teacher model) buys the most classifier improvement per annotation
+    — margin-based uncertainty sampling, the standard first move of
+    every labeling loop. Emits rank, doc, logit, the absolute margin
+    to the threshold, and which side the doc currently falls on.
+
+    Scale shape: the scoring pass is `text_quality_logit`'s (one
+    explode + doc-keyed aggregate, mapper-side weights); the selection
+    is TakeOrderedAndProject on (margin, doc_id) — no new shuffle
+    class at any corpus size.
+    """
+    from .text import LOGIT_KEEP_E6, _quality_logit_sql
+
+    scored = _quality_logit_sql(dialect).replace("ORDER BY doc_id", "")
+    return f"""
+WITH scored AS ({scored}),
+margins AS (
+  SELECT doc_id, logit_e6, keep,
+         abs(logit_e6 - {LOGIT_KEEP_E6}) AS margin_e6
+  FROM scored),
+picked AS (
+  SELECT doc_id, logit_e6, keep, margin_e6
+  FROM margins
+  ORDER BY margin_e6, doc_id
+  LIMIT {UNCERTAIN_K})
+SELECT CAST(row_number() OVER (ORDER BY margin_e6, doc_id) AS BIGINT) AS rank,
+       doc_id, logit_e6, margin_e6, keep
+FROM picked
+ORDER BY rank
+"""
+
+
+def uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``UNCERTAIN_K`` docs nearest the quality-gate threshold."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_uncertainty_sql("spark"))
+
+
+def uncertainty_sample_sql() -> str:
+    return _uncertainty_sql("duckdb")

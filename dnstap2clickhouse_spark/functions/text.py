@@ -1580,3 +1580,50 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tokenizer_fertility_sql() -> str:
     return _fertility_sql("duckdb")
+
+
+# ------------------------------------------- decontamination k-sweep
+
+DECON_SWEEP_KS = (4, 8, 16)
+
+
+def _decontam_sweep_sql(dialect: str) -> str:
+    """Gram-size SENSITIVITY SWEEP for benchmark decontamination — the
+    tuning curve behind `text_decontaminate`'s K choice (the
+    `dedup_band_sweep` instrument applied to the other knob): for each
+    k in ``DECON_SWEEP_KS``, how many training docs the k-gram overlap
+    gate would drop and how many distinct eval grams exist at that k.
+    Small k over-fires (common phrases collide), large k under-fires
+    (only long verbatim spans match); the curve shows the cliff and is
+    monotone non-increasing in k on any corpus — emitted, so the hash
+    certifies the monotonicity along with the counts.
+
+    Scale shape: per k one broadcast gram probe + doc-keyed distinct —
+    the sweep is |Ks| passes of the production gate's own plan, never
+    a new join class; at 100 TB you run it on a sample, which is the
+    documented knob.
+    """
+    parts = []
+    for k in DECON_SWEEP_KS:
+        eval_rows = _kgram_rows(dialect, k, f"WHERE source = '{EVAL_SOURCE}'")
+        train_rows = _kgram_rows(dialect, k, f"WHERE source <> '{EVAL_SOURCE}'")
+        hint = "/*+ BROADCAST(eg) */ " if dialect == "spark" else ""
+        parts.append(f"""
+SELECT {hint}{k} AS k,
+       (SELECT CAST(count(DISTINCT gram) AS BIGINT) FROM ({eval_rows}) e)
+         AS n_eval_grams,
+       CAST(count(DISTINCT tg.doc_id) AS BIGINT) AS n_dropped
+FROM (SELECT DISTINCT doc_id, gram FROM ({train_rows}) t) tg
+JOIN (SELECT DISTINCT gram FROM ({eval_rows}) e2) eg ON tg.gram = eg.gram""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) sweep ORDER BY k"
+
+
+def decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-doc and eval-gram counts per candidate gram size."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_decontam_sweep_sql("spark"))
+
+
+def decontam_sweep_sql() -> str:
+    return _decontam_sweep_sql("duckdb")

@@ -404,3 +404,124 @@ def traffic_drift_sql() -> str:
     from ..sources.events import QUERY_STREAM_SQL
 
     return _traffic_drift_body(QUERY_STREAM_SQL, "duckdb")
+
+
+# --------------------------------------------- latency heatmap
+
+HEATMAP_BUCKET_US = 60_000_000  # 1-minute latency buckets (delta <= 10 min)
+
+
+def hit_latency_heatmap(spark, sf_dir: str) -> DataFrame:
+    """Latency HEATMAP — the (time, latency-bucket, count) surface the
+    Grafana heatmap panel renders (Q4 gives the mean latency series;
+    operators diagnose tail behavior from the distribution per time
+    slice, which a mean hides): every matched query/response pair from
+    the J1 banded join, bucketed by hour-since-window-start and
+    1-minute latency band. Exact integers; the hour origin is the
+    matched stream's own min, so the entry survives corpus
+    regeneration.
+
+    Scale shape: inherits the banded J1 join's scale story
+    (operators/join.py — probe width O(one interval's occupancy)),
+    then ONE (hour, bucket) aggregate with map-side partials onto a
+    bounded grid (hours x 10 latency bands); the origin is a 1-row
+    broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dns_pipeline import dns_pair_streams
+    from ..operators.join import match_response_times
+
+    q, r = dns_pair_streams(spark, sf_dir)
+    matched = match_response_times(q, r).select(
+        F.expr("unix_micros(responseTime)").alias("t_us"), "delta_us"
+    )
+    matched.createOrReplaceTempView("heatmap_matched")
+    return spark.sql(f"""
+WITH b AS (SELECT min(t_us) AS t0 FROM heatmap_matched),
+g AS (
+  SELECT (m.t_us - b.t0) div 3600000000 AS hour_idx,
+         m.delta_us div {HEATMAP_BUCKET_US} AS delta_min
+  FROM heatmap_matched m CROSS JOIN b)
+SELECT CAST(hour_idx AS BIGINT) AS hour_idx,
+       CAST(delta_min AS BIGINT) AS delta_min,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM g GROUP BY hour_idx, delta_min
+ORDER BY hour_idx, delta_min
+""")
+
+
+def hit_latency_heatmap_sql() -> str:
+    from ..operators.join import match_response_times_sql
+    from ..sources.events import PAIR_QUERY_SQL, PAIR_RESPONSE_SQL
+
+    matched = match_response_times_sql(PAIR_QUERY_SQL, PAIR_RESPONSE_SQL)
+    return f"""
+WITH m AS (SELECT epoch_us(responseTime) AS t_us, delta_us FROM ({matched}) x),
+b AS (SELECT min(t_us) AS t0 FROM m),
+g AS (
+  SELECT (m.t_us - b.t0) // 3600000000 AS hour_idx,
+         m.delta_us // {HEATMAP_BUCKET_US} AS delta_min
+  FROM m CROSS JOIN b)
+SELECT CAST(hour_idx AS BIGINT) AS hour_idx,
+       CAST(delta_min AS BIGINT) AS delta_min,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM g GROUP BY hour_idx, delta_min
+ORDER BY hour_idx, delta_min
+"""
+
+
+# --------------------------------------------- name-hierarchy rollup
+
+
+def _name_rollup_body(src: str, dialect: str) -> str:
+    """DNS name-hierarchy ROLLUP: query counts at TLD, second-level
+    domain, and full-name grain in ONE pass via native ROLLUP — the
+    hypertable/zone rollup a DNS analytics store materializes (and the
+    GROUPING SETS machinery §2's A2-A4 uses, exercised here through
+    the hierarchy special case). Grouping-null levels are collapsed to
+    the `__ANY__` tag exactly like the reference's grouping-set rows
+    (aggregator.go's __ANY__ convention), so every row is hash-stable.
+
+    Scale shape: label parsing is a narrow mapper; ROLLUP expands each
+    row into 4 grouping rows feeding ONE shuffle with map-side
+    partials (identical cost model to the A2-A4 explode-variant).
+    """
+    stem = "substring(questionName, 1, length(questionName) - 1)"
+    if dialect == "spark":
+        labels = f"split({stem}, '[.]')"
+        tld = "labels[size(labels) - 1]"
+        sld = "concat(labels[size(labels) - 2], '.', labels[size(labels) - 1])"
+    else:
+        labels = f"string_split({stem}, '.')"
+        tld = "labels[len(labels)]"
+        sld = "labels[len(labels) - 1] || '.' || labels[len(labels)]"
+    return f"""
+WITH names AS (
+  SELECT questionName AS fqdn, {labels} AS labels
+  FROM ({src}) s),
+parts AS (
+  SELECT fqdn, {tld} AS tld, {sld} AS sld
+  FROM names)
+SELECT coalesce(tld, '__ANY__') AS tld,
+       coalesce(sld, '__ANY__') AS sld,
+       coalesce(fqdn, '__ANY__') AS fqdn,
+       CAST(count(*) AS BIGINT) AS n_queries
+FROM parts
+GROUP BY ROLLUP (tld, sld, fqdn)
+ORDER BY tld, sld, fqdn
+"""
+
+
+def name_rollup(spark, sf_dir: str) -> DataFrame:
+    """Query counts at TLD / SLD / FQDN grain via native ROLLUP."""
+    from ..sources.events import dns_query_stream
+
+    dns_query_stream(spark, sf_dir).createOrReplaceTempView("dns_rollup_src")
+    return spark.sql(_name_rollup_body("SELECT * FROM dns_rollup_src", "spark"))
+
+
+def name_rollup_sql() -> str:
+    from ..sources.events import QUERY_STREAM_SQL
+
+    return _name_rollup_body(QUERY_STREAM_SQL, "duckdb")

@@ -440,3 +440,114 @@ def decontam_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decontam_certificate_sql() -> str:
     return _decontam_certificate_sql("duckdb")
+
+
+# ------------------------------------------- temperature-scaled mixture
+
+MIX_TEMPERATURE_INV = 2  # tau = 1/2: weight = n^(1/2) (the LLaMA recipe)
+
+
+def _mixture_temperature_sql(dialect: str) -> str:
+    """Temperature-scaled source mixture — the data-recipe move every
+    modern pretraining run makes (LLaMA/Gopher report tau ~ 0.5-0.7):
+    raw per-source doc counts are flattened to ``n^(1/tau^-1) =
+    sqrt(n)`` weights so small high-quality sources are upsampled
+    relative to proportional mixing. Emits per source the raw count,
+    the integer ``floor(sqrt(n))`` weight, both mixtures' exact e6
+    shares, and the upsample factor (temperature share / proportional
+    share) — the table a sampler is configured from.
+
+    Determinism: ``floor(sqrt(n))`` on BIGINT counts is bit-portable —
+    for n < 2^52 the IEEE-double sqrt of an integer is exactly
+    rounded, so its floor is identical in both engines (the one
+    deliberate float in this module, with the bound documented); at
+    larger counts use integer Newton iteration. Scale shape: one
+    source-keyed count (map-side partials) onto the source domain;
+    everything else is windows over that table.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w
+  FROM counts)
+SELECT source, n_docs, w AS weight,
+       CAST((n_docs * 1000000) {idiv} sum(n_docs) OVER () AS BIGINT)
+         AS prop_share_e6,
+       CAST((w * 1000000) {idiv} sum(w) OVER () AS BIGINT)
+         AS temp_share_e6,
+       CAST(((w * 1000000) {idiv} sum(w) OVER ()) * 1000000
+            {idiv} ((n_docs * 1000000) {idiv} sum(n_docs) OVER ())
+            AS BIGINT) AS upsample_e6
+FROM weighted
+ORDER BY source
+"""
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source proportional vs temperature-scaled mixture shares."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_mixture_temperature_sql("spark"))
+
+
+def mixture_temperature_sql() -> str:
+    return _mixture_temperature_sql("duckdb")
+
+
+# ------------------------------------------- pipeline version diff
+
+
+def _version_diff_sql(dialect: str) -> str:
+    """Dataset RELEASE DIFF between pipeline versions — the regression
+    report a data team reads before shipping a recipe change: full
+    outer join of the v2 and v3 final corpora on doc_id, rolled up per
+    split into kept-by-both / dropped-by-v3 / (would-be) added-by-v3
+    counts plus exact e6 retention. Since v3 = v2 + the semantic gate,
+    ``added`` must be 0 and ``dropped_by_v3`` is exactly the
+    SemDeDup-rejected mass — the entry certifies that structural
+    relationship on the final outputs (the
+    `curate_decontam_certificate` discipline: check the OUTPUT, don't
+    trust the plan).
+
+    Scale shape: both pipelines' own censuses, plus one doc-keyed full
+    outer join and a <= |splits|-row rollup.
+    """
+    v2 = _curate_v2_sql(dialect).replace("ORDER BY doc_id", "")
+    v3 = _curate_v3_sql(dialect).replace("ORDER BY doc_id", "")
+    return f"""
+WITH a AS ({v2}),
+b AS ({v3}),
+j AS (
+  SELECT coalesce(a.split, b.split) AS split,
+         CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS both_,
+         CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NULL THEN 1 ELSE 0 END AS dropped,
+         CASE WHEN a.doc_id IS NULL THEN 1 ELSE 0 END AS added
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT split,
+       CAST(sum(both_) AS BIGINT) AS kept_by_both,
+       CAST(sum(dropped) AS BIGINT) AS dropped_by_v3,
+       CAST(sum(added) AS BIGINT) AS added_by_v3,
+       CAST((sum(both_) * 1000000) {'div' if dialect == 'spark' else '//'}
+            (sum(both_) + sum(dropped)) AS BIGINT) AS retention_e6
+FROM j GROUP BY split
+ORDER BY split
+"""
+
+
+def version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split v2-vs-v3 release diff (kept/dropped/added + retention)."""
+    from ..functions.dedup import _register as _register_docs
+    from ..functions.similarity import _register as _register_emb
+
+    _register_docs(spark, sf_dir)
+    _register_emb(spark, sf_dir)
+    return spark.sql(_version_diff_sql("spark"))
+
+
+def version_diff_sql() -> str:
+    return _version_diff_sql("duckdb")

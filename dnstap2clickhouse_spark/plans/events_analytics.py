@@ -2953,3 +2953,71 @@ def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def value_drift_sql() -> str:
     return _value_drift_sql("duckdb")
+
+
+# ------------------------------------------------ Lorenz curve + Gini
+
+LORENZ_TILES = 10
+
+
+def _lorenz_sql(dialect: str) -> str:
+    """Value-concentration report — the Lorenz curve and exact Gini
+    coefficient of per-user monetary value ("what share of revenue do
+    the top deciles carry"), the whale-analysis readout every
+    product/revenue team derives from the same per-user aggregate RFM
+    uses. Users are ranked ascending by (cents, user_id), cut into
+    ``LORENZ_TILES`` ntile groups, and each row carries the group's
+    value share plus the CUMULATIVE share (the Lorenz ordinate) as
+    exact e6 integers. The Gini coefficient rides every row as the
+    exact rational ``(2*sum(i*v_i) - (n+1)*sum(v)) * 1e6 div
+    (n*sum(v))`` — integer end-to-end, no area approximation.
+
+    Scale shape: ONE corpus aggregate reduces events to the user
+    domain; the rank/ntile/cumsum windows run over the user-domain
+    table (the `events_rfm_segments` precedent); Gini's sum(i*v) is
+    one more aggregate over the same ranked relation. At 100 TB only
+    the first aggregate touches the corpus.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH peruser AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+ranked AS (
+  SELECT user_id, cents,
+         CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rk,
+         CAST(ntile({LORENZ_TILES}) OVER (ORDER BY cents, user_id) AS BIGINT)
+           AS tile
+  FROM peruser),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS total,
+         CAST(sum(rk * cents) AS BIGINT) AS weighted
+  FROM ranked),
+tiles AS (
+  SELECT tile,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS tile_cents
+  FROM ranked GROUP BY tile)
+SELECT t.tile, t.n_users, t.tile_cents,
+       CAST((t.tile_cents * 1000000) {idiv} x.total AS BIGINT) AS share_e6,
+       CAST((sum(t.tile_cents) OVER (ORDER BY t.tile) * 1000000) {idiv} x.total
+            AS BIGINT) AS cum_share_e6,
+       CAST((2 * x.weighted - (x.n + 1) * x.total) * 1000000
+            {idiv} (x.n * x.total) AS BIGINT) AS gini_e6
+FROM tiles t CROSS JOIN tot x
+ORDER BY t.tile
+"""
+
+
+def lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile value shares, Lorenz cumulative curve, exact Gini."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_lorenz_sql("spark"))
+
+
+def lorenz_gini_sql() -> str:
+    return _lorenz_sql("duckdb")

@@ -697,3 +697,59 @@ def link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def link_predict_sql() -> str:
     return _link_predict_sql("duckdb")
+
+
+# ------------------------------------------------- butterfly counting
+
+BUTTERFLY_TOP = 20
+
+
+def _butterfly_sql(dialect: str) -> str:
+    """Butterfly (2x2 biclique) counting on the BIPARTITE order↔part
+    graph — the bipartite analogue of the triangle census
+    (`graph_triangle_count` runs on the projected graph; butterflies
+    are the motif that exists BEFORE projection, and butterfly density
+    is the standard cohesion metric for user-item / order-part
+    networks, Sanei-Mehri et al. 2018): for every part pair, the
+    number of orders containing both is w, contributing ``C(w, 2)``
+    butterflies. Emits the top-``BUTTERFLY_TOP`` pairs by butterfly
+    count plus the global total on every row.
+
+    Scale shape: the pair-weight relation is the same sum(deg²) wedge
+    shuffle every co-occurrence entry pays (hub-cap/orientation knobs
+    apply); C(w,2) is a narrow map; top-k is TakeOrderedAndProject
+    and the total is a 1-row broadcast.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH pairw AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+         CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS w
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_quantity >= {TRIANGLE_MIN_QTY} AND l2.l_quantity >= {TRIANGLE_MIN_QTY}
+  GROUP BY l1.l_partkey, l2.l_partkey),
+bf AS (
+  SELECT a, b, w, (w * (w - 1)) {idiv} 2 AS butterflies
+  FROM pairw),
+tot AS (SELECT CAST(sum(butterflies) AS BIGINT) AS total_butterflies FROM bf)
+SELECT bf.a, bf.b, bf.w AS n_shared_orders,
+       CAST(bf.butterflies AS BIGINT) AS butterflies,
+       t.total_butterflies
+FROM bf CROSS JOIN tot t
+WHERE bf.butterflies > 0
+ORDER BY butterflies DESC, bf.a, bf.b
+LIMIT {BUTTERFLY_TOP}
+"""
+
+
+def butterfly_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by butterfly count + the global census total."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_butterfly_sql("spark"))
+
+
+def butterfly_count_sql() -> str:
+    return _butterfly_sql("duckdb")

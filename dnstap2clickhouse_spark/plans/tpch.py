@@ -1218,3 +1218,60 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+
+# ------------------------------------------------- HHI concentration
+
+
+def _supplier_hhi_sql(dialect: str) -> str:
+    """Supply-chain CONCENTRATION: the Herfindahl-Hirschman index of
+    supplier revenue share within each nation — the antitrust/risk
+    metric ("is this nation's supply dominated by one supplier?"),
+    computed as the exact integer ``sum(share_e6^2) div 1e6`` (e6
+    scale; 1e6 = monopoly, 1e6/n = perfectly even across n suppliers).
+    Emits per nation the supplier count, total discounted revenue
+    (cents), the top supplier's share, and the HHI — plus the
+    concentration flag at the US-DOJ 2500-point threshold (0.25 ->
+    250_000 at e6).
+
+    Scale shape: one (nation, supplier)-keyed aggregate over lineitem
+    (the only corpus-sized pass), then nation-keyed windows over the
+    supplier-domain table; exact integers throughout (shares
+    floor-divided, squares bounded by 1e12 * |suppliers| << 2^63).
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH cost AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey),
+shares AS (
+  SELECT nationkey, suppkey, cents,
+         (cents * 1000000) {idiv} sum(cents) OVER (PARTITION BY nationkey)
+           AS share_e6
+  FROM cost)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(s.cents) AS BIGINT) AS total_cents,
+       CAST(max(s.share_e6) AS BIGINT) AS top_share_e6,
+       CAST(sum(s.share_e6 * s.share_e6) {idiv} 1000000 AS BIGINT) AS hhi_e6,
+       CAST(sum(s.share_e6 * s.share_e6) {idiv} 1000000 >= 250000
+            AS BOOLEAN) AS concentrated
+FROM shares s JOIN nation n ON n.n_nationkey = s.nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+def supplier_hhi(spark, sf_dir: str):
+    """Per-nation supplier-revenue HHI + concentration flag."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_supplier_hhi_sql("spark"))
+
+
+def supplier_hhi_sql() -> str:
+    return _supplier_hhi_sql("duckdb")
