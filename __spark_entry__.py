@@ -270,6 +270,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 47): per-source duplicate-rate scorecard
+        # (crawl-budget observability off the CC labels)
+        "dedup_rate_by_source": fdedup.dup_rate_by_source,
+        # new in round 4 (batch 47): open-order aging report (stuck
+        # value per 30/90/365 bucket x priority)
+        "tpch_order_aging": tpch.order_aging,
+        # new in round 4 (batch 47): value-decile migration matrix
+        # between window halves (retention/churn movement)
+        "events_decile_migration": evan.decile_migration,
+        # new in round 4 (batch 46): best-quality canonical selection
+        # per near-dup cluster (+ divergence from the min-id rule)
+        "dedup_canonical_by_quality": fdedup.canonical_by_quality,
+        # new in round 4 (batch 46): median/MAD robust length-outlier
+        # gate (exact nearest-rank, cross-multiplied compare)
+        "text_length_outliers": ftext.length_outliers,
+        # new in round 4 (batch 46): per-client entity profile (volume,
+        # diversity, sightings — the SOC enrichment table)
+        "dns_client_profile": an.client_profile,
         # new in round 4 (batch 45): decontamination gram-size sweep
         # (the K tuning curve; monotone in k)
         "text_decontam_sweep": ftext.decontam_sweep,
@@ -857,6 +875,12 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "dedup_rate_by_source": fdedup.dup_rate_by_source_sql(),
+        "tpch_order_aging": tpch.order_aging_sql(),
+        "events_decile_migration": evan.decile_migration_sql(),
+        "dedup_canonical_by_quality": fdedup.canonical_by_quality_sql(),
+        "text_length_outliers": ftext.length_outliers_sql(),
+        "dns_client_profile": an.client_profile_sql(),
         "text_decontam_sweep": ftext.decontam_sweep_sql(),
         "curate_version_diff": pcur.version_diff_sql(),
         "tpch_supplier_hhi": tpch.supplier_hhi_sql(),

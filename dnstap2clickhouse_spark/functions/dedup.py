@@ -1460,3 +1460,157 @@ def source_sketch_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def source_sketch_sim_sql() -> str:
     return _source_sketch_sql("duckdb")
+
+
+# ------------------------------------------- quality-aware canonicals
+
+
+def _canonical_quality_sql(dialect: str) -> str:
+    """Canonical selection by QUALITY — the production refinement of
+    `dedup_canonical_corpus`'s min-id rule: inside every near-dup
+    cluster keep the member with the highest quality score (ties by
+    lower doc_id), because near-duplicates routinely differ in
+    boilerplate/truncation and the min-id pick throws away the best
+    copy. Emits per cluster the chosen canonical, its quality, the
+    member count, and whether the choice DIFFERS from the min-id rule
+    — so the improvement the rule buys is itself a driver-hashed
+    number. The argmax rides a (quality, -doc_id) struct max, the same
+    semilattice move as every last-writer entry (mergeable partials).
+
+    Scale shape: the clustering is `dedup_cc_clusters`' labels; the
+    quality score is the corpus-pass projection `text_quality` pins;
+    selection is ONE cluster-keyed max-struct aggregate (map-side
+    partials) + one fetch join back for the flag.
+    """
+    from .text import _quality_expr, _stats_exprs
+
+    stats = ",\n         ".join(_stats_exprs(dialect))
+    strct = ("named_struct('q', quality, 'nd', -doc_id)"
+             if dialect == "spark" else "{'q': quality, 'nd': -doc_id}")
+    labels = (
+        _cc_reach_sql()
+        + """,
+labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)"""
+    )
+    return f"""{labels},
+scored AS (
+  SELECT doc_id, {_quality_expr()} AS quality
+  FROM (SELECT {stats} FROM documents) s),
+members AS (
+  SELECT l.cluster_id, l.doc_id, q.quality
+  FROM labels l JOIN scored q ON q.doc_id = l.doc_id),
+chosen AS (
+  SELECT cluster_id,
+         max({strct}) AS m,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(min(doc_id) AS BIGINT) AS min_id
+  FROM members GROUP BY cluster_id)
+SELECT cluster_id,
+       CAST(-((m).nd) AS BIGINT) AS canonical_doc,
+       (m).q AS canonical_quality,
+       n_members,
+       CAST(-((m).nd) <> min_id AS BOOLEAN) AS differs_from_min_id
+FROM chosen
+ORDER BY cluster_id
+"""
+
+
+def canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster best-quality canonical + divergence from min-id."""
+    _register(spark, sf_dir)
+    labels = _cc_labels(spark, sf_dir)
+    labels.createOrReplaceTempView("cc_labels_view")
+    from .text import _quality_expr, _stats_exprs
+
+    stats = ",\n         ".join(_stats_exprs("spark"))
+    return spark.sql(f"""
+WITH labels AS (SELECT doc_id, cluster_id FROM cc_labels_view),
+scored AS (
+  SELECT doc_id, {_quality_expr()} AS quality
+  FROM (SELECT {stats} FROM documents) s),
+members AS (
+  SELECT l.cluster_id, l.doc_id, q.quality
+  FROM labels l JOIN scored q ON q.doc_id = l.doc_id),
+chosen AS (
+  SELECT cluster_id,
+         max(named_struct('q', quality, 'nd', -doc_id)) AS m,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(min(doc_id) AS BIGINT) AS min_id
+  FROM members GROUP BY cluster_id)
+SELECT cluster_id,
+       CAST(-((m).nd) AS BIGINT) AS canonical_doc,
+       (m).q AS canonical_quality,
+       n_members,
+       CAST(-((m).nd) <> min_id AS BOOLEAN) AS differs_from_min_id
+FROM chosen
+ORDER BY cluster_id
+""")
+
+
+def canonical_by_quality_sql() -> str:
+    return _canonical_quality_sql("duckdb")
+
+
+# ------------------------------------------- dup rate by source
+
+
+def _dup_rate_by_source_sql(dialect: str) -> str:
+    """Duplicate-rate SCORECARD by source — "which crawls are
+    duplicate-heavy" (the per-source flavor of `dedup_cluster_stats`,
+    and the number a crawl-budget owner acts on): per source the doc
+    count, how many docs are non-canonical near-dup cluster members
+    (i.e. would be dropped by `dedup_canonical_corpus`'s min-id rule),
+    and the exact e6 dup rate. Sources that replicate each other
+    surface immediately; the canonical-attribution convention (the
+    cluster's min-id doc is the survivor, wherever it lives) is the
+    same one the canonical-corpus entry hashes.
+
+    Scale shape: the CC labels' own census plus one doc-keyed join to
+    the documents projection and a source-keyed rollup.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    labels = (
+        _cc_reach_sql()
+        + """,
+labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)"""
+    )
+    return f"""{labels},
+dropped AS (SELECT doc_id FROM labels WHERE doc_id <> cluster_id),
+flagged AS (
+  SELECT d.source,
+         CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM documents d LEFT JOIN dropped x ON x.doc_id = d.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       CAST((sum(is_dup) * 1000000) {idiv} count(*) AS BIGINT) AS dup_rate_e6
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup drop counts and exact e6 dup rate."""
+    _register(spark, sf_dir)
+    labels = _cc_labels(spark, sf_dir)
+    labels.createOrReplaceTempView("cc_labels_view")
+    return spark.sql("""
+WITH dropped AS (
+  SELECT doc_id FROM cc_labels_view WHERE doc_id <> cluster_id),
+flagged AS (
+  SELECT d.source,
+         CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+  FROM documents d LEFT JOIN dropped x ON x.doc_id = d.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(is_dup) AS BIGINT) AS n_dups,
+       CAST((sum(is_dup) * 1000000) div count(*) AS BIGINT) AS dup_rate_e6
+FROM flagged
+GROUP BY source
+ORDER BY source
+""")
+
+
+def dup_rate_by_source_sql() -> str:
+    return _dup_rate_by_source_sql("duckdb")

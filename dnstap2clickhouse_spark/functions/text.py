@@ -1627,3 +1627,64 @@ def decontam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decontam_sweep_sql() -> str:
     return _decontam_sweep_sql("duckdb")
+
+
+# ------------------------------------------- robust length outliers
+
+MAD_K = 3  # flag when |x - median| > MAD_K * MAD
+
+
+def _length_outliers_sql(dialect: str) -> str:
+    """Robust length-outlier gate — median/MAD instead of mean/stddev
+    (the mean is exactly what a few monster documents corrupt, so the
+    classic z-score gate misses the very rows it should drop; the
+    median absolute deviation is the standard robust replacement):
+    per document its token count, the corpus LOWER MEDIAN, the MAD,
+    and the ``|x - med| > MAD_K * MAD`` flag — all exact integers
+    (nearest-rank medians, cross-multiplied compare). On a corpus
+    where more than half the lengths coincide MAD is 0 and the gate
+    flags every other length — the documented degenerate case, also
+    the honest one.
+
+    Scale shape: two global rank passes on the (doc, length)
+    projection (at 100 TB: replace with the `events_equidepth_histogram`
+    sketch median — the same knob `events_value_drift` documents);
+    the flag itself is a narrow map against two 1-row broadcasts.
+    """
+    toks = _toks(dialect)
+    size = "size" if dialect == "spark" else "len"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH lens AS (
+  SELECT doc_id, CAST({size}({toks}) AS BIGINT) AS n_tokens FROM documents),
+ranked AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rk FROM lens),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
+med AS (
+  SELECT r.n_tokens AS med FROM ranked r JOIN n
+    ON r.rk = (n.n + 1) {idiv} 2),
+devs AS (
+  SELECT l.doc_id, abs(l.n_tokens - m.med) AS dev
+  FROM lens l CROSS JOIN med m),
+dranked AS (
+  SELECT dev, row_number() OVER (ORDER BY dev, doc_id) AS rk FROM devs),
+mad AS (
+  SELECT d.dev AS mad FROM dranked d JOIN n ON d.rk = (n.n + 1) {idiv} 2)
+SELECT l.doc_id, l.n_tokens,
+       CAST(m.med AS BIGINT) AS median_tokens,
+       CAST(a.mad AS BIGINT) AS mad_tokens,
+       CAST(abs(l.n_tokens - m.med) > {MAD_K} * a.mad AS BOOLEAN) AS is_outlier
+FROM lens l CROSS JOIN med m CROSS JOIN mad a
+ORDER BY l.doc_id
+"""
+
+
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust token-length outlier flags per document."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_length_outliers_sql("spark"))
+
+
+def length_outliers_sql() -> str:
+    return _length_outliers_sql("duckdb")

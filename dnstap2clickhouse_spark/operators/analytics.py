@@ -525,3 +525,51 @@ def name_rollup_sql() -> str:
     from ..sources.events import QUERY_STREAM_SQL
 
     return _name_rollup_body(QUERY_STREAM_SQL, "duckdb")
+
+
+# --------------------------------------------- client profile table
+
+
+def _client_profile_body(src: str, dialect: str) -> str:
+    """Per-client ENTITY PROFILE — the enrichment table a SOC / NOC
+    keeps per source address (and the reference's Grafana drill-down
+    implies): query volume, distinct-name/type/port diversity, first
+    and last sighting, active span. Name diversity per client is the
+    standard DGA-infection triage signal at the CLIENT grain
+    (`dns_qname_features` triages at the NAME grain); port diversity
+    separates NAT pools from single hosts. All exact integers.
+
+    Scale shape: ONE client-keyed aggregate with map-side partials
+    (the distincts are per-group exact counts — at 100 TB swap in
+    approx_count_distinct per the `events_sketch_stats` pattern, the
+    documented knob); output is client-domain-sized.
+    """
+    us = "unix_micros(queryTime)" if dialect == "spark" else "epoch_us(queryTime)"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+SELECT queryAddress,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(count(DISTINCT questionName) AS BIGINT) AS n_qnames,
+       CAST(count(DISTINCT questionType) AS BIGINT) AS n_qtypes,
+       CAST(count(DISTINCT queryPort) AS BIGINT) AS n_ports,
+       CAST(min({us}) AS BIGINT) AS first_seen_us,
+       CAST(max({us}) AS BIGINT) AS last_seen_us,
+       CAST((max({us}) - min({us})) {idiv} 1000000 AS BIGINT) AS span_s
+FROM ({src}) s
+GROUP BY queryAddress
+ORDER BY queryAddress
+"""
+
+
+def client_profile(spark, sf_dir: str) -> DataFrame:
+    """Per-client volume/diversity/sighting profile."""
+    from ..sources.events import dns_query_stream
+
+    dns_query_stream(spark, sf_dir).createOrReplaceTempView("dns_profile_src")
+    return spark.sql(_client_profile_body("SELECT * FROM dns_profile_src", "spark"))
+
+
+def client_profile_sql() -> str:
+    from ..sources.events import QUERY_STREAM_SQL
+
+    return _client_profile_body(QUERY_STREAM_SQL, "duckdb")

@@ -3021,3 +3021,75 @@ def lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lorenz_gini_sql() -> str:
     return _lorenz_sql("duckdb")
+
+
+# ------------------------------------------------ decile migration
+
+MIGRATION_TILES = 10
+
+
+def _decile_migration_sql(dialect: str) -> str:
+    """User value-decile MIGRATION matrix between window halves — the
+    segment-movement report a growth team reads next to RFM ("are my
+    top-decile users staying top-decile?"): per user the summed
+    cents-value decile within the FIRST half and within the SECOND
+    half (independent ntile cuts, ties broken by user — the
+    `events_rfm_segments` discipline), rolled into (from_decile,
+    to_decile) transition counts plus the e6 share of FROM-decile
+    mass. Users active in only one half land in decile 0 on the silent
+    side (churn-in/churn-out rows — first-class in the matrix, not
+    dropped). The trace of the matrix is retention; mass above the
+    diagonal is upward migration.
+
+    Scale shape: one (half, user) aggregate over the corpus, two
+    user-domain ntile sorts, one user-keyed full outer join, one
+    bounded (<= 11x11) rollup with window shares.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH c AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, {us} AS t_us
+  FROM events),
+b AS (SELECT min(t_us) + (max(t_us) - min(t_us)) {idiv} 2 AS mid FROM c),
+halves AS (
+  SELECT c.user_id,
+         CASE WHEN c.t_us < b.mid THEN 0 ELSE 1 END AS h,
+         c.cents
+  FROM c CROSS JOIN b),
+per AS (
+  SELECT h, user_id, CAST(sum(cents) AS BIGINT) AS cents
+  FROM halves GROUP BY h, user_id),
+tiled AS (
+  SELECT h, user_id,
+         CAST(ntile({MIGRATION_TILES})
+              OVER (PARTITION BY h ORDER BY cents, user_id) AS BIGINT) AS tile
+  FROM per),
+joined AS (
+  SELECT coalesce(a.user_id, z.user_id) AS user_id,
+         coalesce(a.tile, 0) AS from_tile,
+         coalesce(z.tile, 0) AS to_tile
+  FROM (SELECT user_id, tile FROM tiled WHERE h = 0) a
+  FULL OUTER JOIN (SELECT user_id, tile FROM tiled WHERE h = 1) z
+    ON a.user_id = z.user_id)
+SELECT from_tile, to_tile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST((count(*) * 1000000) {idiv}
+            sum(count(*)) OVER (PARTITION BY from_tile) AS BIGINT)
+         AS from_share_e6
+FROM joined
+GROUP BY from_tile, to_tile
+ORDER BY from_tile, to_tile
+"""
+
+
+def decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_decile, to_decile) user-count migration matrix + shares."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_decile_migration_sql("spark"))
+
+
+def decile_migration_sql() -> str:
+    return _decile_migration_sql("duckdb")

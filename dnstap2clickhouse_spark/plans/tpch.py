@@ -1275,3 +1275,57 @@ def supplier_hhi(spark, sf_dir: str):
 
 def supplier_hhi_sql() -> str:
     return _supplier_hhi_sql("duckdb")
+
+
+# ------------------------------------------------- order aging report
+
+AGING_DAYS = (30, 90, 365)  # bucket edges (days before the snapshot)
+
+
+def _order_aging_sql(dialect: str) -> str:
+    """Open-order AGING report — the operational warehouse query every
+    order desk runs ("what's been open 30/90/365+ days, and how much
+    money is stuck"): non-final orders (status <> 'F') bucketed by age
+    at an in-query snapshot date (the corpus's max order date, so the
+    entry survives regeneration), with counts and cents-scaled stuck
+    value per (bucket, priority). Aging edges are the classic
+    30/90/365.
+
+    Scale shape: one narrow age map off a 1-row snapshot broadcast +
+    one (bucket, priority) aggregate with map-side partials onto a
+    bounded grid.
+    """
+    days = ("CAST(date_diff('day', o_orderdate, s.snap) AS BIGINT)"
+            if dialect != "spark"
+            else "CAST(datediff(s.snap, o_orderdate) AS BIGINT)")
+    e1, e2, e3 = AGING_DAYS
+    return f"""
+WITH s AS (SELECT max(o_orderdate) AS snap FROM orders),
+aged AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN {days} < {e1} THEN '0-{e1}d'
+              WHEN {days} < {e2} THEN '{e1}-{e2}d'
+              WHEN {days} < {e3} THEN '{e2}-{e3}d'
+              ELSE '{e3}d+' END AS age_bucket
+  FROM orders o CROSS JOIN s
+  WHERE o.o_orderstatus <> 'F')
+SELECT age_bucket, priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS stuck_cents
+FROM aged
+GROUP BY age_bucket, priority
+ORDER BY age_bucket, priority
+"""
+
+
+def order_aging(spark, sf_dir: str):
+    """Open-order counts and stuck value per (age bucket, priority)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_order_aging_sql("spark"))
+
+
+def order_aging_sql() -> str:
+    return _order_aging_sql("duckdb")
