@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 48): weekly new-vs-returning user split
+        # (acquisition vs retention mix)
+        "events_new_returning": evan.new_returning,
+        # new in round 4 (batch 48): modality mix dataset-card table
+        # (row/byte shares + pixel budget per mime)
+        "mm_modality_mix": fmm.modality_mix,
+        # new in round 4 (batch 48): tombstone-filtered vector search
+        # with per-query index-decay counters
+        "sim_delete_aware_search": fsim.delete_aware_search,
         # new in round 4 (batch 47): per-source duplicate-rate scorecard
         # (crawl-budget observability off the CC labels)
         "dedup_rate_by_source": fdedup.dup_rate_by_source,
@@ -875,6 +884,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "events_new_returning": evan.new_returning_sql(),
+        "mm_modality_mix": fmm.modality_mix_sql(),
+        "sim_delete_aware_search": fsim.delete_aware_search_sql(),
         "dedup_rate_by_source": fdedup.dup_rate_by_source_sql(),
         "tpch_order_aging": tpch.order_aging_sql(),
         "events_decile_migration": evan.decile_migration_sql(),

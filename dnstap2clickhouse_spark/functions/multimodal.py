@@ -535,3 +535,63 @@ def scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def scene_cuts_sql() -> str:
     return _scene_cuts_sql("duckdb")
+
+
+# --------------------------------------------- modality mix report
+
+
+def _modality_mix_sql(dialect: str) -> str:
+    """Modality MIX report — the dataset-card table for a multimodal
+    corpus ("how much of the training set is image vs audio vs video,
+    and how big is each"): per mime type the row count, total payload
+    bytes, exact e6 share of rows and of bytes, and the mean metadata
+    extent (width x height for stills, frames for video — emitted as
+    the exact integer mean pixel/frame budget the loader provisions
+    for). The payload is the module's stand-in binary; byte accounting
+    is REAL (length over the binary column), which is the part the
+    shard planner consumes.
+
+    Scale shape: one mime-keyed aggregate with map-side partials onto
+    a 3-row domain; shares are windows over it.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    blen = ("length(unhex(repeat(md5(text), 2)))" if dialect == "spark"
+            else "octet_length(unhex(repeat(md5(text), 2)))")
+    nfr = "1 + doc_id % 30"
+    mime = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/png' "
+        "WHEN doc_id % 3 = 1 THEN 'audio/wav' ELSE 'video/mp4' END"
+    )
+    return f"""
+WITH media AS (
+  SELECT doc_id, {mime} AS mime,
+         CAST({blen} AS BIGINT) AS n_bytes,
+         CAST(64 + doc_id % 512 AS BIGINT) AS width,
+         CAST(64 + doc_id % 384 AS BIGINT) AS height,
+         CAST({nfr} AS BIGINT) AS frames
+  FROM documents),
+agg AS (
+  SELECT mime,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(sum(width * height * frames) {idiv} count(*) AS BIGINT)
+           AS mean_pixel_budget
+  FROM media GROUP BY mime)
+SELECT mime, n_rows, total_bytes, mean_pixel_budget,
+       CAST((n_rows * 1000000) {idiv} sum(n_rows) OVER () AS BIGINT)
+         AS row_share_e6,
+       CAST((total_bytes * 1000000) {idiv} sum(total_bytes) OVER () AS BIGINT)
+         AS byte_share_e6
+FROM agg
+ORDER BY mime
+"""
+
+
+def modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime row/byte shares + mean pixel budget (dataset card)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_modality_mix_sql("spark"))
+
+
+def modality_mix_sql() -> str:
+    return _modality_mix_sql("duckdb")

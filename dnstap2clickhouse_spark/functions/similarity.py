@@ -2189,3 +2189,68 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hard_negatives_sql() -> str:
     return _hard_negatives_sql("duckdb")
+
+
+# --------------------------------------------- delete-aware search
+
+DELETE_MOD = 10  # tombstoned vectors: vec_id % DELETE_MOD == 3 (10%)
+
+
+def _delete_aware_sql(dialect: str) -> str:
+    """Deletion-aware vector search — the index-maintenance reality
+    check every ANN deployment hits (GDPR erasure, recalled documents,
+    churned users): 10% of the corpus is tombstoned (a deterministic
+    id-residue set standing in for the delete log), and the top-k
+    query must never return a deleted id, WITHOUT rebuilding anything:
+    the tombstone set is anti-joined into the scoring pass (at scale:
+    a broadcast bloom/roaring filter on the posting scan — the
+    documented knob). Emits per (query, rank): the surviving
+    neighbor, its cosine, plus how many of the UNFILTERED top-k had
+    been deleted (the per-query index-decay readout, exactly the
+    number that schedules a physical rebuild).
+
+    Scale shape: `sim_cosine_topk`'s plan (tiny query side broadcast,
+    corpus never shuffled) + one residue predicate in the scan and a
+    second rank over the unfiltered scores — both mapper-side.
+    """
+    dot = _dot("q.embedding", "c.embedding", dialect)
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    return f"""
+WITH e AS ({_normed(dialect)}),
+qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
+scored AS (
+  SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(c.vec_id % {DELETE_MOD} = 3 AS BOOLEAN) AS is_deleted,
+         {dot} / sqrt(q.nrm * c.nrm) AS cosine
+  FROM qs q JOIN e c ON q.vec_id <> c.vec_id),
+ranked_all AS (
+  SELECT query_id, is_deleted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored),
+decay AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN is_deleted THEN 1 ELSE 0 END) AS BIGINT)
+           AS deleted_in_topk
+  FROM ranked_all WHERE rank <= {TOP_K} GROUP BY query_id),
+ranked_live AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored WHERE NOT is_deleted)
+SELECT r.query_id, r.neighbor_id, CAST(r.rank AS BIGINT) AS rank,
+       r.cosine, d.deleted_in_topk
+FROM ranked_live r JOIN decay d ON d.query_id = r.query_id
+WHERE r.rank <= {TOP_K}
+ORDER BY r.query_id, r.rank
+"""
+
+
+def delete_aware_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-filtered top-k + per-query index-decay counter."""
+    _register(spark, sf_dir)
+    return spark.sql(_delete_aware_sql("spark"))
+
+
+def delete_aware_search_sql() -> str:
+    return _delete_aware_sql("duckdb")

@@ -3093,3 +3093,59 @@ def decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decile_migration_sql() -> str:
     return _decile_migration_sql("duckdb")
+
+
+# ------------------------------------------------ new vs returning
+
+
+def _new_returning_sql(dialect: str) -> str:
+    """Weekly NEW vs RETURNING user split — the growth team's first
+    chart (`events_dau_wau` gives stickiness; this attributes each
+    week's active mass to acquisition vs retention): a user's first
+    activity week makes them "new" that week and "returning" in every
+    later active week. Weeks are exact integer buckets off the
+    corpus's own min timestamp (regeneration-stable). Emits per week:
+    active users, new, returning, and the e6 returning share — the
+    retention mix curve.
+
+    Scale shape: one (user, week) distinct aggregate (the activity
+    set), one user-keyed min for first-week (same shuffle domain),
+    then a week-keyed rollup onto the week domain. All equi-shuffles;
+    no corpus-sized join.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    idiv = "div" if dialect == "spark" else "//"
+    wk = f"({us} - b.t0) {idiv} 604800000000"
+    return f"""
+WITH b AS (SELECT min({us}) AS t0 FROM events),
+active AS (
+  SELECT DISTINCT e.user_id, {wk} AS week
+  FROM events e CROSS JOIN b),
+first_wk AS (
+  SELECT user_id, min(week) AS first_week FROM active GROUP BY user_id),
+tagged AS (
+  SELECT a.week,
+         CASE WHEN a.week = f.first_week THEN 1 ELSE 0 END AS is_new
+  FROM active a JOIN first_wk f ON f.user_id = a.user_id)
+SELECT CAST(week AS BIGINT) AS week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(is_new) AS BIGINT) AS n_new,
+       CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning,
+       CAST(((count(*) - sum(is_new)) * 1000000) {idiv} count(*) AS BIGINT)
+         AS returning_share_e6
+FROM tagged
+GROUP BY week
+ORDER BY week
+"""
+
+
+def new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/returning user split + returning share."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_new_returning_sql("spark"))
+
+
+def new_returning_sql() -> str:
+    return _new_returning_sql("duckdb")
