@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 (batch 18): top 3-step user journeys (n-gram
         # extension of the 2-gram path transitions)
         "events_top_paths": evan.top_paths,
+        # new in round 4 (batch 49): one-row dedup savings summary
+        # (docs/tokens/chars before vs after; the exec number)
+        "dedup_savings_report": fdedup.savings_report,
+        # new in round 4 (batch 49): discount-band effectiveness rollup
+        # (volume vs give-back per 2pp band)
+        "tpch_discount_bands": tpch.discount_bands,
+        # new in round 4 (batch 49): weekday activity profile
+        # (epoch-day DOW arithmetic, convention-proof)
+        "events_weekday_profile": evan.weekday_profile,
         # new in round 4 (batch 48): weekly new-vs-returning user split
         # (acquisition vs retention mix)
         "events_new_returning": evan.new_returning,
@@ -884,6 +893,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_label_minmax": fsim.label_minmax_sql(),
         "text_bpe_merges": ftext.bpe_merges_sql(),
         "events_top_paths": evan.top_paths_sql(),
+        "dedup_savings_report": fdedup.savings_report_sql(),
+        "tpch_discount_bands": tpch.discount_bands_sql(),
+        "events_weekday_profile": evan.weekday_profile_sql(),
         "events_new_returning": evan.new_returning_sql(),
         "mm_modality_mix": fmm.modality_mix_sql(),
         "sim_delete_aware_search": fsim.delete_aware_search_sql(),

@@ -1614,3 +1614,62 @@ ORDER BY source
 
 def dup_rate_by_source_sql() -> str:
     return _dup_rate_by_source_sql("duckdb")
+
+
+# ------------------------------------------- dedup savings report
+
+
+def _savings_report_sql(dialect: str) -> str:
+    """Dedup SAVINGS report — the one-row executive summary a storage/
+    compute owner reads ("what did near-dup dedup actually buy"):
+    corpus docs/tokens/chars before vs after canonical dedup (min-id
+    survivors), with exact e6 savings rates for each. Token savings is
+    the number that prices training compute; char savings prices
+    storage. Reconciles by construction with `dedup_canonical_corpus`
+    (same survivor set).
+
+    Scale shape: the CC labels' census + one doc-keyed join to the
+    stats projection + a 1-row rollup.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    size = "size" if dialect == "spark" else "len"
+    toks = "split(text, ' ')" if dialect == "spark" else "string_split(text, ' ')"
+    labels = (
+        _cc_reach_sql()
+        + """,
+labels AS (SELECT doc_id, min(lab) AS cluster_id FROM reach GROUP BY doc_id)"""
+    )
+    body = f"""
+flagged AS (
+  SELECT d.doc_id,
+         CAST({size}({toks}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CASE WHEN l.doc_id IS NOT NULL AND l.doc_id <> l.cluster_id
+              THEN 0 ELSE 1 END AS survives
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS docs_before,
+       CAST(sum(survives) AS BIGINT) AS docs_after,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(sum(survives * n_tokens) AS BIGINT) AS tokens_after,
+       CAST(sum(n_chars) AS BIGINT) AS chars_before,
+       CAST(sum(survives * n_chars) AS BIGINT) AS chars_after,
+       CAST(((count(*) - sum(survives)) * 1000000) {idiv} count(*) AS BIGINT)
+         AS doc_savings_e6,
+       CAST(((sum(n_tokens) - sum(survives * n_tokens)) * 1000000)
+            {idiv} sum(n_tokens) AS BIGINT) AS token_savings_e6
+"""
+    return f"{labels},{body}FROM flagged\n"
+
+
+def savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row before/after dedup savings summary (docs/tokens/chars)."""
+    _register(spark, sf_dir)
+    labels = _cc_labels(spark, sf_dir)
+    labels.createOrReplaceTempView("cc_labels_view")
+    body = _savings_report_sql("spark")
+    body = body[body.index("flagged AS ("):].replace("labels l", "cc_labels_view l")
+    return spark.sql("WITH " + body)
+
+
+def savings_report_sql() -> str:
+    return _savings_report_sql("duckdb")

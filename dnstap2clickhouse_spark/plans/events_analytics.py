@@ -3149,3 +3149,51 @@ def new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def new_returning_sql() -> str:
     return _new_returning_sql("duckdb")
+
+
+# ------------------------------------------------ weekday profile
+
+
+def _weekday_profile_sql(dialect: str) -> str:
+    """Weekday ACTIVITY profile — the seasonality fingerprint
+    (`events_seasonal_baseline` exploits daily seasonality; this is
+    the weekly-shape readout capacity planning and anomaly baselining
+    start from): per ISO weekday the event count, distinct users,
+    cents-exact value, and e6 share of weekly mass. Both engines
+    compute the weekday from the same epoch-day arithmetic
+    (``(epoch_days + 3) % 7`` — 1970-01-01 was a Thursday — so no
+    engine-specific DOW convention can drift the hash).
+
+    Scale shape: one narrow weekday map + one 7-row aggregate with
+    map-side partials; shares are windows over the 7-row table.
+    """
+    us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
+    idiv = "div" if dialect == "spark" else "//"
+    dow = f"(({us} {idiv} 86400000000) + 3) % 7"
+    return f"""
+WITH tagged AS (
+  SELECT {dow} AS weekday, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT CAST(weekday AS BIGINT) AS weekday,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((count(*) * 1000000) {idiv} sum(count(*)) OVER () AS BIGINT)
+         AS event_share_e6
+FROM tagged
+GROUP BY weekday
+ORDER BY weekday
+"""
+
+
+def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday activity profile (0 = Monday)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_weekday_profile_sql("spark"))
+
+
+def weekday_profile_sql() -> str:
+    return _weekday_profile_sql("duckdb")

@@ -1329,3 +1329,55 @@ def order_aging(spark, sf_dir: str):
 
 def order_aging_sql() -> str:
     return _order_aging_sql("duckdb")
+
+
+# ------------------------------------------------- discount bands
+
+DISCOUNT_BAND_E2 = 2  # 2-percentage-point discount bands
+
+
+def _discount_bands_sql(dialect: str) -> str:
+    """Discount EFFECTIVENESS bands — the pricing-analytics rollup
+    behind Q19's point lookup ("does a deeper discount actually move
+    volume, and what does it cost in revenue?"): lineitems grouped
+    into 2-pp discount bands with order-line volume, total quantity,
+    gross vs discounted revenue (cents-exact), and the e6 give-back
+    rate (discount cost / gross). The curve a pricing desk reads to
+    set the Q19-style thresholds.
+
+    Scale shape: one narrow band map + one bounded-grid aggregate with
+    map-side partials; everything cents-integer.
+    """
+    idiv = "div" if dialect == "spark" else "//"
+    return f"""
+WITH lines AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) {idiv} {DISCOUNT_BAND_E2}
+           AS band,
+         l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_cents,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS net_cents
+  FROM lineitem)
+SELECT CAST(band * {DISCOUNT_BAND_E2} AS BIGINT) AS discount_pct_lo,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(sum(gross_cents) AS BIGINT) AS gross_cents,
+       CAST(sum(net_cents) AS BIGINT) AS net_cents,
+       CAST(((sum(gross_cents) - sum(net_cents)) * 1000000)
+            {idiv} sum(gross_cents) AS BIGINT) AS giveback_e6
+FROM lines
+GROUP BY band
+ORDER BY discount_pct_lo
+"""
+
+
+def discount_bands(spark, sf_dir: str):
+    """Volume/revenue/give-back per 2-pp discount band."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_discount_bands_sql("spark"))
+
+
+def discount_bands_sql() -> str:
+    return _discount_bands_sql("duckdb")
