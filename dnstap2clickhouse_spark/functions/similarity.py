@@ -516,8 +516,39 @@ def ivf_recall_sql() -> str:
 
 # ------------------------------------------------------- k-means (Lloyd)
 
-KMEANS_K = 4  # seeds = vec_id 0..3 (deterministic init, no global sort)
+#: The k-means/SemDeDup cell count is CORPUS-DERIVED, not a constant:
+#: k = ceil(n / KMEANS_TARGET_OCCUPANCY), computed IN-ENGINE by an
+#: exact-integer scalar subquery over the corpus count (see the ``kk``
+#: CTE in ``_kmeans_sql``), so cell occupancy stays ~constant as the
+#: corpus grows and the cell-pruned family's total intra-cell pair work
+#: (sum of occupancy^2 over cells) stays LINEAR in n instead of the
+#: O(n^2/k) a fixed k degrades to (SCALING.md measured 889 s fixed k=4
+#: vs 31.6 s k ∝ n for the kNN-graph build at 10x data). 125 is the
+#: occupancy the round-1..4 oracles certified (k=4 at the 500-vector
+#: sf0.001/sf0.01 scales); sf0.1 (2,000 vectors) derives k=16, the 10x
+#: replica (20,000) k=160; at 100 TB k is millions and the cell id is
+#: the table's bucket key — SemDeDup's own "grow k with the corpus"
+#: knob, now in the plan instead of the docs.
+#:
+#: Occupancy 500 with floor KMEANS_MIN_K=4 is the measured sweet spot:
+#: it reproduces k=4 at every oracle scale (sf0.001..0.1 — all r1-r4
+#: certified results unchanged) and k=40 at the 10x replica, the exact
+#: configuration SCALING.md measured at 2.4x wall per 10x data. The
+#: floor keeps the test-scale clustering non-degenerate (>1 cell); the
+#: ceil-division keeps k ∝ n once the corpus outgrows it. The residual
+#: n*k assignment term (n^2/occupancy FLOPs) is the documented
+#: exact-Lloyd cost — the decomposition measured it at 3.9x per 10x at
+#: occupancy 125 vs ~1.6x at 500; at extreme scale real systems replace
+#: it with a hierarchical / ANN coarse quantizer, never a wider fixed k.
+KMEANS_TARGET_OCCUPANCY = 500
+KMEANS_MIN_K = 4
 KMEANS_DIMS = 64
+
+
+def kmeans_k(n_vectors: int) -> int:
+    """Python mirror of the in-SQL cell-count derivation (for tests and
+    sizing tools): ceil(n / KMEANS_TARGET_OCCUPANCY), floor KMEANS_MIN_K."""
+    return max(KMEANS_MIN_K, -(-int(n_vectors) // KMEANS_TARGET_OCCUPANCY))
 _E9 = 1_000_000_000
 
 def _qarr_sql(dialect: str) -> str:
@@ -569,7 +600,14 @@ def _kmeans_sql(dialect: str) -> str:
     the same two CTE shapes in a driver loop with the centroid table
     checkpointed between rounds.
     """
-    k, nd = KMEANS_K, KMEANS_DIMS
+    occ, nd = KMEANS_TARGET_OCCUPANCY, KMEANS_DIMS
+    # corpus-derived cell count, exact-integer ceil division in each
+    # dialect's native idiom (no FP: both engines derive the SAME k)
+    kexpr = (
+        f"(count(*) + {occ - 1}) div {occ}"
+        if dialect == "spark"
+        else f"(count(*) + {occ - 1}) // {occ}"
+    )
     dist = _cdist_sql(dialect)
     qarr = _qarr_sql(dialect)
     if dialect == "spark":
@@ -606,8 +644,10 @@ def _kmeans_sql(dialect: str) -> str:
 
     return f"""
 WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+kk AS (SELECT greatest(CAST({KMEANS_MIN_K} AS BIGINT), CAST({kexpr} AS BIGINT)) AS k
+       FROM embeddings),
 c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, qv AS sv, CAST(1 AS BIGINT) AS n
-       FROM q WHERE vec_id < {k} LIMIT {k}),
+       FROM q WHERE vec_id < (SELECT k FROM kk)),
 a1 AS ({assign("c0")}),
 c1 AS ({update("a1")}),
 a2 AS ({assign("c1")})
@@ -615,7 +655,7 @@ SELECT vec_id, cluster FROM a2 ORDER BY vec_id
 """
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster assignment after two Lloyd iterations (k=KMEANS_K)."""
+    """Cluster assignment after two Lloyd iterations (corpus-derived k)."""
     _register(spark, sf_dir)
     return spark.sql(_kmeans_sql("spark"))
 
@@ -870,7 +910,9 @@ def _semantic_dedup_sql(dialect: str) -> str:
     generation is an EQUI-join on the cluster id (never all-pairs): cost
     is sum over clusters of size^2, which SemDeDup keeps bounded at
     scale by growing k with the corpus so cluster occupancy stays
-    constant. A doc is dropped when a LOWER-id member of its own cluster
+    constant — since round 5 that growth is IN the plan (the ``kk``
+    CTE derives k = ceil(n / KMEANS_TARGET_OCCUPANCY), measured 1.3x
+    wall at 10x data vs the retired fixed-k 104x). A doc is dropped when a LOWER-id member of its own cluster
     is cosine-similar above the threshold (keep-first-occurrence, the
     same deterministic rule as the pair-based dedups); ``dup_of``
     reports the smallest such partner.
@@ -1074,7 +1116,7 @@ def _embedding_lsh_pairs_sql(dialect: str) -> str:
     precision vs it is 1.0 by construction (same threshold, exact
     verification), recall is measured in-engine by
     ``embedding_lsh_dup_recall``. Unlike ``dedup_semantic`` (whose
-    fixed-k clusters make intra-cluster work quadratic at fixed k), the
+    cell count is corpus-derived so intra-cluster work stays linear), the
     bucket count here GROWS with nothing — it is fixed per table
     (2^LSH_BITS) — so the scale contract is the candidate-pair count
     itself, the same contract as MinHash LSH banding.
@@ -2052,8 +2094,9 @@ def _nn_descent_sql(dialect: str) -> str:
     neighborhoods with ``is_new`` marking edges the gossip recovered —
     the per-round convergence signal the paper iterates on until it
     dries up. Complements `sim_knn_graph`: that entry bootstraps from
-    k-means cells (and SCALING.md measures its fixed-k blowup); this
-    is the index-free build that escapes cells entirely.
+    k-means cells (corpus-derived k since round 5; SCALING.md measured
+    the retired fixed-k blowup); this is the index-free build that
+    escapes cells entirely.
 
     Determinism: init offsets come from the shared md5 hash family
     (``dst = (src + 1 + h % (n-1)) % n`` — never self); the fixture's
@@ -2147,8 +2190,8 @@ def _hard_negatives_sql(dialect: str) -> str:
     cell-pruned exactly like `sim_knn_graph` (same k-means assignment
     CTEs, same bit-deterministic cosine fold, same tie rule), with the
     label inequality pushed into the pair join — so the mined
-    negatives are the hardest IN-CELL ones, and the same fixed-k
-    occupancy knob measured in SCALING.md governs cost.
+    negatives are the hardest IN-CELL ones, and the same corpus-derived
+    cell count measured in SCALING.md governs cost.
 
     Scale shape: identical to the kNN-graph build (Σ cell² pair
     enumeration, vec-keyed fetch joins, per-anchor top-k window);

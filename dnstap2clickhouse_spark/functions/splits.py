@@ -827,9 +827,11 @@ agg AS (
          CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us
   FROM labeled GROUP BY split),
 cert AS (
-  SELECT CAST((SELECT min_us FROM agg WHERE split = 'test')
+  -- coalesce: an EMPTY train or test split nulls the scalar subqueries;
+  -- the certificate must then read FALSE (failed), never silently NULL
+  SELECT coalesce(CAST((SELECT min_us FROM agg WHERE split = 'test')
               - (SELECT max_us FROM agg WHERE split = 'train')
-              >= {EMB_GAP_DAYS} * 86400000000 AS BOOLEAN) AS gap_ok)
+              >= {EMB_GAP_DAYS} * 86400000000 AS BOOLEAN), FALSE) AS gap_ok)
 SELECT a.split, a.n, a.min_us, a.max_us, c.gap_ok
 FROM agg a CROSS JOIN cert c
 ORDER BY a.split

@@ -890,8 +890,13 @@ def _collocations_sql(dialect: str) -> str:
     rank pairs by LIFT ``P(a,b)/(P(a)P(b))`` — the PMI-monotone
     statistic — as the exact scaled rational ``n_ab * N * e6 div
     (n_a * n_b)`` (log dropped, the `text_keyword_search` no-libm
-    discipline; BIGINT-ranged up to ~e12 total tokens, the
-    `curate_dataset_card` quotient bound). Support floor
+    discipline). The numerator is accumulated in 128-bit exact
+    arithmetic (Spark DECIMAL(38,0), DuckDB HUGEINT): ``n_ab`` scales
+    with ``N`` for hot pairs, so a BIGINT product wraps far below any
+    interesting corpus (~3e8 tokens, not the e12 an earlier docstring
+    claimed — the round-4 advisor's catch); the 128-bit form is exact
+    to ~e15 total tokens, and only the QUOTIENT (lift_e6, small by
+    construction) must fit BIGINT. Support floor
     ``COLLOC_MIN_SUP`` kills rare-pair noise before ranking.
 
     Plan: one positional explode, one doc-keyed window (both leads
@@ -906,12 +911,14 @@ def _collocations_sql(dialect: str) -> str:
             "SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents"
         )
         div = "div"
+        wide = "DECIMAL(38, 0)"
     else:
         pos_src = (
             "SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
             "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents"
         )
         div = "//"
+        wide = "HUGEINT"
     leads = ", ".join(
         f"lead(tok, {k}) OVER w AS b{k}" for k in range(1, COLLOC_WINDOW + 1)
     )
@@ -934,7 +941,8 @@ uni AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY tok),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
 SELECT p.a, p.b, p.n_ab,
-       (p.n_ab * t.n * {_COLLOC_E6}) {div} (ua.n * ub.n) AS lift_e6
+       CAST((CAST(p.n_ab AS {wide}) * t.n * {_COLLOC_E6})
+            {div} (CAST(ua.n AS {wide}) * ub.n) AS BIGINT) AS lift_e6
 FROM pc p
 JOIN uni ua ON p.a = ua.tok
 JOIN uni ub ON p.b = ub.tok
@@ -1175,10 +1183,17 @@ b AS (
 cand AS (
   SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          a.title AS ta, b2.title AS tb
-  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
-SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
-FROM cand
-WHERE levenshtein(ta, tb) <= {FUZZY_MAX_DIST}
+  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id),
+scored AS (
+  -- levenshtein is the expensive O(len^2) verify step: compute it ONCE
+  -- per candidate and filter on the alias (common-subexpression
+  -- elimination of a SELECT+WHERE duplicate is guaranteed in neither
+  -- engine — the round-4 advisor's catch)
+  SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+  FROM cand)
+SELECT doc_a, doc_b, edit_dist
+FROM scored
+WHERE edit_dist <= {FUZZY_MAX_DIST}
 ORDER BY doc_a, doc_b
 """
 

@@ -1923,9 +1923,12 @@ def _ab_test_sql(dialect: str) -> str:
     integers; significance is the two-proportion chi-square test with
     the division cross-multiplied away: significant iff
     ``CHI2_DEN * N * (c1*n2 - c2*n1)^2 > CHI2_NUM * n1*n2*C*(N-C)`` —
-    an exact BIGINT compare, no float statistics anywhere (in-range for
-    user domains up to ~50k; a DECIMAL(38,0) cast on the two products
-    lifts that to millions with no other change). Plan: two user-keyed
+    an exact DECIMAL(38,0) compare, no float statistics anywhere: both
+    products are accumulated in DECIMAL(38,0) (identical exact semantics
+    in both engines), which keeps the compare in-range to ~1e7 users per
+    arm — BIGINT would wrap silently past ~50k in Spark's non-ANSI mode
+    while DuckDB raises, the exact cross-engine divergence the round-4
+    advisor flagged. Plan: two user-keyed
     equi-joins + O(arms) aggregates; the 2-row arm table self-joins to
     a 1-row test and broadcasts back.
     """
@@ -1954,8 +1957,11 @@ test AS (
   FROM arm a JOIN arm b ON a.variant = 0 AND b.variant = 1)
 SELECT m.variant, m.n_users, m.n_conv,
        (m.n_conv * 1000000) {div} m.n_users AS conv_e6,
-       CAST({AB_CHI2_DEN} * t.nt * (t.c1 * t.n2 - t.c2 * t.n1) * (t.c1 * t.n2 - t.c2 * t.n1)
-            > {AB_CHI2_NUM} * t.n1 * t.n2 * t.ct * (t.nt - t.ct) AS BOOLEAN) AS significant
+       CAST(CAST({AB_CHI2_DEN} AS DECIMAL(38, 0)) * t.nt
+              * CAST(t.c1 * t.n2 - t.c2 * t.n1 AS DECIMAL(38, 0))
+              * CAST(t.c1 * t.n2 - t.c2 * t.n1 AS DECIMAL(38, 0))
+            > CAST({AB_CHI2_NUM} AS DECIMAL(38, 0)) * t.n1 * t.n2
+              * CAST(t.ct * (t.nt - t.ct) AS DECIMAL(38, 0)) AS BOOLEAN) AS significant
 FROM arm m CROSS JOIN test t
 ORDER BY m.variant
 """

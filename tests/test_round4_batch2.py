@@ -181,7 +181,7 @@ def test_kmeans_assignment_shape(spark):
     n_vec = load_table(spark, SF, "embeddings").count()
     assert len(rows) == n_vec
     clusters = {r.cluster for r in rows}
-    assert clusters <= set(range(fsim.KMEANS_K))
+    assert clusters <= set(range(fsim.kmeans_k(n_vec)))
     assert len(clusters) > 1  # the data isn't one blob
 
 def test_kmeans_seeds_stay_home(spark):

@@ -1,15 +1,13 @@
 """Measure the two documented scale knobs at the 10x replica.
 
-SCALING.md records two honest superlinear rows at FIXED test-scale
-constants: `dedup_semantic` (fixed k=4 -> intra-cluster pairs grow
-quadratically) and `dedup_embedding_lsh` (fixed 2^LSH_BITS buckets ->
-occupancy grows linearly, candidates quadratically). Both rows name the
-deploy knob that restores linearity — k proportional to n, LSH_BITS
-proportional to log n. This script RUNS those knobs: it regenerates the
-same audited SQL with the scaled constants (the generators read the
-module constants at call time) and times both settings on the same
-replica, so the "knob restores linearity" claim is a measurement, not
-an argument.
+Round 5 made the k-means cell count corpus-derived in-SQL (the `kk`
+CTE: k = ceil(n / KMEANS_TARGET_OCCUPANCY)), so the SemDeDup knob this
+script used to monkey-patch is now the shipped plan — its section just
+times the same SQL at sf0.1 and the replica to certify the ~linear
+slope. The embedding-LSH section still measures its documented knob
+(LSH_BITS proportional to log n) by regenerating the audited SQL with
+the scaled constant, so "the knob restores linearity" stays a
+measurement, not an argument.
 
 Usage:  python tools/scale_knobs.py [replica_dir]
 Prints one line per (query, setting): runtime + output size.
@@ -43,15 +41,12 @@ def main() -> None:
             times.append(time.time() - t)
         print(f"{label}: min {min(times):.1f}s rows={n}", flush=True)
 
-    # --- SemDeDup: k fixed (the contract constant) vs k scaled 10x ---
-    # constant occupancy => intra-cluster pair work scales linearly
-    base_k = fsim.KMEANS_K
-    try:
-        run(fsim._semantic_dedup_sql("spark"), SF01, f"sf0.1  dedup_semantic k={base_k}")
-        fsim.KMEANS_K = base_k * 10
-        run(fsim._semantic_dedup_sql("spark"), REPLICA, f"sf1    dedup_semantic k={base_k * 10}")
-    finally:
-        fsim.KMEANS_K = base_k
+    # --- SemDeDup: k is corpus-derived IN the SQL since round 5 ---
+    # (k = ceil(n / KMEANS_TARGET_OCCUPANCY), the kk CTE in _kmeans_sql)
+    # so the SAME audited SQL runs at both scales and occupancy stays
+    # constant: the knob this script used to monkey-patch is the plan.
+    run(fsim._semantic_dedup_sql("spark"), SF01, "sf0.1  dedup_semantic k=derived")
+    run(fsim._semantic_dedup_sql("spark"), REPLICA, "sf1    dedup_semantic k=derived")
 
     # --- embedding LSH: bucket keyspace fixed vs widened by ~log(10x) ---
     # 4 tables x 2^4 buckets -> 4 tables x 2^7: occupancy back near the
