@@ -312,6 +312,19 @@ def lsh_verified_pairs_sql() -> str:
 _CC_MAX_ITERS = 25  # soft floor; the real bound is |V| (diameter < |V|)
 _CKPT_EVERY = 3  # lineage-truncation cadence (see propagate_min_labels)
 
+#: Salt factor for the pointer-jump self-join (round-5 giant-component
+#: guard). As a component converges, EVERY member's ``cluster_id`` is the
+#: same root id — so the jump join's left side piles that one key onto
+#: one task (a 10M-member near-dup component = a 10M-row straggler
+#: partition at 100 TB). The parent side is replicated ``CC_JUMP_SALT``
+#: ways keyed (p_id, salt) and each member picks salt =
+#: xxhash64(doc_id) % SALT, spreading any single label across SALT
+#: tasks. Cost: the parent shuffle grows SALT x over label-sized rows
+#: (16-byte pairs) — constant, corpus-independent; AQE's skew-join split
+#: (enabled in session.py) is the runtime second line of defense for
+#: skew beyond SALT x task capacity.
+CC_JUMP_SALT = 8
+
 def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id): connected components over the verified
     near-dup graph; cluster_id = min doc_id in the component.
@@ -334,8 +347,32 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return propagate_min_labels(labels, pairs)
 
+def _job_group_shuffle_bytes(spark, group: str) -> int:
+    """Total shuffle-write bytes of every stage run under ``group`` —
+    read from the JVM AppStatusStore (collected even with the UI off).
+    Observability for the CC fixture tests: per-round shuffle volume is
+    the quantity the giant-component guard bounds."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    store = sc._jsc.sc().statusStore()
+    total = 0
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            try:
+                total += store.lastStageAttempt(sid).shuffleWriteBytes()
+            except Exception:
+                pass  # skipped/cached stage has no attempt data
+    return total
+
+
 def propagate_min_labels(
-    labels: DataFrame, pairs: DataFrame, rounds_out: list[int] | None = None
+    labels: DataFrame,
+    pairs: DataFrame,
+    rounds_out: list[int] | None = None,
+    shuffle_bytes_out: list[int] | None = None,
 ) -> DataFrame:
     """Min-label propagation *with pointer jumping* to fixpoint.
 
@@ -360,7 +397,14 @@ def propagate_min_labels(
        O(log diameter) (same recurrence as the large-star/small-star
        contraction of Kiveris et al., "Connected Components in MapReduce
        and Beyond", without rewriting the edge list). Measured on a
-       100-edge chain (diameter 100): 9 rounds vs 100.
+       100-edge chain (diameter 100): 9 rounds vs 100. The jump join is
+       SALTED (``CC_JUMP_SALT``): a giant component funnels one label
+       key onto one task otherwise — see the constant's docstring and
+       the clique+chain fixture test measuring rounds and per-round
+       shuffle bytes.
+
+    ``shuffle_bytes_out``: when given, per-round shuffle-write bytes are
+    appended (one int per executed round, from the JVM status store).
 
     Both steps shuffle label-sized rows only (plus the static edge list
     for step 1); the corpus never moves. Convergence is detected by
@@ -379,6 +423,8 @@ def propagate_min_labels(
         "src", "dst"
     ).localCheckpoint()
     labels = labels.localCheckpoint()
+    spark = labels.sparkSession
+    salts = F.array(*[F.lit(s) for s in range(CC_JUMP_SALT)])
     max_iters = max(_CC_MAX_ITERS, labels.count())
     for i in range(max_iters):
         nbr_min = (
@@ -386,12 +432,26 @@ def propagate_min_labels(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # salted pointer jump: parent replicated CC_JUMP_SALT ways on
+        # (p_id, salt); each member hashes onto one salt — a converged
+        # giant component's single hot label spreads across SALT tasks
         parent = labels.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lab")
+            F.col("doc_id").alias("p_id"),
+            F.col("cluster_id").alias("p_lab"),
+            F.explode(salts).alias("p_salt"),
         )
         updated = (
             labels.join(nbr_min, "doc_id", "left")
-            .join(parent, F.col("cluster_id") == F.col("p_id"), "left")
+            .withColumn(
+                "salt",
+                F.pmod(F.xxhash64("doc_id"), F.lit(CC_JUMP_SALT)).cast("int"),
+            )
+            .join(
+                parent,
+                (F.col("cluster_id") == F.col("p_id"))
+                & (F.col("salt") == F.col("p_salt")),
+                "left",
+            )
             .select(
                 "doc_id",
                 F.least("cluster_id", "nbr_min", "p_lab").alias("cluster_id"),
@@ -400,9 +460,21 @@ def propagate_min_labels(
                 ).alias("changed"),
             )
         )
-        if i % _CKPT_EVERY == _CKPT_EVERY - 1:
-            updated = updated.localCheckpoint()
-        changed = updated.filter("changed").count()
+        # the round's actions (eager localCheckpoint + the changed count)
+        # run under one job group so per-round shuffle volume is readable
+        # from the status store
+        group = f"cc_round_{id(labels)}_{i}"
+        if shuffle_bytes_out is not None:
+            spark.sparkContext.setJobGroup(group, "cc round", False)
+        try:
+            if i % _CKPT_EVERY == _CKPT_EVERY - 1:
+                updated = updated.localCheckpoint()
+            changed = updated.filter("changed").count()
+        finally:
+            if shuffle_bytes_out is not None:
+                spark.sparkContext.setJobGroup("", "", False)
+        if shuffle_bytes_out is not None:
+            shuffle_bytes_out.append(_job_group_shuffle_bytes(spark, group))
         labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             if rounds_out is not None:
