@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from .text import _hash_tok, _toks
 
+#: MinHash banding is a QUALITY parameter, not a scale one: (bands, rows)
+#: pin the LSH S-curve threshold t ≈ (1/b)^(1/r) — 8 bands x 2 rows ≈
+#: 0.35, a recall-leaning catch-all below JACCARD_THRESHOLD=0.5 so the
+#: exact-Jaccard verify stage (not the banding) decides. Unlike cell
+#: counts / bucket widths (corpus-derived in-plan since round 5), bands
+#: must NOT grow with the corpus — candidate mass is governed by the
+#: corpus's near-dup pair structure. The generators below take them as
+#: parameters (defaults = the contract-pinned values) so a deployment
+#: re-derives (b, r) from ITS threshold via the formula without editing
+#: the module; `dedup_band_sweep` measures the trade in-engine.
 N_HASHES = 16
 BANDS = 8  # => 2 rows per band
 SHINGLE_K = 3
@@ -216,8 +226,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_sql() -> str:
     return _minhash_sql("duckdb") + " ORDER BY doc_id, hidx"
 
-def _lsh_pairs_sql(dialect: str) -> str:
-    rows_per_band = N_HASHES // BANDS
+def _lsh_pairs_sql(dialect: str, bands: int = BANDS) -> str:
+    """Banded MinHash-LSH candidate pairs. ``bands`` is the S-curve knob
+    (threshold ≈ (1/b)^(b/N_HASHES), b must divide the N_HASHES-wide
+    signature); the default is the contract-pinned value, callers with a
+    different target threshold pass their own banding."""
+    if N_HASHES % bands:
+        raise ValueError(f"bands={bands} must divide N_HASHES={N_HASHES}")
+    rows_per_band = N_HASHES // bands
     if dialect == "spark":
         # Narrow signature construction (see ``_minhash_vec_expr``): the
         # md5+minhash work is one traversal per doc, band signatures are
@@ -235,7 +251,7 @@ hb AS (SELECT doc_id, {base} AS hs FROM s),
 sigs AS (SELECT doc_id, {_minhash_vec_expr()} AS mh FROM hb),
 bands AS (
   SELECT doc_id, b AS band, slice(mh, b * {rows_per_band} + 1, {rows_per_band}) AS sig
-  FROM sigs LATERAL VIEW explode(sequence(0, {BANDS - 1})) t AS b)
+  FROM sigs LATERAL VIEW explode(sequence(0, {bands - 1})) t AS b)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id

@@ -27,7 +27,61 @@ from ..sources.tables import load_table
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
 LSH_TABLES = 4  # hash tables, each over its own dim slice
-LSH_BITS = 4  # sign bits per table -> 16 buckets/table
+
+#: The sign-LSH bucket keyspace is CORPUS-DERIVED (round 5, closing the
+#: same class of scale constant as KMEANS_TARGET_OCCUPANCY): each table
+#: hashes LSH_MAX_BITS sign bits but the EFFECTIVE bucket id keeps only
+#: the low ``nb`` bits, where nb = smallest b in [LSH_MIN_BITS,
+#: LSH_MAX_BITS] with corpus_count <= OCCUPANCY * 2^b — an exact-integer
+#: CASE over count(*) computed in-plan (``_lsh_bits_cte``), identical in
+#: both dialects. Fixed 2^4 buckets meant per-bucket occupancy (and the
+#: self-join candidate count, occupancy^2 per bucket) grew linearly with
+#: the corpus; the derived width holds occupancy ~constant: 4 bits at
+#: every oracle scale (bit-identical to the r1-r4 certified buckets —
+#: the low-4 dim layout is preserved), 8 bits at the 10x replica, 16
+#: bits (65,536 buckets/table) from ~8M vectors. Beyond LSH_MAX_BITS the
+#: knob is more tables or longer embeddings; the in-engine recall
+#: entries (`sim_ann_recall`, `dedup_embedding_lsh_recall`) quantify the
+#: recall side of any width.
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 16
+LSH_TARGET_OCCUPANCY = 125
+
+
+def lsh_bits(n_vectors: int) -> int:
+    """Python mirror of the in-SQL effective-width derivation."""
+    for b in range(LSH_MIN_BITS, LSH_MAX_BITS):
+        if n_vectors <= LSH_TARGET_OCCUPANCY << b:
+            return b
+    return LSH_MAX_BITS
+
+
+def lsh_buckets(vec, n_vectors: int) -> list[int]:
+    """Python mirror of ``_bucket_expr``: the effective per-table bucket
+    ids of one vector in an ``n_vectors`` corpus (tests/tools)."""
+    nb = lsh_bits(n_vectors)
+    out = []
+    for t in range(LSH_TABLES):
+        b = 0
+        for i in range(nb):  # wide % 2^nb == the low nb bits
+            if float(vec[_wide_dim(t, i) - 1]) >= 0:
+                b |= 1 << i
+        out.append(b)
+    return out
+
+
+def _lsh_bits_cte(dialect: str) -> str:
+    """1-row CTE ``lb(nb)``: the effective bucket width for THIS corpus,
+    exact integer compares only (no FP, both engines derive the same
+    width). CROSS JOIN it wherever bucket columns are projected."""
+    arms = "".join(
+        f" WHEN count(*) <= {LSH_TARGET_OCCUPANCY << b} THEN {b}"
+        for b in range(LSH_MIN_BITS, LSH_MAX_BITS)
+    )
+    return (
+        f"lb AS (SELECT CAST(CASE{arms} ELSE {LSH_MAX_BITS} END AS INT) AS nb"
+        " FROM embeddings)"
+    )
 
 def _dot(a: str, b: str, dialect: str) -> str:
     if dialect == "spark":
@@ -170,15 +224,38 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id", "rank")
     )
 
+def _wide_dim(table: int, i: int) -> int:
+    """Dim (1-indexed) feeding bit ``i`` of table ``table``.
+
+    Layout contract: bits 0..LSH_MIN_BITS-1 use the ORIGINAL slices
+    (table*4 + i + 1, dims 1..16) so a 4-bit effective width reproduces
+    the r1-r4 certified buckets bit-for-bit; the widening bits take
+    disjoint slices of the remaining dims (17..64) — 4 tables x 16 bits
+    covers all KMEANS_DIMS=64 dims with zero overlap."""
+    if i < LSH_MIN_BITS:
+        return table * LSH_MIN_BITS + i + 1
+    return (
+        LSH_TABLES * LSH_MIN_BITS
+        + table * (LSH_MAX_BITS - LSH_MIN_BITS)
+        + (i - LSH_MIN_BITS)
+        + 1
+    )
+
+
 def _bucket_expr(col: str, table: int, dialect: str) -> str:
-    """Sign-bit bucket for hash table `table` over its own dim slice:
-    sum(2^i * [v_{table*LSH_BITS + i} >= 0])."""
+    """EFFECTIVE sign-bit bucket for hash table ``table``: the full
+    LSH_MAX_BITS-wide bucket masked to the corpus-derived width —
+    ``wide % 2^nb`` keeps the low nb bits (``nb`` from the ``lb`` CTE,
+    which every caller CROSS JOINs in)."""
     terms = []
-    for i in range(LSH_BITS):
-        dim = table * LSH_BITS + i + 1  # 1-indexed in both dialects
+    for i in range(LSH_MAX_BITS):
+        dim = _wide_dim(table, i)
         elem = f"element_at({col}, {dim})" if dialect == "spark" else f"{col}[{dim}]"
         terms.append(f"CASE WHEN {elem} >= 0 THEN {1 << i} ELSE 0 END")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    wide = "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    if dialect == "spark":
+        return f"pmod({wide}, shiftleft(CAST(1 AS BIGINT), nb))"
+    return f"({wide}) % (CAST(1 AS BIGINT) << nb)"
 
 def _lsh_sql(dialect: str) -> str:
     """Multi-table sign-LSH: UNION (distinct) of per-table same-bucket
@@ -202,7 +279,9 @@ def _lsh_sql(dialect: str) -> str:
     # LIMIT on the query CTE: row no-op, plan-visible boundedness (see
     # _brute_force_sql)
     return f"""
-WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+WITH {_lsh_bits_cte(dialect)},
+e AS (SELECT vec_id, embedding, nrm, {buckets}
+      FROM ({_normed(dialect)}) CROSS JOIN lb),
 qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
 scored AS (
 {union}),
@@ -234,7 +313,7 @@ GROUP BY b.query_id ORDER BY b.query_id
 def _ann_recall_sql(dialect: str) -> str:
     """recall@k of the LSH ANN against the exact brute-force top-k,
     per query vector — the standard ANN quality metric, computed
-    entirely in-engine so index-parameter sweeps (LSH_TABLES/LSH_BITS)
+    entirely in-engine so index-parameter sweeps (LSH_TABLES / the derived width)
     are a query away. The ground-truth side is the already-linear
     brute-force scan; the join is a tiny (N_QUERIES x k) equi-join."""
     return _recall_vs_brute_sql(dialect, _lsh_sql(dialect))
@@ -1115,11 +1194,15 @@ def _embedding_lsh_pairs_sql(dialect: str) -> str:
     all-pairs form (``dedup_embedding_cosine``) stays the ground truth;
     precision vs it is 1.0 by construction (same threshold, exact
     verification), recall is measured in-engine by
-    ``embedding_lsh_dup_recall``. Unlike ``dedup_semantic`` (whose
-    cell count is corpus-derived so intra-cluster work stays linear), the
-    bucket count here GROWS with nothing — it is fixed per table
-    (2^LSH_BITS) — so the scale contract is the candidate-pair count
-    itself, the same contract as MinHash LSH banding.
+    ``embedding_lsh_dup_recall``. The bucket keyspace is corpus-derived
+    like ``dedup_semantic``'s cell count (round 5): the effective bucket
+    width comes from the ``lb`` CTE (2^nb buckets/table, nb = the
+    smallest width holding per-bucket occupancy at
+    ``LSH_TARGET_OCCUPANCY``), so per-bucket self-join candidate mass
+    stays ~occupancy² per bucket — linear in n — instead of growing
+    linearly per bucket at a fixed 2^4 keyspace. The residual scale
+    contract is near-dup pair structure itself, the same contract as
+    MinHash LSH banding.
     """
     dot = _dot("a.embedding", "b.embedding", dialect)
     buckets = ", ".join(
@@ -1136,8 +1219,9 @@ def _embedding_lsh_pairs_sql(dialect: str) -> str:
         for t in range(LSH_TABLES)
     )
     return f"""
-WITH e AS ({_normed(dialect)}),
-bk AS (SELECT vec_id, {buckets} FROM embeddings),
+WITH {_lsh_bits_cte(dialect)},
+e AS ({_normed(dialect)}),
+bk AS (SELECT vec_id, {buckets} FROM embeddings CROSS JOIN lb),
 cand AS (
 {branches}),
 scored AS (
@@ -1166,7 +1250,7 @@ def embedding_lsh_dups_sql() -> str:
 def _embedding_lsh_recall_sql(dialect: str) -> str:
     """Pair recall of the LSH dedup vs the exact all-pairs relation, as
     ONE scalar row (found/total/recall): the quality knob for
-    LSH_TABLES/LSH_BITS sweeps, in-engine like the ANN recall entries.
+    LSH_TABLES / derived-width sweeps, in-engine like the ANN recall entries.
     Precision is structurally 1.0 (LSH pairs are exact-cosine verified
     with the same threshold) and CERTIFIED by ``n_false_pos`` — the
     count of LSH pairs absent from the exact relation, which the oracle
@@ -1555,7 +1639,9 @@ def _range_search_sql(dialect: str) -> str:
         for t in range(LSH_TABLES)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding, nrm, {buckets} FROM ({_normed(dialect)})),
+WITH {_lsh_bits_cte(dialect)},
+e AS (SELECT vec_id, embedding, nrm, {buckets}
+      FROM ({_normed(dialect)}) CROSS JOIN lb),
 qs AS (SELECT * FROM e WHERE vec_id < {N_QUERIES} LIMIT {N_QUERIES}),
 true_pairs AS (
   SELECT * FROM (

@@ -34,14 +34,7 @@ def test_range_search_python_replay(spark):
         return dot / math.sqrt(na * nb)
 
     def buckets(v):
-        out = []
-        for t in range(fsim.LSH_TABLES):
-            b = 0
-            for i in range(fsim.LSH_BITS):
-                if float(v[t * fsim.LSH_BITS + i]) >= 0:
-                    b += 1 << i
-            out.append(b)
-        return out
+        return fsim.lsh_buckets(v, len(vecs))
 
     expect = {}
     for q in range(fsim.N_QUERIES):

@@ -194,14 +194,7 @@ def test_embedding_lsh_dups_precision_and_recall_consistency(spark):
     emb = {r.vec_id: r.embedding for r in load_table(spark, SF, "embeddings").collect()}
 
     def buckets(v):
-        out = []
-        for t in range(fsim.LSH_TABLES):
-            b = 0
-            for i in range(fsim.LSH_BITS):
-                if emb[v][t * fsim.LSH_BITS + i] >= 0:
-                    b |= 1 << i
-            out.append(b)
-        return out
+        return fsim.lsh_buckets(emb[v], len(emb))
 
     for a, b in lsh:
         assert any(x == y for x, y in zip(buckets(a), buckets(b)))

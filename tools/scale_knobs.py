@@ -1,13 +1,11 @@
 """Measure the two documented scale knobs at the 10x replica.
 
-Round 5 made the k-means cell count corpus-derived in-SQL (the `kk`
-CTE: k = ceil(n / KMEANS_TARGET_OCCUPANCY)), so the SemDeDup knob this
-script used to monkey-patch is now the shipped plan — its section just
-times the same SQL at sf0.1 and the replica to certify the ~linear
-slope. The embedding-LSH section still measures its documented knob
-(LSH_BITS proportional to log n) by regenerating the audited SQL with
-the scaled constant, so "the knob restores linearity" stays a
-measurement, not an argument.
+Round 5 made BOTH knobs this script used to monkey-patch part of the
+shipped plans: the k-means cell count (the `kk` CTE, k = ceil(n /
+KMEANS_TARGET_OCCUPANCY)) and the sign-LSH bucket width (the `lb` CTE,
+nb = smallest width holding LSH_TARGET_OCCUPANCY). Each section now just
+times the SAME audited SQL at sf0.1 and the replica, so "constant
+occupancy restores linearity" stays a measurement, not an argument.
 
 Usage:  python tools/scale_knobs.py [replica_dir]
 Prints one line per (query, setting): runtime + output size.
@@ -48,24 +46,12 @@ def main() -> None:
     run(fsim._semantic_dedup_sql("spark"), SF01, "sf0.1  dedup_semantic k=derived")
     run(fsim._semantic_dedup_sql("spark"), REPLICA, "sf1    dedup_semantic k=derived")
 
-    # --- embedding LSH: bucket keyspace fixed vs widened by ~log(10x) ---
-    # 4 tables x 2^4 buckets -> 4 tables x 2^7: occupancy back near the
-    # sf0.1 level, candidate count (and cost) near-linear again
-    base_bits = fsim.LSH_BITS
-    try:
-        run(
-            fsim._embedding_lsh_pairs_sql("spark"),
-            SF01,
-            f"sf0.1  dedup_embedding_lsh bits={base_bits}",
-        )
-        fsim.LSH_BITS = base_bits + 3
-        run(
-            fsim._embedding_lsh_pairs_sql("spark"),
-            REPLICA,
-            f"sf1    dedup_embedding_lsh bits={base_bits + 3}",
-        )
-    finally:
-        fsim.LSH_BITS = base_bits
+    # --- embedding LSH: bucket width is corpus-derived IN the SQL too
+    # (round 5: the lb CTE masks the wide sign bucket to nb = f(count);
+    # 4 bits at sf0.1, 8 bits at the replica) — same audited SQL at both
+    # scales, occupancy constant, candidate count near-linear.
+    run(fsim._embedding_lsh_pairs_sql("spark"), SF01, "sf0.1  dedup_embedding_lsh nb=derived")
+    run(fsim._embedding_lsh_pairs_sql("spark"), REPLICA, "sf1    dedup_embedding_lsh nb=derived")
 
     spark.stop()
 
