@@ -741,6 +741,117 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_assign_sql() -> str:
     return _kmeans_sql("duckdb")
 
+
+# -------------------------------- two-level (coarse-pruned) assignment
+
+#: Coarse quantizer sizing for the two-level assignment: k1 =
+#: ceil(n / KMEANS_COARSE_OCCUPANCY), floor 2 — so fine-seeds-per-coarse
+#: averages COARSE_OCC / KMEANS_TARGET_OCCUPANCY (= 16) and total
+#: distance work is n·(k1 + k/k1) ≈ 2n·sqrt(k) instead of flat Lloyd's
+#: n·k. This is the documented replacement for the residual quadratic
+#: assignment term (see KMEANS_TARGET_OCCUPANCY): NOT a contract entry —
+#: it is an approximation (a vector whose true nearest fine seed lives
+#: in a different coarse cell gets its best in-cell seed instead, the
+#: standard IVF coarse-quantizer trade) — but the structural
+#: demonstration that growing k never requires a corpus x centroid
+#: cross join.
+KMEANS_COARSE_OCCUPANCY = 8_000
+#: coarse cells probed per vector (the IVF nprobe knob): cost
+#: n·(k1 + nprobe·k/k1), recall rises steeply with each probe
+KMEANS_COARSE_NPROBE = 2
+
+
+def _twolevel_assign_sql() -> str:
+    """Coarse-pruned nearest-seed assignment (Spark dialect; no oracle —
+    non-contract scale demonstration, quality measured against the flat
+    form by its test).
+
+    Shape: (1) the k1-row coarse seed table cross-joins the corpus once
+    (n·k1 folds, k1 broadcast) and each vector keeps its
+    ``KMEANS_COARSE_NPROBE`` nearest coarse cells; (2) every FINE seed
+    is assigned to its one coarse cell (k·k1, trivial); (3) each vector
+    scores ONLY the fine seeds of its probed cells — an equi-join on
+    the coarse id (n·nprobe·k/k1 average folds, fine table broadcast).
+    Every coarse seed is its own fine seed (ids < k1 ⊆ ids < k), so no
+    coarse cell is empty and every vector gets a candidate. Ties break
+    to the lowest seed id via the module's exact-min discipline.
+
+    Quality note for THIS corpus: the synthetic embeddings are isotropic
+    random vectors (distances concentrate), the hardest case for coarse
+    pruning — the test measures agreement with the flat nearest-seed
+    argmin and pins the measured floor; clustered real embeddings sit
+    far above it.
+    """
+    occ, cocc = KMEANS_TARGET_OCCUPANCY, KMEANS_COARSE_OCCUPANCY
+    qarr = _qarr_sql("spark")
+
+    def dst(qa: str, ca: str) -> str:
+        # the module's fixed-order exact-integer distance fold
+        # (_cdist_sql) with parametric side aliases
+        return (
+            f"aggregate(zip_with({qa}.qv, {ca}.sv, (a, b) -> "
+            f"CAST(a * {ca}.n - b AS DOUBLE) * CAST(a * {ca}.n - b AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+            f"/ CAST({ca}.n * {ca}.n AS DOUBLE)"
+        )
+
+    def argmin(src: str, out: str) -> str:
+        return f"""
+  SELECT vec_id, CAST(min(cand) FILTER (WHERE d = md) AS BIGINT) AS {out}
+  FROM (
+    SELECT vec_id, cand, d, min(d) OVER (PARTITION BY vec_id) AS md
+    FROM ({src}))
+  GROUP BY vec_id"""
+
+    # each vector keeps its NPROBE nearest coarse cells (ties by id)
+    coarse_of_vec = f"""
+  SELECT vec_id, coarse
+  FROM (
+    SELECT vec_id, cand AS coarse,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cand) AS rk
+    FROM (
+      SELECT /*+ BROADCAST(c) */ q.vec_id, c.coarse AS cand, {dst('q', 'c')} AS d
+      FROM q CROSS JOIN cz c))
+  WHERE rk <= {KMEANS_COARSE_NPROBE}"""
+    coarse_of_fine = argmin(
+        f"""SELECT /*+ BROADCAST(c) */ q.vec_id, c.coarse AS cand, {dst('q', 'c')} AS d
+      FROM (SELECT fine AS vec_id, sv AS qv FROM fz) q CROSS JOIN cz c""",
+        "coarse",
+    )
+    in_cell = argmin(
+        f"""SELECT /*+ BROADCAST(fm) */ qv2.vec_id, fm.fine AS cand, {dst('qv2', 'fm')} AS d
+      FROM (SELECT v.vec_id, v.coarse, q0.qv
+            FROM vc v JOIN q q0 ON q0.vec_id = v.vec_id) qv2
+      JOIN (SELECT fc.vec_id AS fine, fc.coarse, f.sv, f.n
+            FROM fc JOIN fz f ON f.fine = fc.vec_id) fm
+        ON fm.coarse = qv2.coarse""",
+        "cluster",
+    )
+    return f"""
+WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+kk AS (SELECT greatest(CAST(4 AS BIGINT),
+                       CAST((count(*) + {occ - 1}) div {occ} AS BIGINT)) AS k,
+              greatest(CAST(2 AS BIGINT),
+                       CAST((count(*) + {cocc - 1}) div {cocc} AS BIGINT)) AS k1
+       FROM embeddings),
+cz AS (SELECT CAST(vec_id AS BIGINT) AS coarse, qv AS sv, CAST(1 AS BIGINT) AS n
+       FROM q WHERE vec_id < (SELECT k1 FROM kk)),
+fz AS (SELECT CAST(vec_id AS BIGINT) AS fine, qv AS sv, CAST(1 AS BIGINT) AS n
+       FROM q WHERE vec_id < (SELECT k FROM kk)),
+vc AS ({coarse_of_vec}),
+fc AS ({coarse_of_fine}),
+a AS ({in_cell})
+SELECT vec_id, cluster FROM a ORDER BY vec_id
+"""
+
+
+def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-level nearest-seed assignment (scale demonstration:
+    n·(k1 + k/k1) distance folds, never the flat n·k cross join)."""
+    _register(spark, sf_dir)
+    return spark.sql(_twolevel_assign_sql())
+
+
 # ------------------------------------------------- product quantization
 
 PQ_SUBS = 4  # subspaces (codebooks)
