@@ -783,6 +783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_users": evan.distinct_users,
         # set-operation surface (INTERSECT / EXCEPT cohorts)
         "events_user_set_ops": evan.user_set_ops,
+        # ---- (3) round 5 (single addition: contract otherwise frozen
+        # per the r4 verdict so driver evidence catches up) ----
+        # IVF-style two-level assignment — the coarse-quantizer form of
+        # the Lloyd assignment step (n·(k1 + nprobe·k/k1) folds, never
+        # the flat n·k cross join); declared LAST so it sorts behind the
+        # never-adjudicated backlog in the rotation window
+        "sim_kmeans_twolevel": fsim.kmeans_assign_twolevel,
     })
 
 def oracle_sql() -> dict[str, str]:
@@ -1064,4 +1071,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_recall": fsim.ivf_recall_sql(),
         "sim_kmeans": fsim.kmeans_assign_sql(),
         "sim_pandas_recall": fsim.pandas_recall_sql(),
+        "sim_kmeans_twolevel": fsim.kmeans_assign_twolevel_sql(),
     }

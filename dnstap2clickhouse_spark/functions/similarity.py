@@ -761,10 +761,11 @@ KMEANS_COARSE_OCCUPANCY = 8_000
 KMEANS_COARSE_NPROBE = 2
 
 
-def _twolevel_assign_sql() -> str:
-    """Coarse-pruned nearest-seed assignment (Spark dialect; no oracle —
-    non-contract scale demonstration, quality measured against the flat
-    form by its test).
+def _twolevel_assign_sql(dialect: str) -> str:
+    """Coarse-pruned nearest-seed assignment (both dialects — the
+    ``sim_kmeans_twolevel`` contract entry; its exhaustive-probe
+    equality with the flat argmin and its plan shape are additionally
+    pinned by ``tests/test_round5_twolevel.py``).
 
     Shape: (1) the k1-row coarse seed table cross-joins the corpus once
     (n·k1 folds, k1 broadcast) and each vector keeps its
@@ -783,16 +784,27 @@ def _twolevel_assign_sql() -> str:
     far above it.
     """
     occ, cocc = KMEANS_TARGET_OCCUPANCY, KMEANS_COARSE_OCCUPANCY
-    qarr = _qarr_sql("spark")
+    qarr = _qarr_sql(dialect)
+    idiv = "div" if dialect == "spark" else "//"
+    hc = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    hf = "/*+ BROADCAST(fm) */ " if dialect == "spark" else ""
+    nd = KMEANS_DIMS
 
     def dst(qa: str, ca: str) -> str:
         # the module's fixed-order exact-integer distance fold
         # (_cdist_sql) with parametric side aliases
+        if dialect == "spark":
+            return (
+                f"aggregate(zip_with({qa}.qv, {ca}.sv, (a, b) -> "
+                f"CAST(a * {ca}.n - b AS DOUBLE) * CAST(a * {ca}.n - b AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
+                f"/ CAST({ca}.n * {ca}.n AS DOUBLE)"
+            )
         return (
-            f"aggregate(zip_with({qa}.qv, {ca}.sv, (a, b) -> "
-            f"CAST(a * {ca}.n - b AS DOUBLE) * CAST(a * {ca}.n - b AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
-            f"/ CAST({ca}.n * {ca}.n AS DOUBLE)"
+            f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
+            f"CAST({qa}.qv[i] * {ca}.n - {ca}.sv[i] AS DOUBLE) * "
+            f"CAST({qa}.qv[i] * {ca}.n - {ca}.sv[i] AS DOUBLE)), "
+            f"(acc, v) -> acc + v) / CAST({ca}.n * {ca}.n AS DOUBLE)"
         )
 
     def argmin(src: str, out: str) -> str:
@@ -810,16 +822,16 @@ def _twolevel_assign_sql() -> str:
     SELECT vec_id, cand AS coarse,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cand) AS rk
     FROM (
-      SELECT /*+ BROADCAST(c) */ q.vec_id, c.coarse AS cand, {dst('q', 'c')} AS d
+      SELECT {hc}q.vec_id, c.coarse AS cand, {dst('q', 'c')} AS d
       FROM q CROSS JOIN cz c))
   WHERE rk <= {KMEANS_COARSE_NPROBE}"""
     coarse_of_fine = argmin(
-        f"""SELECT /*+ BROADCAST(c) */ q.vec_id, c.coarse AS cand, {dst('q', 'c')} AS d
+        f"""SELECT {hc}q.vec_id, c.coarse AS cand, {dst('q', 'c')} AS d
       FROM (SELECT fine AS vec_id, sv AS qv FROM fz) q CROSS JOIN cz c""",
         "coarse",
     )
     in_cell = argmin(
-        f"""SELECT /*+ BROADCAST(fm) */ qv2.vec_id, fm.fine AS cand, {dst('qv2', 'fm')} AS d
+        f"""SELECT {hf}qv2.vec_id, fm.fine AS cand, {dst('qv2', 'fm')} AS d
       FROM (SELECT v.vec_id, v.coarse, q0.qv
             FROM vc v JOIN q q0 ON q0.vec_id = v.vec_id) qv2
       JOIN (SELECT fc.vec_id AS fine, fc.coarse, f.sv, f.n
@@ -830,9 +842,9 @@ def _twolevel_assign_sql() -> str:
     return f"""
 WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
 kk AS (SELECT greatest(CAST(4 AS BIGINT),
-                       CAST((count(*) + {occ - 1}) div {occ} AS BIGINT)) AS k,
+                       CAST((count(*) + {occ - 1}) {idiv} {occ} AS BIGINT)) AS k,
               greatest(CAST(2 AS BIGINT),
-                       CAST((count(*) + {cocc - 1}) div {cocc} AS BIGINT)) AS k1
+                       CAST((count(*) + {cocc - 1}) {idiv} {cocc} AS BIGINT)) AS k1
        FROM embeddings),
 cz AS (SELECT CAST(vec_id AS BIGINT) AS coarse, qv AS sv, CAST(1 AS BIGINT) AS n
        FROM q WHERE vec_id < (SELECT k1 FROM kk)),
@@ -846,10 +858,14 @@ SELECT vec_id, cluster FROM a ORDER BY vec_id
 
 
 def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style two-level nearest-seed assignment (scale demonstration:
-    n·(k1 + k/k1) distance folds, never the flat n·k cross join)."""
+    """IVF-style two-level nearest-seed assignment (the scale form:
+    n·(k1 + nprobe·k/k1) distance folds, never the flat n·k cross join)."""
     _register(spark, sf_dir)
-    return spark.sql(_twolevel_assign_sql())
+    return spark.sql(_twolevel_assign_sql("spark"))
+
+
+def kmeans_assign_twolevel_sql() -> str:
+    return _twolevel_assign_sql("duckdb")
 
 
 # ------------------------------------------------- product quantization
