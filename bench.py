@@ -73,6 +73,13 @@ def corpus_id(sf_dir: str) -> str:
         if not fname.endswith(".parquet"):
             continue
         path = os.path.join(sf_dir, fname)
+        if not os.path.isfile(path):  # replica-style parquet DIRECTORY:
+            # fingerprint the part-file names+sizes instead of contents
+            for part in sorted(os.listdir(path)):
+                h.update(
+                    f"{fname}/{part}:{os.path.getsize(os.path.join(path, part))}:".encode()
+                )
+            continue
         size = os.path.getsize(path)
         h.update(f"{fname}:{size}:".encode())
         with open(path, "rb") as f:

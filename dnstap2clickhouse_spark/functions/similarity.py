@@ -786,8 +786,16 @@ def _twolevel_assign_sql(dialect: str) -> str:
     occ, cocc = KMEANS_TARGET_OCCUPANCY, KMEANS_COARSE_OCCUPANCY
     qarr = _qarr_sql(dialect)
     idiv = "div" if dialect == "spark" else "//"
+    # BROADCAST(c) is the inherent IVF cost: assignment compares every
+    # vector against ALL coarse centroids, so the k1-row coarse table
+    # must reach every partition (extreme scale adds quantizer levels,
+    # it never un-ships the top level). The in-cell join is deliberately
+    # NOT hinted: fm scales as n/KMEANS_TARGET_OCCUPANCY, so forcing a
+    # broadcast there would be the dns_match_once smallness artifact —
+    # stats pick BHJ at test scale and a coarse-keyed shuffle at real
+    # scale, both correct.
     hc = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
-    hf = "/*+ BROADCAST(fm) */ " if dialect == "spark" else ""
+    hf = ""
     nd = KMEANS_DIMS
 
     def dst(qa: str, ca: str) -> str:
