@@ -9,7 +9,7 @@ so the numbers measure the engine, not result transfer.
 
 Protocol (frozen round 5, per the r4 verdict's stabilization ask):
 
-- TWO independent PASSES, each in a FRESH python+JVM process (a
+- THREE independent PASSES, each in a FRESH python+JVM process (a
   long-lived local session accumulates listener/broadcast/GC state that
   inflates late queries by 1.4-1.6x on sub-second absolutes — measured
   in rounds 3-4); the recorded number per query is the min across
@@ -61,7 +61,10 @@ HEADLINE = [
     "sim_ivf_topk",
 ]
 
-N_PASSES = 2
+#: 3 fresh-session passes: two identical back-to-back runs still showed
+#: ~20% total drift from host noise at sub-second absolutes; a third
+#: pass tightens the min at +~2 min wall
+N_PASSES = 3
 
 
 def corpus_id(sf_dir: str) -> str:
