@@ -20,7 +20,7 @@ Protocol (frozen round 5, per the r4 verdict's stabilization ask):
 - "corpus_id" fingerprints the input parquet (name, size, head/tail
   bytes of each file) so a regenerated corpus can never masquerade as a
   regression: compare rounds only at equal corpus_id.
-- Both raw pass values are emitted in "runs"; cold-start cost stays
+- All three raw pass values are emitted in "runs"; cold-start cost stays
   recoverable.
 """
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, materialize_scan
 from .text import _hash_tok, _toks
 
 #: MinHash banding is a QUALITY parameter, not a scale one: (bands, rows)
@@ -125,10 +125,32 @@ def exact_dedup_sql() -> str:
 
 # --------------------------------------------------- n-gram Jaccard (exact)
 
-def _jaccard_sql(dialect: str) -> str:
+def _jaccard_sql(dialect: str, max_shingle_freq: int | None = None) -> str:
+    """``max_shingle_freq`` is the hot-shingle skew guard (r5 verdict
+    item 4): the self-join shuffles on the shingle, so one shingle
+    appearing in ``f`` documents contributes O(f^2) candidate rows — a
+    boilerplate shingle shared by 1% of a 100 TB corpus is a straggler
+    task that never finishes. With the cap set, shingles whose global
+    document frequency exceeds it are dropped BEFORE the join (from both
+    the intersection and the per-doc sizes, so the score stays a true
+    Jaccard over the capped shingle sets) — the same effect banding has
+    on the MinHash path, where a universal shingle lands every document
+    in one bucket and the band key's other rows dilute it. The contract
+    default (None) is the EXACT ground-truth verifier the oracle pins —
+    deliberately quadratic-risk, quarantined from the production chain
+    and named in ``tools/audit_plans.py``'s DECLARED waivers."""
     sh = _shingle_rows(dialect)
+    if max_shingle_freq is None:
+        s_cte = f"s AS ({sh})"
+    else:
+        s_cte = (
+            f"s_all AS ({sh}),\n"
+            f"freq AS (SELECT sh, count(*) AS df FROM s_all GROUP BY sh),\n"
+            f"s AS (SELECT a.doc_id, a.sh FROM s_all a JOIN freq f ON a.sh = f.sh\n"
+            f"      WHERE f.df <= {max_shingle_freq})"
+        )
     return f"""
-WITH s AS ({sh}),
+WITH {s_cte},
 n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
 pair AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -141,12 +163,17 @@ WHERE CAST(common AS DOUBLE) / (x.ns + y.ns - common) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_shingle_freq: int | None = None
+) -> DataFrame:
     """Exact near-dup pairs by 3-gram Jaccard — ground truth / verifier.
     Shuffle key is the shingle; hot shingles are the skew risk the LSH
-    path avoids."""
+    path avoids. Pass ``max_shingle_freq`` to drop shingles above that
+    global document frequency before the self-join (the scale-safe
+    deployment form — see ``_jaccard_sql``); the contract default (None)
+    is the exact verifier."""
     _register(spark, sf_dir)
-    return spark.sql(_jaccard_sql("spark"))
+    return spark.sql(_jaccard_sql("spark", max_shingle_freq))
 
 def ngram_jaccard_pairs_sql() -> str:
     return _jaccard_sql("duckdb")
@@ -939,9 +966,10 @@ def streaming_online_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        out = spark.read.parquet(out_dir).orderBy("doc_id")
-        out = spark.createDataFrame(out.collect(), out.schema)  # outlive tmpdir
-        return out
+        # re-materialize OUTSIDE the tmpdir the finally-block deletes —
+        # distributed write + scan, not a driver collect (r5 verdict 7)
+        out = spark.read.parquet(out_dir)
+        return materialize_scan(spark, out, "online_dedup").orderBy("doc_id")
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(sh_dir, ignore_errors=True)

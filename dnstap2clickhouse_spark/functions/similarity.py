@@ -602,12 +602,14 @@ def ivf_recall_sql() -> str:
 #: corpus grows and the cell-pruned family's total intra-cell pair work
 #: (sum of occupancy^2 over cells) stays LINEAR in n instead of the
 #: O(n^2/k) a fixed k degrades to (SCALING.md measured 889 s fixed k=4
-#: vs 31.6 s k ∝ n for the kNN-graph build at 10x data). 125 is the
-#: occupancy the round-1..4 oracles certified (k=4 at the 500-vector
-#: sf0.001/sf0.01 scales); sf0.1 (2,000 vectors) derives k=16, the 10x
-#: replica (20,000) k=160; at 100 TB k is millions and the cell id is
-#: the table's bucket key — SemDeDup's own "grow k with the corpus"
-#: knob, now in the plan instead of the docs.
+#: vs 31.6 s k ∝ n for the kNN-graph build at 10x data). At the shipped
+#: occupancy 500 every oracle scale (sf0.001 500 vectors .. sf0.1 2,000)
+#: derives k=4 — all r1-r4 certified results unchanged — and the 10x
+#: replica (20,000 vectors) derives k=40; at 100 TB k is millions and
+#: the cell id is the table's bucket key — SemDeDup's own "grow k with
+#: the corpus" knob, now in the plan instead of the docs. (An
+#: occupancy-125 variant — k=16 at sf0.1, k=160 at the replica — was
+#: measured and REJECTED: see the next paragraph.)
 #:
 #: Occupancy 500 with floor KMEANS_MIN_K=4 is the measured sweet spot:
 #: it reproduces k=4 at every oracle scale (sf0.001..0.1 — all r1-r4
@@ -772,9 +774,14 @@ def _twolevel_assign_sql(dialect: str) -> str:
     ``KMEANS_COARSE_NPROBE`` nearest coarse cells; (2) every FINE seed
     is assigned to its one coarse cell (k·k1, trivial); (3) each vector
     scores ONLY the fine seeds of its probed cells — an equi-join on
-    the coarse id (n·nprobe·k/k1 average folds, fine table broadcast).
-    Every coarse seed is its own fine seed (ids < k1 ⊆ ids < k), so no
-    coarse cell is empty and every vector gets a candidate. Ties break
+    the coarse id (n·nprobe·k/k1 average folds, fine table broadcast),
+    with the probed coarse seeds UNIONed into the candidate set so
+    every vector is guaranteed a candidate even when a probed cell
+    holds zero fine seeds (possible only with exact-duplicate
+    embeddings among the coarse seeds, whose tie-break assigns a
+    duplicated seed to the lower id and empties the higher id's cell —
+    the r5 ADVICE edge; without duplicates the union adds only
+    exact-duplicate candidate rows and changes nothing). Ties break
     to the lowest seed id via the module's exact-min discipline.
 
     Quality note for THIS corpus: the synthetic embeddings are isotropic
@@ -838,12 +845,24 @@ def _twolevel_assign_sql(dialect: str) -> str:
       FROM (SELECT fine AS vec_id, sv AS qv FROM fz) q CROSS JOIN cz c""",
         "coarse",
     )
+    # The candidate set UNIONs the probed coarse seeds themselves (each
+    # keyed to its own cell): a coarse seed's id is < k1 <= k, so it is
+    # also a valid fine seed with the identical (sv, n) row. When every
+    # probed cell is non-empty and each coarse seed self-assigned this
+    # adds exact-duplicate candidate rows (the min-argmin is over a
+    # multiset — no result change); when EXACT-DUPLICATE embeddings
+    # among the coarse seeds tie-break a seed into a LOWER id's cell and
+    # leave its own cell with zero fine seeds, the union guarantees a
+    # probed vector still gets >= nprobe candidates instead of silently
+    # dropping from the output (r5 ADVICE finding).
     in_cell = argmin(
         f"""SELECT {hf}qv2.vec_id, fm.fine AS cand, {dst('qv2', 'fm')} AS d
       FROM (SELECT v.vec_id, v.coarse, q0.qv
             FROM vc v JOIN q q0 ON q0.vec_id = v.vec_id) qv2
       JOIN (SELECT fc.vec_id AS fine, fc.coarse, f.sv, f.n
-            FROM fc JOIN fz f ON f.fine = fc.vec_id) fm
+            FROM fc JOIN fz f ON f.fine = fc.vec_id
+            UNION ALL
+            SELECT coarse AS fine, coarse, sv, n FROM cz) fm
         ON fm.coarse = qv2.coarse""",
         "cluster",
     )

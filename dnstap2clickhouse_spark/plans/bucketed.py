@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, materialize_scan
 
 def write_bucketed(
     spark: SparkSession, sf_dir: str, buckets: int = 8, suffix: str = "_b"
@@ -101,7 +101,11 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderpriority")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        # evaluate before the finally-block drops the bucketed tables;
+        # distributed write + scan, not a driver collect (r5 verdict 7)
+        return materialize_scan(spark, out, "bucketed_join").orderBy(
+            "o_orderpriority"
+        )
     finally:
         for name in (ot, lt):
             spark.sql(f"DROP TABLE IF EXISTS {name}")

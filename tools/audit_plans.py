@@ -73,6 +73,21 @@ WAIVED: dict[tuple[str, str], str] = {
     ("dedup_embedding_lsh_recall", "nested-loop"): "recall metric definitionally embeds the exact all-pairs ground truth (same quarantined relation as dedup_embedding_cosine); the measured path (dedup_embedding_lsh) audits clean",
 }
 
+#: Known scale risks the plan STRING cannot reveal (equi-joins whose
+#: quadratic blowup lives in the DATA's key-frequency distribution, not
+#: the operator tree). Printed as a WAIVE line on every run so the risk
+#: is named explicitly in the audit output (r5 verdict item 4) rather
+#: than silently passing shape checks.
+DECLARED: dict[str, str] = {
+    "dedup_ngram_jaccard": (
+        "hot-shingle skew: the exact verifier self-joins on raw shingles "
+        "(O(freq^2) rows per hot shingle) — ground-truth only; the "
+        "deployment form caps shingle document frequency via "
+        "ngram_jaccard_pairs(max_shingle_freq=F), pinned by "
+        "tests/test_round6_fixes.py"
+    ),
+}
+
 def _subtree(lines: list[str], start: int) -> list[str]:
     """Lines belonging to the operator subtree rooted at ``start`` in a
     treeString (children are more-indented until a sibling at <= depth)."""
@@ -147,11 +162,16 @@ def main() -> int:
         hazards = audit_plan(plan)
         flagged = [h for h in hazards if (name, h) not in WAIVED]
         waived = [h for h in hazards if (name, h) in WAIVED]
+        if name in DECLARED:
+            waived = waived + [f"declared[{DECLARED[name]}]"]
         if flagged:
             failures += 1
             print(f"FAIL  {name}: {', '.join(flagged)}")
         elif waived:
-            reasons = "; ".join(f"{h}: {WAIVED[(name, h)]}" for h in waived)
+            reasons = "; ".join(
+                h if h.startswith("declared[") else f"{h}: {WAIVED[(name, h)]}"
+                for h in waived
+            )
             print(f"WAIVE {name}: {reasons}")
         else:
             print(f"ok    {name}")
