@@ -641,6 +641,28 @@ def _qarr_sql(dialect: str) -> str:
     return f"list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_E9}) AS BIGINT))"
 
 
+def _cdist_cols(dialect: str, qcol: str, ca: str) -> str:
+    """The module's fixed-order exact-integer distance fold with
+    PARAMETRIC operands: squared distance between the e9-quantized
+    integer vector column ``qcol`` and the integer-sum centroid aliased
+    ``ca`` (columns ``sv``, ``n``). ``_cdist_cols(d, "q.qv", "c")`` is
+    byte-identical to the historical ``_cdist_sql`` output; the aliases
+    exist for the two-level assignment's extra joins (centroid-vs-seed,
+    vector-vs-centroid under different FROM aliases)."""
+    nd = KMEANS_DIMS
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({qcol}, {ca}.sv, (a, b) -> "
+            f"CAST(a * {ca}.n - b AS DOUBLE) * CAST(a * {ca}.n - b AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / CAST({ca}.n * {ca}.n AS DOUBLE)"
+        )
+    return (
+        f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
+        f"CAST({qcol}[i] * {ca}.n - {ca}.sv[i] AS DOUBLE) * CAST({qcol}[i] * {ca}.n - {ca}.sv[i] AS DOUBLE)), "
+        f"(acc, v) -> acc + v) / CAST({ca}.n * {ca}.n AS DOUBLE)"
+    )
+
+
 def _cdist_sql(dialect: str) -> str:
     """Squared distance between quantized vector ``q.qv`` and integer-sum
     centroid ``c`` (``sv``, ``n``): a fixed-order fold over dims of
@@ -648,22 +670,35 @@ def _cdist_sql(dialect: str) -> str:
     FP op has a fixed operand order, so both engines produce identical
     doubles. Single definition shared by ``_kmeans_sql`` and
     ``_ood_centroid_sql`` so the distance semantics cannot drift."""
-    nd = KMEANS_DIMS
-    if dialect == "spark":
-        return (
-            f"aggregate(zip_with(q.qv, c.sv, (a, b) -> "
-            f"CAST(a * c.n - b AS DOUBLE) * CAST(a * c.n - b AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
-        )
-    return (
-        f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
-        f"CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE) * CAST(q.qv[i] * c.n - c.sv[i] AS DOUBLE)), "
-        f"(acc, v) -> acc + v) / CAST(c.n * c.n AS DOUBLE)"
-    )
+    return _cdist_cols(dialect, "q.qv", "c")
 
 
-def _kmeans_sql(dialect: str) -> str:
+def _kmeans_sql(dialect: str, assignment: str = "flat") -> str:
     """Two unrolled Lloyd iterations of k-means, bit-deterministic.
+
+    ``assignment`` selects the per-iteration assignment strategy (r5
+    verdict item 3):
+
+    - ``'flat'`` (default, the contract-pinned form): every vector
+      scores every centroid — n·k exact-integer distance folds per
+      iteration. With k ∝ n this is the documented residual quadratic
+      (n²/occupancy FLOPs); correct at every scale, optimal at oracle
+      scale, and what the 8 cell-pruned contract entries pin for oracle
+      stability.
+    - ``'twolevel'``: BOTH Lloyd assignment steps route through an IVF
+      coarse quantizer — k1 = ceil(n/KMEANS_COARSE_OCCUPANCY) corpus
+      seeds partition the centroids into cells, each vector probes its
+      KMEANS_COARSE_NPROBE nearest OCCUPIED cells and scores only those
+      cells' centroids: n·(k1 + nprobe·k/k1) ≈ O(n·sqrt(k)) folds.
+      Probing only occupied cells makes completeness structural (every
+      probed cell has >= 1 centroid, so every vector always emits one
+      row — no duplicate-seed fallback needed). When nprobe >= the
+      occupied-cell count the candidate set is every centroid and the
+      result is BIT-IDENTICAL to 'flat' (same exact folds, same
+      lowest-id tie-break) — true at every oracle scale (k1=2), pinned
+      by ``tests/test_round6_kmeans_assignment.py``; at larger n it is
+      the standard IVF approximation, dialect-agreement-pinned in the
+      pruned regime.
 
     The iterative-ML pattern on the engine: centroids live as EXACT
     per-dimension integer sums ``(sv, n)`` (embeddings quantized once at
@@ -723,7 +758,8 @@ def _kmeans_sql(dialect: str) -> str:
     GROUP BY cluster, dim)
   GROUP BY cluster"""
 
-    return f"""
+    if assignment == "flat":
+        return f"""
 WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
 kk AS (SELECT greatest(CAST({KMEANS_MIN_K} AS BIGINT), CAST({kexpr} AS BIGINT)) AS k
        FROM embeddings),
@@ -734,11 +770,94 @@ c1 AS ({update("a1")}),
 a2 AS ({assign("c1")})
 SELECT vec_id, cluster FROM a2 ORDER BY vec_id
 """
+    if assignment != "twolevel":
+        raise ValueError(f"assignment must be 'flat' or 'twolevel': {assignment!r}")
 
-def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster assignment after two Lloyd iterations (corpus-derived k)."""
+    # ---- twolevel: each Lloyd assignment step is coarse-pruned (IVF).
+    # Same exact-integer distance folds and lowest-id tie-breaks as the
+    # flat path; the only new arithmetic is centroid-vs-seed distance,
+    # which is the SAME _cdist fold with the n=1 seed on the qv side.
+    cocc = KMEANS_COARSE_OCCUPANCY
+    npb = KMEANS_COARSE_NPROBE
+    idiv = "div" if dialect == "spark" else "//"
+    k1expr = f"(count(*) + {cocc - 1}) {idiv} {cocc}"
+    shint = "/*+ BROADCAST(s) */ " if dialect == "spark" else ""
+
+    def cell_of_cent(cent: str) -> str:
+        # each centroid of `cent` -> its nearest coarse seed (k·k1
+        # folds; the k1-row seed table is the inherent IVF broadcast)
+        d = _cdist_cols(dialect, "s.sv", "x")
+        return f"""
+  SELECT cluster AS fine, CAST(min(cand) FILTER (WHERE d = md) AS BIGINT) AS coarse
+  FROM (
+    SELECT cluster, cand, d, min(d) OVER (PARTITION BY cluster) AS md
+    FROM (
+      SELECT {shint}x.cluster, s.coarse AS cand, {d} AS d
+      FROM {cent} x CROSS JOIN cz s))
+  GROUP BY cluster"""
+
+    def probes(cc: str) -> str:
+        # each vector's nprobe nearest OCCUPIED cells (n·k1 folds):
+        # restricting the rank to cells holding >= 1 centroid makes
+        # every probe yield candidates — completeness by construction
+        d = _cdist_cols(dialect, "q.qv", "s")
+        return f"""
+  SELECT vec_id, coarse
+  FROM (
+    SELECT vec_id, coarse,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, coarse) AS rk
+    FROM (
+      SELECT {shint}q.vec_id, s.coarse, {d} AS d
+      FROM q CROSS JOIN (
+        SELECT z.coarse, z.sv, z.n
+        FROM cz z JOIN (SELECT DISTINCT coarse FROM {cc}) o
+          ON o.coarse = z.coarse) s))
+  WHERE rk <= {npb}"""
+
+    def assign2(cent: str, cc: str, vc: str) -> str:
+        # in-cell scoring: equi-join on the coarse id — the corpus
+        # never cross-joins the centroid table (n·nprobe·k/k1 folds)
+        d = _cdist_cols(dialect, "q0.qv", "x")
+        return f"""
+  SELECT vec_id, CAST(min(cand) FILTER (WHERE d = md) AS BIGINT) AS cluster
+  FROM (
+    SELECT vec_id, cand, d, min(d) OVER (PARTITION BY vec_id) AS md
+    FROM (
+      SELECT v.vec_id, x.cluster AS cand, {d} AS d
+      FROM {vc} v
+      JOIN q q0 ON q0.vec_id = v.vec_id
+      JOIN {cc} f ON f.coarse = v.coarse
+      JOIN {cent} x ON x.cluster = f.fine))
+  GROUP BY vec_id"""
+
+    return f"""
+WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
+kk AS (SELECT greatest(CAST({KMEANS_MIN_K} AS BIGINT), CAST({kexpr} AS BIGINT)) AS k,
+              greatest(CAST(2 AS BIGINT), CAST({k1expr} AS BIGINT)) AS k1
+       FROM embeddings),
+cz AS (SELECT CAST(vec_id AS BIGINT) AS coarse, qv AS sv, CAST(1 AS BIGINT) AS n
+       FROM q WHERE vec_id < (SELECT k1 FROM kk)),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster, qv AS sv, CAST(1 AS BIGINT) AS n
+       FROM q WHERE vec_id < (SELECT k FROM kk)),
+cc1 AS ({cell_of_cent("c0")}),
+vc1 AS ({probes("cc1")}),
+a1 AS ({assign2("c0", "cc1", "vc1")}),
+c1 AS ({update("a1")}),
+cc2 AS ({cell_of_cent("c1")}),
+vc2 AS ({probes("cc2")}),
+a2 AS ({assign2("c1", "cc2", "vc2")})
+SELECT vec_id, cluster FROM a2 ORDER BY vec_id
+"""
+
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, assignment: str = "flat"
+) -> DataFrame:
+    """Cluster assignment after two Lloyd iterations (corpus-derived k).
+    ``assignment='twolevel'`` routes both Lloyd assignment steps through
+    the IVF coarse quantizer (see ``_kmeans_sql``); the contract entry
+    pins the default ``'flat'`` for oracle stability."""
     _register(spark, sf_dir)
-    return spark.sql(_kmeans_sql("spark"))
+    return spark.sql(_kmeans_sql("spark", assignment))
 
 def kmeans_assign_sql() -> str:
     return _kmeans_sql("duckdb")
