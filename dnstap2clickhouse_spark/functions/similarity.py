@@ -1251,7 +1251,7 @@ def ivfpq_recall_sql() -> str:
 SEMANTIC_DUP_THRESHOLD = COSINE_DUP_THRESHOLD
 
 
-def _semantic_dedup_sql(dialect: str) -> str:
+def _semantic_dedup_sql(dialect: str, assignment: str = "flat") -> str:
     """SemDeDup (Abbas et al. 2023): k-means clusters quarantine the
     quadratic, cosine de-dups WITHIN each cluster only.
 
@@ -1272,8 +1272,14 @@ def _semantic_dedup_sql(dialect: str) -> str:
     Both the cosine fold and the assignment arithmetic carry the
     module's bit-determinism contract, so the oracle hash certifies the
     whole cluster -> pair -> verdict chain.
+
+    ``assignment`` passes straight through to ``_kmeans_sql`` (r5
+    verdict item 3): ``'twolevel'`` swaps the clustering stage's n·k
+    assignment for the IVF coarse-pruned form while the dedup stage is
+    untouched (it keys on the cluster id either way). The contract
+    entry pins the default ``'flat'``.
     """
-    km = _kmeans_sql(dialect)
+    km = _kmeans_sql(dialect, assignment)
     prefix = km[: km.rindex("SELECT vec_id, cluster FROM a2")].rstrip() + ","
     dot = _dot("x.embedding", "y.embedding", dialect)
     return f"""{prefix}
@@ -1295,11 +1301,15 @@ ORDER BY m.vec_id
 """
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, assignment: str = "flat"
+) -> DataFrame:
     """Per-vector SemDeDup verdict: cluster id, kept flag, and the
-    lower-id intra-cluster near-duplicate it defers to (or -1)."""
+    lower-id intra-cluster near-duplicate it defers to (or -1).
+    ``assignment='twolevel'`` runs the clustering stage coarse-pruned
+    (see ``_kmeans_sql``); the contract entry pins ``'flat'``."""
     _register(spark, sf_dir)
-    return spark.sql(_semantic_dedup_sql("spark"))
+    return spark.sql(_semantic_dedup_sql("spark", assignment))
 
 
 def semantic_dedup_sql() -> str:
@@ -1338,6 +1348,13 @@ def _ood_centroid_sql(dialect: str) -> str:
     the corpus scan (the kmeans assignment shape), then one
     cluster-keyed aggregate of 2 integers joins back by cluster id —
     nothing corpus-sized shuffles beyond the assignment itself.
+
+    Deliberately NOT parameterized by ``assignment``: unlike the
+    a2-reusing consumers this entry re-scores the corpus against ``c1``
+    itself because it needs the distance VALUE (``md`` → ``dist_e6``),
+    not just the argmin — a two-level variant would have to thread the
+    pruned candidates' distances out of ``_kmeans_sql``, which the flat
+    scoring scan here would then duplicate anyway.
     """
     km = _kmeans_sql(dialect)
     prefix = km[: km.index("a2 AS (")].rstrip().rstrip(",") + ","
@@ -2325,7 +2342,7 @@ def ivf_balance_sql() -> str:
 KNN_K = 3  # neighbors kept per vector
 
 
-def _knn_graph_sql(dialect: str) -> str:
+def _knn_graph_sql(dialect: str, assignment: str = "flat") -> str:
     """k-NN GRAPH construction, cell-pruned: every vector's top-k
     same-cluster neighbors by exact cosine — the build step for
     graph-based ANN (the base layer HNSW/NSG descend) and the
@@ -2342,8 +2359,10 @@ def _knn_graph_sql(dialect: str) -> str:
     verbatim (string surgery, the ``_semantic_dedup_sql`` idiom) and
     the module's bit-deterministic cosine fold, so ranks and ties
     (cosine DESC, then neighbor id) are identical in both engines.
+    ``assignment`` passes through to ``_kmeans_sql`` (the clustering
+    stage only; contract default 'flat').
     """
-    km = _kmeans_sql(dialect)
+    km = _kmeans_sql(dialect, assignment)
     prefix = km[: km.rindex("SELECT vec_id, cluster FROM a2")].rstrip() + ","
     dot = _dot("x.embedding", "y.embedding", dialect)
     return f"""{prefix}
@@ -2366,10 +2385,14 @@ ORDER BY src, rank
 """
 
 
-def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``KNN_K`` same-cell neighbors per vector (exact cosine)."""
+def knn_graph(
+    spark: SparkSession, sf_dir: str, assignment: str = "flat"
+) -> DataFrame:
+    """Top-``KNN_K`` same-cell neighbors per vector (exact cosine).
+    ``assignment='twolevel'`` runs the clustering stage coarse-pruned
+    (see ``_kmeans_sql``); the contract entry pins ``'flat'``."""
     _register(spark, sf_dir)
-    return spark.sql(_knn_graph_sql("spark"))
+    return spark.sql(_knn_graph_sql("spark", assignment))
 
 
 def knn_graph_sql() -> str:
@@ -2541,7 +2564,7 @@ def nn_descent_round_sql() -> str:
 HARDNEG_K = 3  # negatives kept per anchor
 
 
-def _hard_negatives_sql(dialect: str) -> str:
+def _hard_negatives_sql(dialect: str, assignment: str = "flat") -> str:
     """Hard-negative mining for contrastive training (the DPR/SimCSE
     data-prep step): for every anchor vector, the top-``HARDNEG_K``
     most-similar vectors with a DIFFERENT label — near-misses the loss
@@ -2556,8 +2579,10 @@ def _hard_negatives_sql(dialect: str) -> str:
     enumeration, vec-keyed fetch joins, per-anchor top-k window);
     the label filter only shrinks the pair set. Output is the
     (anchor, negative) training-pair table a contrastive run reads.
+    ``assignment`` passes through to ``_kmeans_sql`` (the clustering
+    stage only; contract default 'flat').
     """
-    km = _kmeans_sql(dialect)
+    km = _kmeans_sql(dialect, assignment)
     prefix = km[: km.rindex("SELECT vec_id, cluster FROM a2")].rstrip() + ","
     dot = _dot("x.embedding", "y.embedding", dialect)
     return f"""{prefix}
@@ -2583,10 +2608,14 @@ ORDER BY anchor, rank
 """
 
 
-def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top cross-label in-cell negatives per anchor (exact cosine)."""
+def hard_negatives(
+    spark: SparkSession, sf_dir: str, assignment: str = "flat"
+) -> DataFrame:
+    """Top cross-label in-cell negatives per anchor (exact cosine).
+    ``assignment='twolevel'`` runs the clustering stage coarse-pruned
+    (see ``_kmeans_sql``); the contract entry pins ``'flat'``."""
     _register(spark, sf_dir)
-    return spark.sql(_hard_negatives_sql("spark"))
+    return spark.sql(_hard_negatives_sql("spark", assignment))
 
 
 def hard_negatives_sql() -> str:

@@ -85,6 +85,29 @@ def test_twolevel_pruned_regime_complete_and_dialect_exact(spark, monkeypatch):
     assert agree > 0.6, f"agreement {agree:.3f}"
 
 
+def test_assignment_plumbed_through_cell_pruned_consumers(spark):
+    """The a2-reusing production entries (SemDeDup, kNN graph, hard
+    negatives) accept ``assignment`` and pass it to ``_kmeans_sql``:
+    default SQL byte-stable; 'twolevel' output equals 'flat' at the
+    exhaustive oracle scale (the clustering stage is bit-identical
+    there, and the downstream stages key only on the cluster id)."""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    for fn_name in ("_semantic_dedup_sql", "_knn_graph_sql", "_hard_negatives_sql"):
+        fn = getattr(fsim, fn_name)
+        for d in ("spark", "duckdb"):
+            assert fn(d) == fn(d, "flat"), fn_name
+        assert con.execute(fn("duckdb", "twolevel")).fetchall() == con.execute(
+            fn("duckdb")
+        ).fetchall(), fn_name
+    # the spark side of one consumer, end to end
+    flat = fsim.semantic_dedup(spark, SF).collect()
+    two = fsim.semantic_dedup(spark, SF, assignment="twolevel").collect()
+    assert flat == two
+
+
 def test_twolevel_plan_shape(spark):
     fsim._register(spark, SF)
     df = spark.sql(fsim._kmeans_sql("spark", "twolevel"))
