@@ -114,3 +114,36 @@ def test_twolevel_plan_shape(spark):
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BatchEvalPython" not in phys
+
+
+def test_twolevel_audits_clean_in_100tb_regime(spark):
+    """Run the repo's own plan-hazard detector (tools/audit_plans.py)
+    over the twolevel plan with auto-broadcast disabled — the audit's
+    100 TB regime — since the non-contract path is invisible to the
+    per-round contract audit. The bounded sides (kk scalar-subquery
+    aggregates, DISTINCT cell lists) must keep every remaining
+    broadcast/nested-loop legitimate."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from audit_plans import audit_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        old_aqe = None  # unset: falls back to the non-AQE threshold
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        fsim._register(spark, SF)
+        for fn, kw in (
+            (lambda: spark.sql(fsim._kmeans_sql("spark", "twolevel")), "kmeans"),
+            (lambda: fsim.semantic_dedup(spark, SF, assignment="twolevel"), "semdedup"),
+        ):
+            plan = fn()._jdf.queryExecution().executedPlan().toString()
+            assert audit_plan(plan) == [], kw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
