@@ -53,6 +53,21 @@ def main() -> None:
     run(fsim._embedding_lsh_pairs_sql("spark"), SF01, "sf0.1  dedup_embedding_lsh nb=derived")
     run(fsim._embedding_lsh_pairs_sql("spark"), REPLICA, "sf1    dedup_embedding_lsh nb=derived")
 
+    # --- round 6: the Lloyd-assignment strategy is a parameter; time
+    # the twolevel (IVF coarse-pruned) form next to the flat rows above
+    # so the crossover (SCALING.md §Round 6: flat wins at small k,
+    # twolevel past k≈400 on this hardware) stays a one-command check.
+    run(
+        fsim._semantic_dedup_sql("spark", assignment="twolevel"),
+        SF01,
+        "sf0.1  dedup_semantic assignment=twolevel",
+    )
+    run(
+        fsim._semantic_dedup_sql("spark", assignment="twolevel"),
+        REPLICA,
+        "sf1    dedup_semantic assignment=twolevel",
+    )
+
     spark.stop()
 
 
