@@ -922,24 +922,12 @@ def _twolevel_assign_sql(dialect: str) -> str:
     # scale, both correct.
     hc = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
     hf = ""
-    nd = KMEANS_DIMS
 
     def dst(qa: str, ca: str) -> str:
-        # the module's fixed-order exact-integer distance fold
-        # (_cdist_sql) with parametric side aliases
-        if dialect == "spark":
-            return (
-                f"aggregate(zip_with({qa}.qv, {ca}.sv, (a, b) -> "
-                f"CAST(a * {ca}.n - b AS DOUBLE) * CAST(a * {ca}.n - b AS DOUBLE)), "
-                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) "
-                f"/ CAST({ca}.n * {ca}.n AS DOUBLE)"
-            )
-        return (
-            f"list_reduce(list_transform(range(1, {nd + 1}), i -> "
-            f"CAST({qa}.qv[i] * {ca}.n - {ca}.sv[i] AS DOUBLE) * "
-            f"CAST({qa}.qv[i] * {ca}.n - {ca}.sv[i] AS DOUBLE)), "
-            f"(acc, v) -> acc + v) / CAST({ca}.n * {ca}.n AS DOUBLE)"
-        )
+        # the module's ONE fixed-order exact-integer distance fold with
+        # parametric side aliases — delegated so a future tweak to
+        # _cdist_cols cannot silently miss this path (review finding)
+        return _cdist_cols(dialect, f"{qa}.qv", ca)
 
     def argmin(src: str, out: str) -> str:
         return f"""

@@ -99,10 +99,11 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.expr(_DISC_E4)).alias("revenue_e4"),
                 F.count(F.lit(1)).alias("n_items"),
             )
-            .orderBy("o_orderpriority")
         )
         # evaluate before the finally-block drops the bucketed tables;
-        # distributed write + scan, not a driver collect (r5 verdict 7)
+        # distributed write + scan, not a driver collect (r5 verdict 7).
+        # The single orderBy sits AFTER the scan — sorting before the
+        # parquet write would be discarded by the re-read anyway.
         return materialize_scan(spark, out, "bucketed_join").orderBy(
             "o_orderpriority"
         )

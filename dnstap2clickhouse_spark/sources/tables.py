@@ -104,28 +104,33 @@ def materialize_scan(
     subpath under the session warehouse dir — never overwriting a path a
     still-held DataFrame from a previous call may lazily re-read (the r5
     ADVICE finding against the CDC entries' fixed overwrite path) — and
-    prunes all but the newest ``keep``-1 prior runs so repeated harness
-    invocations don't accumulate files.
+    prunes all but the newest ``keep - 1`` prior runs. RETENTION
+    CONTRACT: a returned scan stays readable for the next ``keep - 1``
+    calls under the same ``name`` and expires after that (the default
+    covers the hold-the-previous-result pattern; raise ``keep`` per
+    call site if a harness accumulates more live handles). Pruning goes
+    through the JVM Hadoop FileSystem for ``root``'s scheme, so it works
+    on file:/hdfs:/s3a: warehouses alike — a remote warehouse does not
+    silently leak one parquet copy per call (review finding).
     """
-    import os
-    import shutil
     import uuid
 
     base = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").rstrip("/")
     root = f"{base}/materialized/{name}"
-    local = root
-    if local.startswith("file://"):
-        local = local[7:]
-    elif local.startswith("file:"):
-        local = local[5:]
-    if os.path.isdir(local):
-        runs = sorted(
-            (e for e in os.scandir(local) if e.is_dir()),
-            key=lambda e: e.stat().st_mtime,
-            reverse=True,
-        )
-        for e in runs[max(keep - 1, 0):]:
-            shutil.rmtree(e.path, ignore_errors=True)
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
+            runs = sorted(
+                (s for s in fs.listStatus(jpath) if s.isDirectory()),
+                key=lambda s: s.getModificationTime(),
+                reverse=True,
+            )
+            for s in runs[max(keep - 1, 0):]:
+                fs.delete(s.getPath(), True)
+    except Exception:
+        pass  # pruning is best-effort; the unique write below never is
     out = f"{root}/run-{uuid.uuid4().hex}"
     df.write.parquet(out)
     return spark.read.parquet(out)
