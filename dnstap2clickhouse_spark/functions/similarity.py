@@ -445,7 +445,24 @@ def _ivf_cell_ctes(dialect: str) -> str:
     ``IVF_NPROBE`` closest cells). ONE definition feeds both
     ``_ivf_sql`` and ``_ivfpq_sql``, so the "same probe set" premise of
     the recall lower-bound theorem (test_ivfpq_recall_bounded_by_
-    ivf_recall) is true by construction, not by parallel editing."""
+    ivf_recall) is true by construction, not by parallel editing.
+
+    Spark dialect computes ``assign`` as a ``max_by`` HASH AGGREGATE
+    over ``cell_scored`` (map-side partial combine, no sort) instead of
+    the ``rn = 1`` sort-window: the full-corpus argmin is the n-times-k
+    row pass, and a window there costs a per-partition sort plus — when
+    ``cell_ranked`` also feeds ``probes`` — a physically duplicated
+    corpus subtree (measured: 0 ReusedExchange, two full corpus passes).
+    With the aggregate, the only remaining ``cell_ranked`` consumer is
+    ``probes``, whose ``vec_id < N_QUERIES`` predicate Catalyst pushes
+    below the window (partition-key filter) down to the corpus scan, so
+    that branch ranks ``N_QUERIES``-times-k rows, not n-times-k. The
+    ``struct(ccos, -label)`` ordering key reproduces the window's exact
+    tie-break (max ccos, then min label) and is duplicate-free within a
+    group (label is unique), so the aggregate is deterministic. DuckDB
+    keeps the window form byte-for-byte: its ``arg_max`` rejects
+    composite ordering keys, and the oracle runs at sf0.01 where the
+    sort is irrelevant — both dialects compute the same argmin."""
     cent_inner = _centroid_sql(dialect).replace(" ORDER BY label, dim", "")
     if dialect == "spark":
         cvec = (
@@ -458,11 +475,17 @@ def _ivf_cell_ctes(dialect: str) -> str:
         )
         cnorm_expr = "aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
         h_cent = "/*+ BROADCAST(c) */ "
+        assign_cte = (
+            "assign AS (\n"
+            "  SELECT vec_id, max_by(label, struct(ccos, -label)) AS cell\n"
+            "  FROM cell_scored GROUP BY vec_id)"
+        )
     else:
         cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"
         qdot = "list_dot_product(c.cvec, e.embedding::DOUBLE[])"
         cnorm_expr = "list_dot_product(cvec, cvec)"
         h_cent = ""
+        assign_cte = "assign AS (SELECT vec_id, label AS cell FROM cell_ranked WHERE rn = 1)"
     return f"""e AS ({_normed(dialect)}),
 cent AS ({cent_inner}),
 centv AS (SELECT label, cvec, {cnorm_expr} AS cnrm FROM ({cvec})),
@@ -474,7 +497,7 @@ cell_ranked AS (
   SELECT vec_id, label, ccos,
          row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
   FROM cell_scored),
-assign AS (SELECT vec_id, label AS cell FROM cell_ranked WHERE rn = 1),
+{assign_cte},
 probes AS (
   SELECT vec_id AS query_id, label AS cell
   FROM cell_ranked WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE})"""
@@ -663,6 +686,50 @@ def _cdist_cols(dialect: str, qcol: str, ca: str) -> str:
     )
 
 
+def _argmin_over(
+    dialect: str,
+    key: str,
+    cand: str,
+    out: str,
+    inner: str,
+    key_out: str | None = None,
+) -> str:
+    """Lowest-``cand`` argmin of ``d`` per ``key`` over the ``inner``
+    relation — the module's ONE definition of the Lloyd-assignment
+    argmin (flat, two-level in-cell, and centroid-vs-seed all splice
+    it, so the tie-break semantics cannot drift between sites).
+
+    Spark emits a single ``min_by(cand, struct(d, cand))`` HASH
+    AGGREGATE: the (key, cand, d) cross-product rows are partially
+    aggregated map-side and never sort-shuffled — per Lloyd iteration
+    the shuffle carries ~n partial rows instead of the n·k scored rows
+    that the window form sorts (the same restructure ``_ivf_cell_ctes``
+    applies to its ``assign``, and the dominant data movement of the
+    k-means family at scale). ``struct(d, cand)`` reproduces the
+    window form's exact tie-break (min d, then min cand; the key is
+    duplicate-free within a group because cand ids are unique), so the
+    aggregate is deterministic.
+
+    DuckDB keeps the historical min-over-window + exact-equality-filter
+    form BYTE-IDENTICAL to the pre-round-6 oracle strings (its
+    ``arg_min`` rejects composite ordering keys, and the oracle runs at
+    sf0.01 where the sort is irrelevant) — both dialects compute the
+    same argmin over the same exact doubles.
+    """
+    sel = key if key_out is None else f"{key} AS {key_out}"
+    if dialect == "spark":
+        return f"""
+  SELECT {sel}, min_by(CAST({cand} AS BIGINT), struct(d, {cand})) AS {out}
+  FROM ({inner})
+  GROUP BY {key}"""
+    return f"""
+  SELECT {sel}, CAST(min({cand}) FILTER (WHERE d = md) AS BIGINT) AS {out}
+  FROM (
+    SELECT {key}, {cand}, d, min(d) OVER (PARTITION BY {key}) AS md
+    FROM ({inner}))
+  GROUP BY {key}"""
+
+
 def _cdist_sql(dialect: str) -> str:
     """Squared distance between quantized vector ``q.qv`` and integer-sum
     centroid ``c`` (``sv``, ``n``): a fixed-order fold over dims of
@@ -738,14 +805,15 @@ def _kmeans_sql(dialect: str, assignment: str = "flat") -> str:
         hint = ""
 
     def assign(cent: str) -> str:
-        return f"""
-  SELECT vec_id, CAST(min(cluster) FILTER (WHERE d = md) AS BIGINT) AS cluster
-  FROM (
-    SELECT vec_id, cluster, d, min(d) OVER (PARTITION BY vec_id) AS md
-    FROM (
+        return _argmin_over(
+            dialect,
+            "vec_id",
+            "cluster",
+            "cluster",
+            f"""
       SELECT {hint}q.vec_id, c.cluster, {dist} AS d
-      FROM q CROSS JOIN {cent} c))
-  GROUP BY vec_id"""
+      FROM q CROSS JOIN {cent} c""",
+        )
 
     def update(assigned: str) -> str:
         return f"""
@@ -787,14 +855,16 @@ SELECT vec_id, cluster FROM a2 ORDER BY vec_id
         # each centroid of `cent` -> its nearest coarse seed (k·k1
         # folds; the k1-row seed table is the inherent IVF broadcast)
         d = _cdist_cols(dialect, "s.sv", "x")
-        return f"""
-  SELECT cluster AS fine, CAST(min(cand) FILTER (WHERE d = md) AS BIGINT) AS coarse
-  FROM (
-    SELECT cluster, cand, d, min(d) OVER (PARTITION BY cluster) AS md
-    FROM (
+        return _argmin_over(
+            dialect,
+            "cluster",
+            "cand",
+            "coarse",
+            f"""
       SELECT {shint}x.cluster, s.coarse AS cand, {d} AS d
-      FROM {cent} x CROSS JOIN cz s))
-  GROUP BY cluster"""
+      FROM {cent} x CROSS JOIN cz s""",
+            key_out="fine",
+        )
 
     def probes(cc: str) -> str:
         # each vector's nprobe nearest OCCUPIED cells (n·k1 folds):
@@ -818,17 +888,18 @@ SELECT vec_id, cluster FROM a2 ORDER BY vec_id
         # in-cell scoring: equi-join on the coarse id — the corpus
         # never cross-joins the centroid table (n·nprobe·k/k1 folds)
         d = _cdist_cols(dialect, "q0.qv", "x")
-        return f"""
-  SELECT vec_id, CAST(min(cand) FILTER (WHERE d = md) AS BIGINT) AS cluster
-  FROM (
-    SELECT vec_id, cand, d, min(d) OVER (PARTITION BY vec_id) AS md
-    FROM (
+        return _argmin_over(
+            dialect,
+            "vec_id",
+            "cand",
+            "cluster",
+            f"""
       SELECT v.vec_id, x.cluster AS cand, {d} AS d
       FROM {vc} v
       JOIN q q0 ON q0.vec_id = v.vec_id
       JOIN {cc} f ON f.coarse = v.coarse
-      JOIN {cent} x ON x.cluster = f.fine))
-  GROUP BY vec_id"""
+      JOIN {cent} x ON x.cluster = f.fine""",
+        )
 
     return f"""
 WITH q AS (SELECT vec_id, {qarr} AS qv FROM embeddings),
@@ -930,12 +1001,7 @@ def _twolevel_assign_sql(dialect: str) -> str:
         return _cdist_cols(dialect, f"{qa}.qv", ca)
 
     def argmin(src: str, out: str) -> str:
-        return f"""
-  SELECT vec_id, CAST(min(cand) FILTER (WHERE d = md) AS BIGINT) AS {out}
-  FROM (
-    SELECT vec_id, cand, d, min(d) OVER (PARTITION BY vec_id) AS md
-    FROM ({src}))
-  GROUP BY vec_id"""
+        return _argmin_over(dialect, "vec_id", "cand", out, src)
 
     # each vector keeps its NPROBE nearest coarse cells (ties by id)
     coarse_of_vec = f"""
@@ -1348,8 +1414,19 @@ def _ood_centroid_sql(dialect: str) -> str:
     prefix = km[: km.index("a2 AS (")].rstrip().rstrip(",") + ","
     dist = _cdist_sql(dialect)
     hint = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
-    return f"""{prefix}
-d2 AS (
+    if dialect == "spark":
+        # the value-needing variant of `_argmin_over`: min_by for the
+        # argmin plus min(d) for the distance VALUE, one hash aggregate
+        # (min(md) of the window form == min(d) — same exact doubles)
+        d2 = f"""
+  SELECT vec_id, min_by(CAST(cluster AS BIGINT), struct(d, cluster)) AS cluster,
+         CAST(round(min(d) / {_OOD_DESCALE}) AS BIGINT) AS dist_e6
+  FROM (
+      SELECT {hint}q.vec_id, c.cluster, {dist} AS d
+      FROM q CROSS JOIN c1 c)
+  GROUP BY vec_id"""
+    else:
+        d2 = f"""
   SELECT vec_id, CAST(min(cluster) FILTER (WHERE d = md) AS BIGINT) AS cluster,
          CAST(round(min(md) / {_OOD_DESCALE}) AS BIGINT) AS dist_e6
   FROM (
@@ -1357,7 +1434,9 @@ d2 AS (
     FROM (
       SELECT {hint}q.vec_id, c.cluster, {dist} AS d
       FROM q CROSS JOIN c1 c))
-  GROUP BY vec_id),
+  GROUP BY vec_id"""
+    return f"""{prefix}
+d2 AS ({d2}),
 cstat AS (
   SELECT cluster, CAST(sum(dist_e6) AS BIGINT) AS sum_e6,
          CAST(count(*) AS BIGINT) AS n_members
