@@ -1268,6 +1268,35 @@ def _minhash_recall_sql(dialect: str) -> str:
     exact relation is the documented quadratic verifier (the audit
     waiver family); the measured path stays candidates-only.
     """
+    if dialect == "spark":
+        # ONE pass of each pair pipeline: the historical form's six
+        # scalar subqueries each re-planned their CTE chain (Spark
+        # inlines — the exact QUADRATIC verifier executed ~5x, 40
+        # document-text scans in one plan, the audit census' worst
+        # line). A full outer join of the two DISTINCT pair sets
+        # carries both memberships through one aggregate; coalesce
+        # guards the empty-corpus sums. DuckDB keeps the scalar-
+        # subquery form byte-for-byte (oracle stability) — its CTEs
+        # materialize, so the subqueries were already single-pass.
+        return f"""
+WITH exact_pairs AS ({_jaccard_sql(dialect).replace("ORDER BY doc_a, doc_b", "")}),
+lsh_pairs AS ({_lsh_verified_sql(dialect)}),
+j AS (
+  SELECT CASE WHEN x.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+         CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_lsh
+  FROM exact_pairs x FULL OUTER JOIN lsh_pairs l
+    ON x.doc_a = l.doc_a AND x.doc_b = l.doc_b),
+agg AS (
+  SELECT CAST(coalesce(sum(is_true * is_lsh), 0) AS BIGINT) AS n_found,
+         CAST(coalesce(sum(is_true), 0) AS BIGINT) AS n_true,
+         CAST(coalesce(sum(is_lsh), 0) AS BIGINT) AS n_lsh
+  FROM j)
+SELECT n_found, n_true,
+       CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(n_found AS DOUBLE) / n_true END AS pair_recall,
+       n_lsh - n_found AS n_false_pos
+FROM agg
+"""
     return f"""
 WITH exact_pairs AS ({_jaccard_sql(dialect).replace("ORDER BY doc_a, doc_b", "")}),
 lsh_pairs AS ({_lsh_verified_sql(dialect)}),
@@ -1327,6 +1356,39 @@ def _band_sweep_sql(dialect: str) -> str:
     cfg_ctes, summary_rows = [], []
     for b in BAND_SWEEP:
         rpb = N_HASHES // b
+        if dialect == "spark":
+            # ONE pass per config: the scalar-subquery pair below
+            # re-references cand{b}, and Spark inlines — the signature
+            # chain (mh -> bands -> self-join) executed twice per
+            # config, 18 document-text scans across the sweep (audit
+            # census). The shingle fetch-join is 1:1 on candidates
+            # (shx is unique per doc_id), so candidate count and
+            # verified count come out of the same joined pass; the
+            # argless count still emits the 0-row for an empty config.
+            # DuckDB keeps the scalar-subquery form byte-for-byte
+            # (CTEs materialize there — already single-pass).
+            cfg_ctes.append(f"""
+bands{b} AS (
+  SELECT doc_id, hidx {div} {rpb} AS band, {agg} AS sig
+  FROM mh GROUP BY doc_id, hidx {div} {rpb}),
+cand{b} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands{b} a JOIN bands{b} b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+ver{b} AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(coalesce(sum(CASE WHEN
+           CAST({size}({inter}(x.sh, y.sh)) AS DOUBLE)
+             / ({size}(x.sh) + {size}(y.sh) - {size}({inter}(x.sh, y.sh)))
+           >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified
+  FROM cand{b} c
+  JOIN shx x ON c.doc_a = x.doc_id
+  JOIN shx y ON c.doc_b = y.doc_id)""")
+            summary_rows.append(
+                f"SELECT CAST({b} AS BIGINT) AS n_bands, CAST({rpb} AS BIGINT) AS rows_per_band, "
+                f"n_candidates, n_verified FROM ver{b}"
+            )
+            continue
         cfg_ctes.append(f"""
 bands{b} AS (
   SELECT doc_id, hidx {div} {rpb} AS band, {agg} AS sig

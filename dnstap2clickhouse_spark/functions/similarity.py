@@ -2179,7 +2179,35 @@ def _nprobe_sweep_sql(dialect: str) -> str:
     dot_pair = _dot("q.embedding", "n.embedding", dialect)
     h_probe = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
     maxp = max(NPROBE_LADDER)
-    arms = "\nUNION ALL\n".join(f"""
+    if dialect == "spark":
+        # ONE pass of `scored` and `brute`: the historical per-arm
+        # UNION re-planned the whole IVF chain + the brute-force truth
+        # per ladder point (Spark inlines — 24 embedding-payload scans,
+        # an audit-census headline). Explode the ladder BEFORE ranking:
+        # each candidate row fans out to the ladder points whose probe
+        # depth reaches it (bounded: |candidates| x |ladder|), rank per
+        # (nprobe, query) in one window, count hits once, and LEFT JOIN
+        # back onto the literal ladder so an empty arm still emits its
+        # 0-hit row exactly like the UNION form. DuckDB keeps the arm
+        # UNION byte-for-byte (CTEs materialize there — already one
+        # pass).
+        lit = ", ".join(f"CAST({np} AS BIGINT)" for np in NPROBE_LADDER)
+        arms = f"""
+  SELECT l.nprobe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+  FROM (SELECT explode(array({lit})) AS nprobe) l
+  LEFT JOIN (
+    SELECT r.nprobe, CAST(count(b.neighbor_id) AS BIGINT) AS n_hits
+    FROM (SELECT l2.nprobe, s.query_id, s.neighbor_id,
+                 row_number() OVER (PARTITION BY l2.nprobe, s.query_id
+                                    ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+          FROM scored s
+          JOIN (SELECT explode(array({lit})) AS nprobe) l2
+            ON s.first_probe <= l2.nprobe) r
+    JOIN brute b ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
+    WHERE r.rank <= {TOP_K}
+    GROUP BY r.nprobe) h ON h.nprobe = l.nprobe"""
+    else:
+        arms = "\nUNION ALL\n".join(f"""
   SELECT CAST({np} AS BIGINT) AS nprobe, CAST(count(b.neighbor_id) AS BIGINT) AS n_hits
   FROM (SELECT query_id, neighbor_id,
                row_number() OVER (PARTITION BY query_id

@@ -272,14 +272,36 @@ def _yield_report_sql(dialect: str) -> str:
     v2 = _curate_v2_sql(dialect)
     prefix = v2[: v2.index("kept AS (")].rstrip().rstrip(",") + ","
     rs = f"{_bucket2_sql('s.doc_id', RESAMPLE_BUCKETS)} < s.quality * {RESAMPLE_SCALE} * {RESAMPLE_BUCKETS}"
-    stage_rows = []
-    for i, gate in enumerate(YIELD_STAGES):
-        prev = "n0" if i == 0 else f"n{i - 1}"
-        stage_rows.append(
-            f"SELECT CAST({i} AS BIGINT) AS stage, '{gate}' AS gate, "
-            f"{prev} AS n_in, n{i} AS n_out, {prev} - n{i} AS n_dropped FROM funnel"
+    if dialect == "spark":
+        # ONE reference to `funnel`: unpivot the single aggregate row
+        # with inline(array(struct(...))). Spark INLINES multi-referenced
+        # CTEs (0 ReusedExchange — measured), so the historical 6-arm
+        # UNION re-executed the whole v2 gate pipeline per stage: 25
+        # document-text scans in one plan (the audit census line). This
+        # form runs the pipeline once; DuckDB keeps the UNION form
+        # byte-for-byte (oracle stability) — its CTEs materialize, so
+        # the UNION is already single-pass there.
+        structs = []
+        for i, gate in enumerate(YIELD_STAGES):
+            prev = "n0" if i == 0 else f"n{i - 1}"
+            structs.append(
+                f"    struct(CAST({i} AS BIGINT) AS stage, '{gate}' AS gate, "
+                f"{prev} AS n_in, n{i} AS n_out, {prev} - n{i} AS n_dropped)"
+            )
+        arr = ",\n".join(structs)
+        stages = (
+            "SELECT stage, gate, n_in, n_out, n_dropped\n"
+            f"FROM funnel\nLATERAL VIEW inline(array(\n{arr})) t"
         )
-    stages = "\nUNION ALL\n".join(stage_rows)
+    else:
+        stage_rows = []
+        for i, gate in enumerate(YIELD_STAGES):
+            prev = "n0" if i == 0 else f"n{i - 1}"
+            stage_rows.append(
+                f"SELECT CAST({i} AS BIGINT) AS stage, '{gate}' AS gate, "
+                f"{prev} AS n_in, n{i} AS n_out, {prev} - n{i} AS n_dropped FROM funnel"
+            )
+        stages = "\nUNION ALL\n".join(stage_rows)
     return f"""{prefix}
 flags AS (
   SELECT s.doc_id,

@@ -35,6 +35,10 @@ Exit code 1 if any hazard is found. Known-quadratic verifier queries
 (documented as ground-truth-only, never the production path) are
 listed in WAIVED with the reason.
 
+Additionally prints an INFO tag (never a failure) when a plan re-scans
+a fact table's PAYLOAD column (embedding vector / document text) four
+or more times — the scan-multiplicity census (see ``scan_census``).
+
 Usage:
     python tools/audit_plans.py [sf_dir] [only_query ...]
 """
@@ -87,6 +91,40 @@ DECLARED: dict[str, str] = {
         "tests/test_round6_fixes.py"
     ),
 }
+
+#: the per-table PAYLOAD column — the wide thing a scan actually pays
+#: for at 100 TB (the vector / the document body). Other fact columns
+#: are narrow keys; parquet column pruning makes re-scanning them cheap.
+HEAVY_COLS = {"embeddings": "embedding", "documents": "text"}
+
+#: payload-scan multiplicity at or above this prints an info tag.
+SCAN_INFO_AT = 4
+
+
+def scan_census(plan: str) -> dict[str, tuple[int, int]]:
+    """Per fact table: (parquet scans, payload-column scans) in one
+    executed-plan treeString. Spark inlines multi-referenced
+    deterministic CTEs, so a cheap map-CTE over the corpus (quantize,
+    norm) re-scans its parquet once per reference — harmless for narrow
+    keys, but each PAYLOAD re-scan re-reads the corpus' wide column.
+    INFO, not a hazard: the expensive CTEs (Lloyd rounds, pair joins)
+    are single-referenced in every contract plan (test-pinned), the
+    repeated subtrees are map-only, and a deployment stages/persists
+    the mapped corpus once (the `materialize_scan` idiom). The census
+    makes the multiplicity visible so a future plan that silently
+    multiplies payload passes shows up in the audit output."""
+    out: dict[str, tuple[int, int]] = {}
+    for line in plan.split("\n"):
+        if "FileScan parquet" not in line and "Scan parquet" not in line:
+            continue
+        for t in FACT_TABLES:
+            if re.search(rf"{t}(\.parquet|/)", line):
+                tot, heavy = out.get(t, (0, 0))
+                col = HEAVY_COLS.get(t)
+                h = 1 if (col and re.search(rf"\b{col}\b", line)) else 0
+                out[t] = (tot + 1, heavy + h)
+    return out
+
 
 def _subtree(lines: list[str], start: int) -> list[str]:
     """Lines belonging to the operator subtree rooted at ``start`` in a
@@ -164,6 +202,12 @@ def main() -> int:
         waived = [h for h in hazards if (name, h) in WAIVED]
         if name in DECLARED:
             waived = waived + [f"declared[{DECLARED[name]}]"]
+        census = scan_census(plan)
+        info = ", ".join(
+            f"{t} x{heavy}" for t, (_tot, heavy) in sorted(census.items())
+            if heavy >= SCAN_INFO_AT
+        )
+        tag = f"  [payload scans: {info}]" if info else ""
         if flagged:
             failures += 1
             print(f"FAIL  {name}: {', '.join(flagged)}")
@@ -172,9 +216,9 @@ def main() -> int:
                 h if h.startswith("declared[") else f"{h}: {WAIVED[(name, h)]}"
                 for h in waived
             )
-            print(f"WAIVE {name}: {reasons}")
+            print(f"WAIVE {name}: {reasons}{tag}")
         else:
-            print(f"ok    {name}")
+            print(f"ok    {name}{tag}")
     print(f"\nhazard failures: {failures}")
     return 1 if failures else 0
 
