@@ -1612,6 +1612,36 @@ def _embedding_lsh_recall_sql(dialect: str) -> str:
     with the same threshold) and CERTIFIED by ``n_false_pos`` — the
     count of LSH pairs absent from the exact relation, which the oracle
     hash pins to 0."""
+    if dialect == "spark":
+        # ONE pass of each pair relation (the `_minhash_recall_sql`
+        # restructure, embedding twin): the scalar-subquery form
+        # re-planned the QUADRATIC exact verifier ~3x and the LSH chain
+        # ~2x per evaluation — 52 embedding-payload scans in one plan,
+        # the audit census' worst line. Both pair sets are unique on
+        # (vec_a, vec_b) (a < b generation; candidate UNION dedups), so
+        # a FULL OUTER JOIN carries both memberships through one
+        # aggregate; coalesce guards the empty sums. DuckDB keeps the
+        # scalar-subquery form byte-for-byte (CTEs materialize there —
+        # already single-pass).
+        return f"""
+WITH exact_pairs AS ({_cosine_pairs_sql(dialect).replace("ORDER BY vec_a, vec_b", "")}),
+lsh_pairs AS ({_embedding_lsh_pairs_sql(dialect).replace("ORDER BY vec_a, vec_b", "")}),
+j AS (
+  SELECT CASE WHEN x.vec_a IS NOT NULL THEN 1 ELSE 0 END AS is_true,
+         CASE WHEN l.vec_a IS NOT NULL THEN 1 ELSE 0 END AS is_lsh
+  FROM exact_pairs x FULL OUTER JOIN lsh_pairs l
+    ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b),
+agg AS (
+  SELECT CAST(coalesce(sum(is_true * is_lsh), 0) AS BIGINT) AS n_found,
+         CAST(coalesce(sum(is_true), 0) AS BIGINT) AS n_true,
+         CAST(coalesce(sum(is_lsh), 0) AS BIGINT) AS n_lsh
+  FROM j)
+SELECT n_found, n_true,
+       CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(n_found AS DOUBLE) / n_true END AS pair_recall,
+       n_lsh - n_found AS n_false_pos
+FROM agg
+"""
     return f"""
 WITH exact_pairs AS ({_cosine_pairs_sql(dialect).replace("ORDER BY vec_a, vec_b", "")}),
 lsh_pairs AS ({_embedding_lsh_pairs_sql(dialect).replace("ORDER BY vec_a, vec_b", "")}),
@@ -2086,9 +2116,76 @@ ORDER BY c.sel
 
 
 def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center seed set with its coverage-radius ladder."""
+    """Greedy k-center seed set with its coverage-radius ladder.
+
+    DataFrame implementation (the `pagerank_top` / `graph_kcore`
+    precedent): the pure-SQL unroll chains ``c{r}`` on ``c{r-1}`` while
+    ``m{r}`` ALSO references ``c{r-1}`` — Spark inlines a CTE per
+    reference, so the center chain re-expands multiplicatively (36
+    embedding-payload scans at FPS_K=4, the audit census' second-worst
+    line; the greedy loop is inherently sequential, which is exactly
+    the driver-loop deployment shape). Here the quantized corpus is
+    PERSISTED once, each selection round is one corpus pass against
+    the broadcast ≤FPS_K-row center table with the SAME `_cdist_cols`
+    fold string evaluated by `F.expr`, and the per-round argmax is a
+    distributed top-1 (TakeOrderedAndProject). Results are
+    bit-identical to the SQL form (test-pinned) and oracle-checked.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _register as _  # noqa: F401  (keep import surface stable)
+
     _register(spark, sf_dir)
-    return spark.sql(_farthest_init_sql("spark"))
+    q = spark.sql(
+        f"SELECT vec_id, {_qarr_sql('spark')} AS qv FROM embeddings"
+    ).persist()
+    dist = _cdist_cols("spark", "q.qv", "c")
+    one = F.lit(1).cast("bigint")
+    centers = (
+        q.filter(F.col("vec_id") == 0)
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), one.alias("sel"), F.col("qv").alias("sv"), one.alias("n"))
+        .persist()
+    )
+    radii_rows = [(1, 0)]
+    for r in range(1, FPS_K):
+        scored = (
+            q.alias("q")
+            .crossJoin(F.broadcast(centers.alias("c")))
+            .select(F.col("q.vec_id").alias("vec_id"), F.expr(dist).alias("d"))
+        )
+        m = scored.groupBy("vec_id").agg(F.min("d").alias("md"))
+        p = (
+            m.orderBy(F.desc("md"), "vec_id")
+            .limit(1)
+            # round IN Spark: SQL round is half-away-from-zero, Python's
+            # is half-even — the e6 ladder must match the oracle's bits
+            .select(
+                "vec_id",
+                F.expr(f"CAST(round(md / {_FPS_DESCALE}) AS BIGINT)").alias("radius_e6"),
+            )
+        )
+        # one bounded row: the selected center id + its radius (the
+        # documented-bounded collect class — pagerank's scalar precedent)
+        sel_row = p.collect()[0]
+        radii_rows.append((r + 1, sel_row.radius_e6))
+        new_center = (
+            q.filter(F.col("vec_id") == sel_row.vec_id)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.lit(r + 1).cast("bigint").alias("sel"),
+                F.col("qv").alias("sv"),
+                one.alias("n"),
+            )
+        )
+        centers = centers.unionAll(new_center).persist()
+    radii = spark.createDataFrame(radii_rows, "sel BIGINT, radius_e6 BIGINT")
+    return (
+        centers.select("sel", "cid")
+        .join(radii, "sel")
+        .select("sel", "cid", "radius_e6")
+        .orderBy("sel")
+    )
 
 
 def farthest_init_sql() -> str:
@@ -2191,17 +2288,20 @@ def _nprobe_sweep_sql(dialect: str) -> str:
         # 0-hit row exactly like the UNION form. DuckDB keeps the arm
         # UNION byte-for-byte (CTEs materialize there — already one
         # pass).
-        lit = ", ".join(f"CAST({np} AS BIGINT)" for np in NPROBE_LADDER)
+        # the ladder is a VALUES literal (LocalTableScan — the audit's
+        # bounded-build-side marker), so its non-equi join against the
+        # candidate set is plan-visibly a bounded broadcast
+        lit = ", ".join(f"(CAST({np} AS BIGINT))" for np in NPROBE_LADDER)
         arms = f"""
   SELECT l.nprobe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
-  FROM (SELECT explode(array({lit})) AS nprobe) l
+  FROM (SELECT nprobe FROM VALUES {lit} AS t(nprobe)) l
   LEFT JOIN (
     SELECT r.nprobe, CAST(count(b.neighbor_id) AS BIGINT) AS n_hits
     FROM (SELECT l2.nprobe, s.query_id, s.neighbor_id,
                  row_number() OVER (PARTITION BY l2.nprobe, s.query_id
                                     ORDER BY s.cosine DESC, s.neighbor_id) AS rank
           FROM scored s
-          JOIN (SELECT explode(array({lit})) AS nprobe) l2
+          JOIN (SELECT nprobe FROM VALUES {lit} AS t(nprobe)) l2
             ON s.first_probe <= l2.nprobe) r
     JOIN brute b ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id
     WHERE r.rank <= {TOP_K}

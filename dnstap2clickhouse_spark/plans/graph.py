@@ -356,11 +356,70 @@ ORDER BY part
 
 
 def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-core members with in-core degree + convergence certificate."""
-    from ..sources.tables import register_views
+    """K-core members with in-core degree + convergence certificate.
 
-    register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_kcore_sql("spark"))
+    DataFrame implementation (the `pagerank_top` precedent): Spark
+    inlines a CTE per reference and `sym` is referenced once per peel
+    round plus the seed degree — the pure-SQL form re-executes the
+    lineitem self-join + DISTINCT edge build five times (measured:
+    warm min-of-2 at sf0.1, 7.2 s SQL form vs 3.7 s here). The symmetric
+    edge list is built once and PERSISTED (at 100 TB: checkpointed —
+    the cc_clusters discipline); each peel round is one degree
+    aggregate + two semi-joins on the persisted edges, exact integer
+    arithmetic identical to the oracle SQL, so results are
+    bit-identical (test-pinned against the SQL form). The convergence
+    certificate's two survivor counts are driver-side scalars off
+    persisted per-round vertex sets (the `pagerank_top` vertex-count
+    precedent — two numbers, not a data collect).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+    )
+    sym = (
+        pairs.selectExpr("pa AS u", "pb AS v")
+        .unionAll(pairs.selectExpr("pb AS u", "pa AS v"))
+        .persist()
+    )
+    deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    k = deg0.filter(F.col("deg") >= KCORE_K).select("u")
+    counts: list[int] = []
+    n_last = None
+    for _ in range(KCORE_ROUNDS):
+        k = k.persist()
+        counts.append(k.count())
+        e = sym.join(k, "u").join(
+            k.withColumnRenamed("u", "v"), "v"
+        )
+        n_last = e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        k = n_last.filter(F.col("deg") >= KCORE_K).select("u")
+    k = k.persist()
+    counts.append(k.count())
+    converged = counts[-1] == counts[-2]
+    return (
+        n_last.filter(F.col("deg") >= KCORE_K)
+        .select(
+            F.col("u").alias("part"),
+            F.col("deg").alias("core_degree"),
+            F.lit(converged).alias("converged"),
+        )
+        .orderBy("part")
+    )
 
 
 def kcore_sql() -> str:

@@ -88,7 +88,7 @@ def test_sweep_instruments_are_single_pass_on_spark():
     # (brute's own internal `scored` CTE also matches "FROM scored" —
     # count the sweep's references via the per-arm filter form)
     s = fsim._nprobe_sweep_sql("spark")
-    assert "explode(array(" in s and s.count("FROM scored s") == 1
+    assert "FROM VALUES" in s and s.count("FROM scored s") == 1
     assert s.count("FROM scored WHERE first_probe") == 0
     k = fsim._nprobe_sweep_sql("duckdb")
     assert k.count("FROM scored WHERE first_probe") == len(fsim.NPROBE_LADDER)
@@ -97,6 +97,32 @@ def test_sweep_instruments_are_single_pass_on_spark():
     assert "LATERAL VIEW inline(array(" in s and s.count("FROM funnel") == 1
     k = pcur._yield_report_sql("duckdb")
     assert k.count("FROM funnel") == len(pcur.YIELD_STAGES)
+
+
+def test_embedding_recall_single_pass_and_fps_df_form(spark):
+    """The census' two worst lines after the first fix round:
+    `dedup_embedding_lsh_recall` (52 payload scans — the minhash_recall
+    restructure's embedding twin, now a FULL OUTER JOIN aggregate) and
+    `sim_farthest_init` (36 — the chained center CTEs re-expand
+    multiplicatively; now a driver-looped DataFrame form over a
+    persisted corpus, the pagerank/kcore precedent). Pin the string
+    shape, the DuckDB forms, and DF == SQL bit-equality for the greedy
+    selection."""
+    s = fsim._embedding_lsh_recall_sql("spark")
+    assert "FULL OUTER JOIN lsh_pairs" in s and "(SELECT count(*) FROM hits)" not in s
+    k = fsim._embedding_lsh_recall_sql("duckdb")
+    assert "(SELECT count(*) FROM hits)" in k and "FULL OUTER JOIN" not in k
+
+    sf = "/root/testdata/sf0.001"
+    fsim._register(spark, sf)
+    sql_rows = [
+        (r.sel, r.cid, r.radius_e6)
+        for r in spark.sql(fsim._farthest_init_sql("spark")).collect()
+    ]
+    df_rows = [
+        (r.sel, r.cid, r.radius_e6) for r in fsim.farthest_init(spark, sf).collect()
+    ]
+    assert df_rows == sql_rows and len(df_rows) == fsim.FPS_K
 
 
 def test_expensive_ctes_are_single_referenced():

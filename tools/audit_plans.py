@@ -114,7 +114,26 @@ def scan_census(plan: str) -> dict[str, tuple[int, int]]:
     makes the multiplicity visible so a future plan that silently
     multiplies payload passes shows up in the audit output."""
     out: dict[str, tuple[int, int]] = {}
-    for line in plan.split("\n"):
+    lines = plan.split("\n")
+    # scans printed INSIDE an InMemoryRelation block are the cached
+    # plan's display, not re-executions — a persisted DataFrame (the
+    # pagerank/kcore/farthest forms) READS the cache; counting its
+    # rendered lineage would report the opposite of the truth. Skip
+    # every line at deeper indentation than an InMemoryRelation root.
+    skip_until: int | None = None
+
+    def _depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*("))
+
+    for line in lines:
+        if skip_until is not None:
+            if line.strip() and _depth(line) <= skip_until:
+                skip_until = None
+            else:
+                continue
+        if "InMemoryRelation" in line:
+            skip_until = _depth(line)
+            continue
         if "FileScan parquet" not in line and "Scan parquet" not in line:
             continue
         for t in FACT_TABLES:
@@ -124,6 +143,50 @@ def scan_census(plan: str) -> dict[str, tuple[int, int]]:
                 h = 1 if (col and re.search(rf"\b{col}\b", line)) else 0
                 out[t] = (tot + 1, heavy + h)
     return out
+
+
+def scan_census_df(df) -> dict[str, tuple[int, int]]:
+    """Leaf-exact census for a live DataFrame: collect the physical
+    plan's leaf operators — MAIN plan plus every (scalar/IN) subquery
+    plan, recursively — and count parquet scans among them.
+
+    Why leaves, not treeString: the AQE plan string renders each query
+    stage ~3x (a display artifact that inflated the first census
+    round's numbers), and a persisted upstream prints its cached
+    lineage nested hundreds of times while executing it ZERO times
+    (InMemoryTableScan reads the cache). Leaf operators count each
+    scan node exactly once; a duplicate subtree deduplicated by the
+    physical ReuseExchange rule appears as a ReusedExchange leaf and
+    is correctly NOT counted. NOTE this is therefore the STATIC plan's
+    distinct-scan count (audit runs AQE-off) — a lower bound: AQE's
+    runtime stage reuse is weaker than static ReuseExchange for
+    inlined-CTE shapes (measured: the pre-fix yield funnel really did
+    re-run its gate pipeline per stage, 5x wall), which is exactly why
+    the sweep instruments carry one-pass Spark forms rather than
+    relying on reuse."""
+    lines: list[str] = []
+
+    def walk(p) -> None:
+        # AQE wraps a plan in a CHILDLESS AdaptiveSparkPlanExec —
+        # unwrap to its input plan (pre-AQE physical tree, exchange
+        # reuse NOT yet applied: exactly the duplication that executes
+        # when AQE's runtime reuse doesn't fire)
+        if p.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            walk(p.inputPlan())
+            return
+        leaves = p.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                walk(leaf.inputPlan())
+            else:
+                lines.append(leaf.toString().split("\n")[0])
+        subs = p.subqueriesAll()  # scalar/IN subquery plans, recursive
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return scan_census("\n".join(lines))
 
 
 def _subtree(lines: list[str], start: int) -> list[str]:
@@ -192,6 +255,10 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         try:
+            # a prior entry's persist() would otherwise substitute into
+            # THIS plan via the CacheManager (plans become audit-order-
+            # dependent); clear so every entry is audited standalone
+            spark.catalog.clearCache()
             df = fn(spark, SF_DIR)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # streaming-only entries can't batch-plan
@@ -202,10 +269,15 @@ def main() -> int:
         waived = [h for h in hazards if (name, h) in WAIVED]
         if name in DECLARED:
             waived = waived + [f"declared[{DECLARED[name]}]"]
-        census = scan_census(plan)
+        census = scan_census_df(df)
+        # payload re-reads for the wide-column tables; TOTAL scan count
+        # for the rest (lineitem/orders/events have no single payload
+        # column, but a plan re-building an expensive derived relation —
+        # the kcore/bfs edge build — shows up as scan multiplicity)
         info = ", ".join(
-            f"{t} x{heavy}" for t, (_tot, heavy) in sorted(census.items())
-            if heavy >= SCAN_INFO_AT
+            f"{t} x{heavy}" if t in HEAVY_COLS else f"{t} x{tot} total"
+            for t, (tot, heavy) in sorted(census.items())
+            if (heavy if t in HEAVY_COLS else tot) >= SCAN_INFO_AT
         )
         tag = f"  [payload scans: {info}]" if info else ""
         if flagged:
