@@ -125,6 +125,27 @@ def test_embedding_recall_single_pass_and_fps_df_form(spark):
     assert df_rows == sql_rows and len(df_rows) == fsim.FPS_K
 
 
+def test_bfs_df_form_equals_sql(spark):
+    """`graph_bfs_distance` was the family's worst inlining case: each
+    SQL round references the previous distance table TWICE, so the
+    unroll re-expands EXPONENTIALLY (leaf census: 236 static lineitem
+    scans at 3 rounds). The DataFrame form persists the edge list and
+    each round's distance table — pin bit-equality with the SQL form."""
+    from dnstap2clickhouse_spark.plans import graph as pg
+    from dnstap2clickhouse_spark.sources.tables import register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf, ("lineitem",))
+    sql_rows = sorted(
+        (r.u, r.dist, r.converged) for r in spark.sql(pg._bfs_sql("spark")).collect()
+    )
+    df_rows = sorted(
+        (r.u, r.dist, r.converged) for r in pg.bfs_distance(spark, sf).collect()
+    )
+    assert df_rows == sql_rows and df_rows
+    assert all(c for (_, _, c) in df_rows)  # converged on the real corpus
+
+
 def test_expensive_ctes_are_single_referenced():
     """The scan census stays benign only while the EXPENSIVE CTEs are
     single-consumers: a second reference to a Lloyd round or the pair
