@@ -150,6 +150,59 @@ def _copurchase_cte() -> str:
   WHERE l1.l_quantity >= {TRIANGLE_MIN_QTY} AND l2.l_quantity >= {TRIANGLE_MIN_QTY}"""
 
 
+def _copurchase_pairs_df(spark: SparkSession, sf_dir: str):
+    """The distinct co-purchase edge list as a DataFrame — ONE
+    definition shared by every DataFrame-form graph entry (k-core, BFS)
+    and by `_run_with_cached_edges`: columns (a, b), a < b, the exact
+    relation `_copurchase_cte` declares."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+
+
+def _run_with_cached_edges(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Run a graph entry's Spark SQL with its co-purchase CTE swapped
+    for a PERSISTED temp view: Spark inlines a CTE per reference, so
+    every `edges`/`sym`/`deg` consumer re-ran the lineitem self-join +
+    DISTINCT build (leaf census: triangle x36, clustering x34,
+    jaccard x16, link_predict x14 lineitem scan leaves). The view's
+    relation is exactly `_copurchase_cte`'s (same DISTINCT a < b
+    pairs), downstream CTEs still inline but read the cache
+    (InMemoryTableScan leaves), and the DuckDB oracle strings are
+    untouched — DuckDB materializes CTEs, so the inline form was
+    already single-pass there. The splice is anchor-guarded (the
+    `curate_v3` discipline): exactly ONE copurchase CTE must match, or
+    this raises rather than silently running the uncached form."""
+    anchor_a = f"copurchase AS ({_copurchase_cte()})"
+    anchor_b = f"edges AS ({_copurchase_cte()})"
+    n = sql.count(anchor_a) + sql.count(anchor_b)
+    if n != 1:
+        raise RuntimeError(f"copurchase splice anchor drifted: {n} matches")
+    view = "__copurchase_cached"
+    _copurchase_pairs_df(spark, sf_dir).persist().createOrReplaceTempView(view)
+    sub = f"(SELECT a, b FROM {view})"
+    sql = sql.replace(anchor_a, f"copurchase AS {sub}").replace(
+        anchor_b, f"edges AS {sub}"
+    )
+    return spark.sql(sql)
+
+
 def _triangle_sql(dialect: str) -> str:
     """Triangle count over the part co-purchase graph (two parts are
     adjacent when one order ships both with quantity >= TRIANGLE_MIN_QTY),
@@ -216,7 +269,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_triangle_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _triangle_sql("spark"))
 
 
 def triangle_count_sql() -> str:
@@ -290,7 +343,7 @@ def jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_jaccard_neighbors_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _jaccard_neighbors_sql("spark"))
 
 
 def jaccard_neighbors_sql() -> str:
@@ -374,26 +427,10 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..sources.tables import load_table
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs_df(spark, sf_dir)
     sym = (
-        pairs.selectExpr("pa AS u", "pb AS v")
-        .unionAll(pairs.selectExpr("pb AS u", "pa AS v"))
+        pairs.selectExpr("a AS u", "b AS v")
+        .unionAll(pairs.selectExpr("b AS u", "a AS v"))
         .persist()
     )
     deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
@@ -500,26 +537,10 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ..sources.tables import load_table
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .filter(F.col("l_quantity") >= TRIANGLE_MIN_QTY)
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
-        .distinct()
-    )
+    pairs = _copurchase_pairs_df(spark, sf_dir)
     sym = (
-        pairs.selectExpr("pa AS u", "pb AS v")
-        .unionAll(pairs.selectExpr("pb AS u", "pa AS v"))
+        pairs.selectExpr("a AS u", "b AS v")
+        .unionAll(pairs.selectExpr("b AS u", "a AS v"))
         .persist()
     )
     seeds = (
@@ -605,7 +626,7 @@ def modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem", "part"))
-    return spark.sql(_modularity_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _modularity_sql("spark"))
 
 
 def modularity_sql() -> str:
@@ -660,7 +681,7 @@ def assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_assortativity_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _assortativity_sql("spark"))
 
 
 def assortativity_sql() -> str:
@@ -707,7 +728,7 @@ def degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_degree_histogram_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _degree_histogram_sql("spark"))
 
 
 def degree_histogram_sql() -> str:
@@ -750,7 +771,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_clustering_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _clustering_sql("spark"))
 
 
 def clustering_coefficient_sql() -> str:
@@ -814,7 +835,7 @@ def link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("lineitem",))
-    return spark.sql(_link_predict_sql("spark"))
+    return _run_with_cached_edges(spark, sf_dir, _link_predict_sql("spark"))
 
 
 def link_predict_sql() -> str:

@@ -146,6 +146,30 @@ def test_bfs_df_form_equals_sql(spark):
     assert all(c for (_, _, c) in df_rows)  # converged on the real corpus
 
 
+def test_cached_edges_splice_guard_and_equality(spark):
+    """`_run_with_cached_edges` swaps each graph entry's co-purchase
+    CTE for a persisted view (one edge build per entry instead of one
+    per CTE reference — triangle x36 / clustering x34 / jaccard x16 /
+    link_predict x14 lineitem leaves before). The splice is anchor-
+    guarded: a drifted copurchase CTE must raise, never silently run
+    the uncached form — and the cached form must equal the pure SQL."""
+    import pytest as _pytest
+
+    from dnstap2clickhouse_spark.plans import graph as pg
+    from dnstap2clickhouse_spark.sources.tables import register_views
+
+    with _pytest.raises(RuntimeError, match="anchor drifted"):
+        pg._run_with_cached_edges(spark, "/root/testdata/sf0.001", "SELECT 1")
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf, ("lineitem",))
+    sql_rows = sorted(
+        tuple(r) for r in spark.sql(pg._triangle_sql("spark")).collect()
+    )
+    df_rows = sorted(tuple(r) for r in pg.triangle_count(spark, sf).collect())
+    assert df_rows == sql_rows and df_rows
+
+
 def test_expensive_ctes_are_single_referenced():
     """The scan census stays benign only while the EXPENSIVE CTEs are
     single-consumers: a second reference to a Lloyd round or the pair
