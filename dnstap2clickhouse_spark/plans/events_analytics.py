@@ -2328,9 +2328,32 @@ ORDER BY x2.s
 
 
 def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two power-iteration rounds of the event-type chain, exact ints."""
+    """Two power-iteration rounds of the event-type chain, exact ints.
+
+    The transition-count matrix (the ONE corpus-sized relation: lag
+    window + pair count over events) is evaluated once via
+    `materialize_scan` and spliced in as a view over the tiny
+    (≤|type-domain|²-row) materialized parquet: the pure-SQL form's
+    x1/x2/scalar-certificate references re-expanded the `pairs` chain
+    per reference — 23 events scan leaves in one plan (the last census
+    item). NOT the `_run_with_cached_edges` persist idiom: the
+    CacheManager does not substitute a cached relation into a query
+    that contains a CTE (measured — plain consumer substitutes, any
+    WITH-consumer does not), and this consumer keeps its x1/x2 CTEs.
+    Splice is anchor-guarded; the DuckDB oracle string is untouched.
+    """
+    from ..sources.tables import materialize_scan
+
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_markov_stationary_sql("spark"))
+    sql = _markov_stationary_sql("spark")
+    marker = "rowt AS ("
+    if sql.count(marker) != 1 or sql.count("FROM pairs") != 3:
+        raise RuntimeError("markov pairs splice anchor drifted")
+    head, tail = sql.split(marker, 1)
+    pairs_sql = head.rstrip().rstrip(",") + "\nSELECT a, b, n FROM pairs"
+    view = "__markov_pairs_mat"
+    materialize_scan(spark, spark.sql(pairs_sql), "markov_pairs").createOrReplaceTempView(view)
+    return spark.sql(f"WITH {marker}{tail}".replace("FROM pairs", f"FROM {view}"))
 
 
 def markov_stationary_sql() -> str:

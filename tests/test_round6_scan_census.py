@@ -166,8 +166,34 @@ def test_cached_edges_splice_guard_and_equality(spark):
     sql_rows = sorted(
         tuple(r) for r in spark.sql(pg._triangle_sql("spark")).collect()
     )
-    df_rows = sorted(tuple(r) for r in pg.triangle_count(spark, sf).collect())
+    spark.catalog.clearCache()
+    tri = pg.triangle_count(spark, sf)
+    df_rows = sorted(tuple(r) for r in tri.collect())
     assert df_rows == sql_rows and df_rows
+    # the cache substitution actually fired: the entry's plan reads the
+    # persisted edge view, not per-reference rebuilds of the edge join
+    plan = tri._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_markov_pairs_materialized_once(spark):
+    """`events_markov_stationary` evaluates its transition matrix once
+    via materialize_scan (the CacheManager does not substitute a cached
+    relation into a WITH-consumer — measured), so the entry plan's
+    events scans are gone; the result must equal the pure SQL form."""
+    from dnstap2clickhouse_spark.plans import events_analytics as pev
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    sql_rows = sorted(
+        tuple(r) for r in spark.sql(pev._markov_stationary_sql("spark")).collect()
+    )
+    ent = pev.markov_stationary(spark, sf)
+    df_rows = sorted(tuple(r) for r in ent.collect())
+    assert df_rows == sql_rows and df_rows
+    plan = ent._jdf.queryExecution().executedPlan().toString()
+    assert "markov_pairs" in plan  # reads the materialized table
 
 
 def test_expensive_ctes_are_single_referenced():
