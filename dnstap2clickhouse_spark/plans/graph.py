@@ -176,6 +176,11 @@ def _copurchase_pairs_df(spark: SparkSession, sf_dir: str):
     )
 
 
+#: the one live cached edge relation per view name (see the
+#: replace-and-unpersist note in `_run_with_cached_edges`)
+_EDGE_CACHE: dict[str, DataFrame] = {}
+
+
 def _run_with_cached_edges(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """Run a graph entry's Spark SQL with its co-purchase CTE swapped
     for a PERSISTED temp view: Spark inlines a CTE per reference, so
@@ -195,7 +200,17 @@ def _run_with_cached_edges(spark: SparkSession, sf_dir: str, sql: str) -> DataFr
     if n != 1:
         raise RuntimeError(f"copurchase splice anchor drifted: {n} matches")
     view = "__copurchase_cached"
-    _copurchase_pairs_df(spark, sf_dir).persist().createOrReplaceTempView(view)
+    # replace-and-unpersist: without this every call leaks one cached
+    # relation for the session's lifetime (the view is replaced, the
+    # old cache is not). A previously RETURNED entry DataFrame that
+    # still referenced the old cache recomputes from parquet — correct,
+    # just uncached (the materialize_scan keep-window contract).
+    old = _EDGE_CACHE.pop(view, None)
+    if old is not None:
+        old.unpersist()
+    df = _copurchase_pairs_df(spark, sf_dir).persist()
+    _EDGE_CACHE[view] = df
+    df.createOrReplaceTempView(view)
     sub = f"(SELECT a, b FROM {view})"
     sql = sql.replace(anchor_a, f"copurchase AS {sub}").replace(
         anchor_b, f"edges AS {sub}"
