@@ -2133,8 +2133,6 @@ def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from .dedup import _register as _  # noqa: F401  (keep import surface stable)
-
     _register(spark, sf_dir)
     q = spark.sql(
         f"SELECT vec_id, {_qarr_sql('spark')} AS qv FROM embeddings"
@@ -2148,6 +2146,7 @@ def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     radii_rows = [(1, 0)]
+    superseded = []  # per-round center caches released before return
     for r in range(1, FPS_K):
         scored = (
             q.alias("q")
@@ -2167,7 +2166,14 @@ def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # one bounded row: the selected center id + its radius (the
         # documented-bounded collect class — pagerank's scalar precedent)
-        sel_row = p.collect()[0]
+        picked = p.collect()
+        if not picked:
+            # degenerate corpus (no vec_id = 0 seed → no centers → no
+            # candidates): the SQL form yields the EMPTY relation, so
+            # stop selecting — the final join over empty centers
+            # produces the same empty result instead of an IndexError
+            break
+        sel_row = picked[0]
         radii_rows.append((r + 1, sel_row.radius_e6))
         new_center = (
             q.filter(F.col("vec_id") == sel_row.vec_id)
@@ -2178,7 +2184,12 @@ def farthest_init(spark: SparkSession, sf_dir: str) -> DataFrame:
                 one.alias("n"),
             )
         )
+        superseded.append(centers)
         centers = centers.unionAll(new_center).persist()
+    # release superseded per-round caches (the returned result needs
+    # only q + the FINAL centers; the cd41544 leak discipline)
+    for df_ in superseded:
+        df_.unpersist()
     radii = spark.createDataFrame(radii_rows, "sel BIGINT, radius_e6 BIGINT")
     return (
         centers.select("sel", "cid")

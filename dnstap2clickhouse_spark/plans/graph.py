@@ -451,9 +451,11 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg0 = sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     k = deg0.filter(F.col("deg") >= KCORE_K).select("u")
     counts: list[int] = []
+    ks = []  # per-round survivor caches, released below
     n_last = None
     for _ in range(KCORE_ROUNDS):
         k = k.persist()
+        ks.append(k)
         counts.append(k.count())
         e = sym.join(k, "u").join(
             k.withColumnRenamed("u", "v"), "v"
@@ -461,8 +463,14 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_last = e.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         k = n_last.filter(F.col("deg") >= KCORE_K).select("u")
     k = k.persist()
+    ks.append(k)
     counts.append(k.count())
     converged = counts[-1] == counts[-2]
+    # release every per-round cache the returned result does not need:
+    # it reads sym + the LAST loop round's survivor set (ks[-2], which
+    # n_last joins against) — the cd41544 leak discipline
+    for df_ in ks[:-2] + ks[-1:]:
+        df_.unpersist()
     return (
         n_last.filter(F.col("deg") >= KCORE_K)
         .select(
@@ -568,10 +576,12 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = seeds.select("u", F.lit(0).cast("bigint").alias("dist")).persist()
     stats = []  # (reached count, distance mass) per round
     stats.append((d.count(), 0))
+    superseded = []  # per-round distance caches, released below
     for _ in range(BFS_ROUNDS):
         relax = sym.join(d, "u").select(
             F.col("v").alias("u"), (F.col("dist") + F.lit(1)).cast("bigint").alias("dist")
         )
+        superseded.append(d)
         d = (
             d.unionAll(relax)
             .groupBy("u")
@@ -583,6 +593,10 @@ def bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         stats.append((row.n, row.mass))
     converged = stats[-1] == stats[-2]
+    # release superseded per-round caches (the returned result reads
+    # only the FINAL distance table; sym stays for its re-materialization)
+    for df_ in superseded:
+        df_.unpersist()
     return (
         d.select("u", "dist", F.lit(converged).alias("converged")).orderBy("u")
     )

@@ -196,6 +196,34 @@ def test_markov_pairs_materialized_once(spark):
     assert "markov_pairs" in plan  # reads the materialized table
 
 
+def test_farthest_init_degenerate_corpus_matches_sql(spark):
+    """Review finding: a corpus with NO vec_id=0 seed row made the
+    DataFrame form crash (IndexError on the empty per-round argmax)
+    while the SQL form returns the empty relation. Both forms must
+    yield the same empty result."""
+    import duckdb as _duck
+
+    rows = [(i + 5, [float(i), 1.0]) for i in range(4)]  # ids 5..8, no 0
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).createOrReplaceTempView("embeddings")
+    assert spark.sql(fsim._farthest_init_sql("spark")).collect() == []
+    # call the DF form against the same temp view (bypass _register)
+    import dnstap2clickhouse_spark.functions.similarity as s
+
+    orig = s._register
+    s._register = lambda *a, **k: None
+    try:
+        got = s.farthest_init(spark, "unused")
+        assert got.collect() == []
+    finally:
+        s._register = orig
+    con = _duck.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    assert con.execute(fsim._farthest_init_sql("duckdb")).fetchall() == []
+
+
 def test_expensive_ctes_are_single_referenced():
     """The scan census stays benign only while the EXPENSIVE CTEs are
     single-consumers: a second reference to a Lloyd round or the pair

@@ -269,7 +269,13 @@ def main() -> int:
         waived = [h for h in hazards if (name, h) in WAIVED]
         if name in DECLARED:
             waived = waived + [f"declared[{DECLARED[name]}]"]
-        census = scan_census_df(df)
+        try:
+            # info-only: a census failure (py4j reflection on an
+            # unexpected plan node under a different Spark minor) must
+            # not kill the audit — one bad entry never aborts the list
+            census = scan_census_df(df)
+        except Exception:  # noqa: BLE001
+            census = {}
         # payload re-reads for the wide-column tables; TOTAL scan count
         # for the rest (lineitem/orders/events have no single payload
         # column, but a plan re-building an expensive derived relation —
