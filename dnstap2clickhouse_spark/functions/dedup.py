@@ -786,7 +786,11 @@ def _bloom_sql(dialect: str) -> str:
     if dialect == "spark":
         series = f"explode(sequence(1, {k}))"
         pos = f"CAST(conv(substring(md5(concat(CAST(j AS STRING), key)), 1, 7), 16, 10) AS BIGINT) % {m}"
-        hint = "/*+ BROADCAST(occ) */ "
+        # Hint the JOIN ALIAS (o), not the CTE name: Spark resolves
+        # relation hints against the alias in scope, and an unresolved
+        # name silently no-ops (HintErrorLogger WARN) — the <=m-row
+        # occupied-bit side would then shuffle instead of broadcast.
+        hint = "/*+ BROADCAST(o) */ "
     else:
         series = f"unnest(generate_series(1, {k}))"
         pos = f"('0x' || substr(md5(CAST(j AS VARCHAR) || key), 1, 7))::BIGINT % {m}"

@@ -1491,7 +1491,10 @@ def _hybrid_rrf_sql(dialect: str) -> str:
     div = "div" if dialect == "spark" else "//"
     df_cols, weights, kw_score = _kw_score_parts(dialect)
     dot = _dot("q.embedding", "c.embedding", dialect)
-    hint = "/*+ BROADCAST(qv) */ " if dialect == "spark" else ""
+    # hint the JOIN ALIAS (q), not the CTE name (qv): Spark resolves
+    # relation hints against the alias in scope, and an unresolved name
+    # silently no-ops — the 1-row query-vector side would then sort-merge
+    hint = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     return f"""
 WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS n, {df_cols} FROM documents),
 kw_scored AS (
@@ -1749,10 +1752,45 @@ ORDER BY query_id, pos
 """
 
 
+#: anchor splitting ``_mmr_sql`` into the corpus pass (everything up to
+#: and including the ``pool`` CTE) and the greedy steps that follow —
+#: must match the SQL text exactly once or the splice raises.
+_MMR_STEP_ANCHOR = ",\nsel1 AS ("
+
+
 def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``MMR_K`` diversity-re-ranked neighbors per query vector."""
+    """Top-``MMR_K`` diversity-re-ranked neighbors per query vector.
+
+    The Spark side evaluates the CORPUS PASS (the ``e``→``pool`` CTE
+    prefix: full-corpus relevance scoring + per-query top-``MMR_POOL``
+    window + embedding fetch) exactly ONCE via ``materialize_scan``,
+    then runs the greedy selection steps over the materialized
+    ≤ ``N_QUERIES * MMR_POOL``-row pool. Without this, Spark's CTE
+    inlining re-expands the chain multiplicatively — ``sel3`` → ``step3``
+    → {``rank2``, ``sel2``} each re-derive ``pool`` (leaf census: 20
+    embedding-payload scans, ~7 full corpus scoring passes for a 3-step
+    re-rank; one more selection step would double it again). The greedy
+    steps' SQL text and the DuckDB oracle string stay byte-identical —
+    DuckDB materializes CTEs, so the inline form was already single-pass
+    there (the `_run_with_cached_edges` discipline). Values are unchanged
+    by construction: the materialized pool is the same relation the CTE
+    declared, parquet round-trips its exact schema, and the downstream
+    cosine folds never re-derive it.
+    """
+    from ..sources.tables import materialize_scan
+
     _register(spark, sf_dir)
-    return spark.sql(_mmr_sql("spark"))
+    sql = _mmr_sql("spark")
+    if sql.count(_MMR_STEP_ANCHOR) != 1:
+        raise RuntimeError("mmr pool splice anchor drifted")
+    prefix, steps = sql.split(_MMR_STEP_ANCHOR)
+    pool_df = spark.sql(prefix + "\nSELECT query_id, cand_id, rel, rk, emb, nrm FROM pool")
+    materialize_scan(spark, pool_df, "mmr_pool").createOrReplaceTempView("__mmr_pool")
+    return spark.sql(
+        "WITH pool AS (SELECT query_id, cand_id, rel, rk, emb, nrm FROM __mmr_pool)"
+        + _MMR_STEP_ANCHOR
+        + steps
+    )
 
 
 def mmr_rerank_sql() -> str:

@@ -1528,10 +1528,14 @@ def _ttl_rollup_sql(dialect: str) -> str:
     Output: (tier, bucket_ts, event_type, n, ve2_sum) — raw rows carry
     their exact ts and n=1; rolled tiers carry the bucket start and the
     merged counts / cents sums (the established exact-cents form).
-    Scale: one scan feeding three disjoint age slices (the predicates
-    push to the scan), each rolled tier one partial-aggregated shuffle;
-    the raw tier is a pure projection. Mass conservation across tiers
-    is pinned in tests.
+
+    This is the ORACLE/reference form (DuckDB materializes ``aged``, so
+    it is single-pass there). The Spark entry runs
+    ``_ttl_rollup_pushed_sql`` instead: Spark inlines ``aged`` once per
+    UNION branch and re-plans the ``bounds`` scalar subquery per
+    reference (leaf census: 21 events scans), and the scalar-subquery
+    bound blocks every static filter. Equality of the two forms is
+    test-pinned. Mass conservation across tiers is pinned in tests.
     """
     trunc_day = "date_trunc('day', ts)" if dialect == "spark" else "date_trunc('day', ts)"
     cents = "CAST(round(value * 100) AS BIGINT)"
@@ -1561,10 +1565,53 @@ ORDER BY tier, bucket_ts, event_type
 """
 
 
+def _ttl_rollup_pushed_sql(raw_us: int, hourly_us: int) -> str:
+    """Spark deployment form of ``_ttl_rollup_sql``: the tier boundaries
+    arrive as exact unix-micros LITERALS (one bounded 1-row max(ts)
+    collect — the documented scalar class), so each UNION branch is a
+    single scan under a STATIC range filter instead of re-deriving the
+    ``aged``+``bounds`` chain per branch (21 → 3 events scans). Literal
+    bounds are also what a tiered deployment needs for partition/row-
+    group pruning on the time axis — a scalar subquery can never prune
+    at plan time. Branch predicates partition the axis exactly as the
+    CASE did: raw = [raw_us, ∞), hourly = [hourly_us, raw_us), daily =
+    (-∞, hourly_us); equality with the reference form is test-pinned."""
+    cents = "CAST(round(value * 100) AS BIGINT)"
+    raw_lit = f"timestamp_micros({raw_us})"
+    hr_lit = f"timestamp_micros({hourly_us})"
+    return f"""
+SELECT 'raw' AS tier, CAST(ts AS TIMESTAMP) AS bucket_ts, event_type,
+       CAST(1 AS BIGINT) AS n, {cents} AS ve2_sum
+FROM events WHERE ts >= {raw_lit}
+UNION ALL
+SELECT 'hourly' AS tier, CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type,
+       CAST(count(*) AS BIGINT), CAST(sum({cents}) AS BIGINT)
+FROM events WHERE ts >= {hr_lit} AND ts < {raw_lit}
+GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'daily' AS tier, CAST(date_trunc('day', ts) AS TIMESTAMP), event_type,
+       CAST(count(*) AS BIGINT), CAST(sum({cents}) AS BIGINT)
+FROM events WHERE ts < {hr_lit}
+GROUP BY date_trunc('day', ts), event_type
+ORDER BY tier, bucket_ts, event_type
+"""
+
+
 def ttl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Age-tiered TTL rollup (raw / hourly / daily) — see `_ttl_rollup_sql`."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_ttl_rollup_sql("spark"))
+    # exact integer micros: unix_micros is tz-free (a TIMESTAMP collect
+    # would round-trip through the Python driver's LOCAL zone), and
+    # INTERVAL n DAY == n*86400s under the session's fixed UTC zone
+    d0 = spark.sql(
+        "SELECT unix_micros(date_trunc('day', max(ts))) AS d0 FROM events"
+    ).first()["d0"]
+    if d0 is None:  # empty corpus: the reference form returns the empty relation
+        return spark.sql(_ttl_rollup_sql("spark"))
+    day_us = 86_400 * 1_000_000
+    return spark.sql(
+        _ttl_rollup_pushed_sql(d0 - TTL_RAW_DAYS * day_us, d0 - TTL_HOURLY_DAYS * day_us)
+    )
 
 
 def ttl_rollup_sql() -> str:

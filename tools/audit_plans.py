@@ -30,6 +30,12 @@ Hazards flagged:
 - ``python-row-udf``: BatchEvalPython (row-at-a-time Python UDF) in the
   plan; Arrow paths (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
   are fine and NOT flagged.
+- ``unresolved-hint``: a ``/*+ BROADCAST(x) */`` (or ``.hint()``) whose
+  relation name does not resolve — Spark DROPS the hint with only a
+  HintErrorLogger WARN, so the intended broadcast silently becomes a
+  shuffle at scale. Detected generically: every ``UnresolvedHint`` in
+  the parsed plan must survive analysis as a ``ResolvedHint`` (found
+  twice in round 6: hints naming the CTE instead of its join alias).
 
 Exit code 1 if any hazard is found. Known-quadratic verifier queries
 (documented as ground-truth-only, never the production path) are
@@ -229,6 +235,18 @@ def audit_plan(plan: str) -> list[str]:
         hazards.append("python-row-udf")
     return hazards
 
+
+def audit_hints(df) -> int:
+    """Number of DROPPED hints: UnresolvedHint nodes in the parsed
+    logical plan that did not survive analysis as ResolvedHint nodes.
+    Analysis converts each resolvable hint 1:1 (ResolveJoinStrategyHints)
+    and silently discards the rest with a WARN — the only plan-level
+    evidence is this count going negative-sum. 0 = every hint applied."""
+    qe = df._jdf.queryExecution()
+    parsed = qe.logical().toString().count("UnresolvedHint")
+    analyzed = qe.analyzed().toString().count("ResolvedHint")
+    return max(parsed - analyzed, 0)
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
@@ -265,6 +283,11 @@ def main() -> int:
             print(f"SKIP  {name}: {type(exc).__name__}")
             continue
         hazards = audit_plan(plan)
+        try:
+            if audit_hints(df):
+                hazards.append("unresolved-hint")
+        except Exception:  # noqa: BLE001 — reflection shape drift: info-only
+            pass
         flagged = [h for h in hazards if (name, h) not in WAIVED]
         waived = [h for h in hazards if (name, h) in WAIVED]
         if name in DECLARED:
