@@ -16,6 +16,7 @@ single mapper stage fused into the scan.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
@@ -1099,9 +1100,18 @@ def _vocab_growth_sql(dialect: str) -> str:
     to the quartile's token inflow (quartiles adding NO new types keep
     a zero row — on this synthetic closed-vocabulary corpus the curve
     saturates in the first quartile, which is exactly the repetition
-    signature the instrument exists to show). Plan: one doc-rank window, one
-    explode + token-keyed min aggregate (map-side partials), a ≤4-row
-    cumsum window.
+    signature the instrument exists to show). Plan: one doc-rank pass,
+    one explode + token-keyed min aggregate (map-side partials), a
+    ≤4-row cumsum window.
+
+    This is the ORACLE/reference form. The Spark entry computes the
+    doc rank as a DISTRIBUTED PREFIX SUM (`splits.global_prefix_sum` —
+    the reference form's unpartitioned ``row_number()`` moves every
+    document id into ONE task), stages the ≤(doc_id, pos, n) rank
+    table once via `materialize_scan` (the ``tk`` CTE consumes it
+    twice — inlining would re-run the rank pass per reference), and
+    splices it in for the ``ordered`` CTE; the rest of the SQL text is
+    shared verbatim. Equality is test-pinned.
     """
     from .splits import LEHMER_P
     from ..functions.splits import _bucket2_sql
@@ -1137,10 +1147,39 @@ ORDER BY i.q
 """
 
 
+#: anchor splitting ``_vocab_growth_sql`` into the doc-rank CTE and the
+#: token-side consumers — must match exactly once or the splice raises.
+_VG_TK_ANCHOR = ",\ntk AS ("
+
+
 def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps-law quartile curve — see `_vocab_growth_sql`."""
+    """Heaps-law quartile curve — see `_vocab_growth_sql` (distributed
+    prefix-sum doc rank, staged once)."""
+    from ..sources.tables import materialize_scan
+    from .splits import LEHMER_P, _bucket2_sql, global_prefix_sum
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_vocab_growth_sql("spark"))
+    sql = _vocab_growth_sql("spark")
+    if sql.count(_VG_TK_ANCHOR) != 1 or not sql.startswith("\nWITH ordered AS ("):
+        raise RuntimeError("vocab_growth splice anchor drifted")
+    docs = spark.sql(
+        f"SELECT doc_id, {_bucket2_sql('doc_id', LEHMER_P)} AS __k FROM documents"
+    )
+    ranked = global_prefix_sum(
+        spark, docs.withColumn("__one", F.lit(1)), ("__k", "doc_id"), "__one"
+    )
+    ordered_df = ranked.select(
+        "doc_id", (F.col("__base") + F.col("__local_end")).alias("pos")
+    ).crossJoin(F.broadcast(docs.groupBy().agg(F.count(F.lit(1)).alias("n"))))
+    materialize_scan(spark, ordered_df, "vg_ordered").createOrReplaceTempView(
+        "__vg_ordered"
+    )
+    steps = sql.split(_VG_TK_ANCHOR)[1]
+    return spark.sql(
+        "WITH ordered AS (SELECT doc_id, pos, n FROM __vg_ordered)"
+        + _VG_TK_ANCHOR
+        + steps
+    )
 
 
 def vocab_growth_sql() -> str:
@@ -1661,10 +1700,16 @@ def _length_outliers_sql(dialect: str) -> str:
     flags every other length — the documented degenerate case, also
     the honest one.
 
-    Scale shape: two global rank passes on the (doc, length)
-    projection (at 100 TB: replace with the `events_equidepth_histogram`
-    sketch median — the same knob `events_value_drift` documents);
-    the flag itself is a narrow map against two 1-row broadcasts.
+    Scale shape: two exact nearest-rank selections on the (doc, length)
+    projection, then a narrow map against two 1-row broadcasts. This is
+    the ORACLE/reference form; its unpartitioned ``row_number()``s put
+    the whole corpus in one task, so the Spark entry extracts each
+    rank-(n+1)/2 element via the distributed prefix-sum rank instead
+    (`splits.global_prefix_sum`; identical ranks — (key, doc_id) is a
+    total order) plus one bounded 1-row collect per median (the
+    documented scalar class). Equality is test-pinned. The mergeable
+    approximate flavor at 100 TB remains the sketch-median knob
+    `events_value_drift` documents.
     """
     toks = _toks(dialect)
     size = "size" if dialect == "spark" else "len"
@@ -1695,10 +1740,49 @@ ORDER BY l.doc_id
 """
 
 
+def _rank_element(spark: SparkSession, df: DataFrame, key: str, rank: int):
+    """The ``key`` value at nearest-rank ``rank`` in (key, doc_id) order,
+    via the distributed prefix-sum rank (one 1-row bounded collect)."""
+    from .splits import global_prefix_sum
+
+    ranked = global_prefix_sum(
+        spark, df.withColumn("__one", F.lit(1)), (key, "doc_id"), "__one"
+    )
+    row = (
+        ranked.filter((F.col("__base") + F.col("__local_end")) == rank)
+        .select(key)
+        .first()
+    )
+    return None if row is None else row[0]
+
+
 def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Median/MAD robust token-length outlier flags per document."""
+    """Median/MAD robust token-length outlier flags per document
+    (distributed nearest-rank medians — see `_length_outliers_sql` for
+    why not unpartitioned windows)."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(_length_outliers_sql("spark"))
+    toks = _toks("spark")
+    lens = spark.sql(
+        f"SELECT doc_id, CAST(size({toks}) AS BIGINT) AS n_tokens FROM documents"
+    )
+    n = lens.count()
+    if n == 0:  # reference form: empty med join -> empty relation
+        return spark.sql(_length_outliers_sql("spark"))
+    target = (n + 1) // 2
+    med = _rank_element(spark, lens, "n_tokens", target)
+    devs = lens.select(
+        "doc_id", F.expr(f"abs(n_tokens - {med}) AS dev")
+    )
+    mad = _rank_element(spark, devs, "dev", target)
+    return lens.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"CAST({med} AS BIGINT) AS median_tokens"),
+        F.expr(f"CAST({mad} AS BIGINT) AS mad_tokens"),
+        F.expr(
+            f"CAST(abs(n_tokens - {med}) > {MAD_K} * {mad} AS BOOLEAN) AS is_outlier"
+        ),
+    ).orderBy("doc_id")
 
 
 def length_outliers_sql() -> str:

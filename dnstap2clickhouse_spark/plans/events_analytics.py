@@ -2159,10 +2159,18 @@ def _equidepth_histogram_sql(dialect: str) -> str:
     bounds, and the distinct-value count (the NDV every cardinality
     estimator wants per bucket). All boundaries are integer arithmetic
     on the rank; values are selected verbatim (no float math). One
-    global sort-rank window then a bucket-keyed aggregate — the exact
-    path's cost story (`events_exact_percentiles`); the mergeable
-    approximate flavor at 100 TB is the KLL sketch in
-    `events_sketch_stats`.
+    global sort-rank then a bucket-keyed aggregate — the exact path's
+    cost story (`events_exact_percentiles`); the mergeable approximate
+    flavor at 100 TB is the KLL sketch in `events_sketch_stats`.
+
+    This is the ORACLE/reference form. The Spark entry computes the
+    rank as a DISTRIBUTED PREFIX SUM (`splits.global_prefix_sum`)
+    instead of the SQL form's unpartitioned ``row_number()`` — a
+    single-partition WindowExec puts the whole corpus in ONE task
+    ("No Partition Defined" WARN, the `global-window` audit hazard);
+    range partitioning + partition-local ranks + driver-summed base
+    offsets is the scale-correct exact equivalent (identical ranks:
+    (value, event_id) is a total order). Equality is test-pinned.
     """
     div = "div" if dialect == "spark" else "//"
     return f"""
@@ -2182,9 +2190,33 @@ ORDER BY 1
 
 
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-bucket equi-depth histogram with per-bucket NDV."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(_equidepth_histogram_sql("spark"))
+    """K-bucket equi-depth histogram with per-bucket NDV (distributed
+    prefix-sum rank — see `_equidepth_histogram_sql` for why not an
+    unpartitioned window)."""
+    from ..functions.splits import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    ranked = global_prefix_sum(
+        spark, ev.withColumn("__one", F.lit(1)), ("value", "event_id"), "__one"
+    ).withColumn("r", F.col("__base") + F.col("__local_end"))
+    # n via one map-side-combined aggregate on the narrow projection —
+    # the same pass count(*) OVER () needed, without the 1-task window
+    n_df = F.broadcast(ev.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    return (
+        ranked.crossJoin(n_df)
+        .select(
+            F.expr(f"CAST((r - 1) * {EQD_BUCKETS} div n AS BIGINT)").alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.expr("CAST(count(DISTINCT value) AS BIGINT)").alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def equidepth_histogram_sql() -> str:

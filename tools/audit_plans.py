@@ -36,6 +36,17 @@ Hazards flagged:
   shuffle at scale. Detected generically: every ``UnresolvedHint`` in
   the parsed plan must survive analysis as a ``ResolvedHint`` (found
   twice in round 6: hints naming the CTE instead of its join alias).
+- ``global-window``: a WindowExec with an EMPTY partition spec whose
+  input subtree scans a fact table with no reducer, WindowGroupLimit,
+  or limit in between — "No Partition Defined for Window operation":
+  the whole corpus moves to ONE task. A rank<=k that Spark rewrote to
+  WindowGroupLimit is fine (per-partition top-k bounds the single
+  partition's input to partitions*k rows) and NOT flagged; so are
+  windows above aggregates. The partition spec is parsed from
+  ``windowspecdefinition(part..., order ASC/DESC..., frame)`` — order
+  columns carry a sort direction, partition columns don't (a
+  partition-only window prints two bracket groups, same as an
+  order-only one, so group counting misclassifies both).
 
 Exit code 1 if any hazard is found. Known-quadratic verifier queries
 (documented as ground-truth-only, never the production path) are
@@ -216,11 +227,38 @@ def _bounded(body: str) -> bool:
 def _scans_fact(body: str) -> bool:
     return any(re.search(rf"{t}\.parquet", body) for t in FACT_TABLES)
 
+def _window_unpartitioned(line: str) -> bool:
+    """True iff a ``Window`` treeString line's spec has NO partition
+    columns. In ``windowspecdefinition(args..., specifiedwindowframe(...``
+    the leading args are partition columns (bare) then order columns
+    (``col ASC|DESC NULLS ...``); empty args or an order-only list means
+    the corpus-wide single-partition WindowExec."""
+    m = re.search(r"windowspecdefinition\((.*?)specifiedwindowframe\(", line)
+    if not m:
+        return False
+    args = m.group(1).strip().rstrip(",").strip()
+    if not args:
+        return True  # e.g. count(1) OVER () — no partition, no order
+    first = args.split(",")[0].strip()
+    # a partition column is a bare expression; an order column carries
+    # a direction marker. Partition columns always precede order ones.
+    return " ASC" in first or " DESC" in first
+
+
 def audit_plan(plan: str) -> list[str]:
     """Return hazard tags found in one executed-plan treeString."""
     hazards: list[str] = []
     lines = plan.split("\n")
     for i, line in enumerate(lines):
+        if re.search(r"\bWindow \[", line) and _window_unpartitioned(line):
+            body = "\n".join(_subtree(lines, i)[1:])
+            if (
+                _scans_fact(body)
+                and not _bounded(body)
+                and "WindowGroupLimit" not in body
+                and "global-window" not in hazards
+            ):
+                hazards.append("global-window")
         if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line:
             body = "\n".join(_subtree(lines, i))
             # bounded if ANY side is literal/reduced; a corpus x corpus
