@@ -282,7 +282,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(octet_length(m.payload) + octet_length(d.text) AS BIGINT) AS item_bytes",
     )
     return (
-        global_prefix_sum(spark, items, "doc_id", "item_bytes")
+        global_prefix_sum(spark, items, "doc_id", "item_bytes", name="shard_rank")
         .selectExpr(
             "doc_id",
             "item_bytes",

@@ -178,6 +178,8 @@ def global_prefix_sum(
     order_col: str | tuple[str, ...],
     weight_col: str,
     group_cols: tuple[str, ...] = (),
+    return_total: bool = False,
+    name: str = "prefix_sum",
 ) -> DataFrame:
     """Distributed prefix sum over ``weight_col`` in ``order_col`` order —
     the scale-correct form of a global cumsum that a single
@@ -206,8 +208,30 @@ def global_prefix_sum(
     (group × partition) total table must stay driver-small — true when
     group cardinality is bounded (languages, domains); an unbounded
     group column calls for a plain window partitioned by it instead.
+
+    ``return_total=True`` additionally returns the GLOBAL weight total
+    (ungrouped: one int; grouped: dict of group-key tuple -> total) —
+    the driver's base-offset pass computes it anyway, so a caller that
+    also needs ``n`` (rank targets, bucket divisors) takes it for free
+    instead of paying one more full scan (review finding).
+
+    The partitioned cumsum is STAGED (``materialize_scan``) before the
+    totals collect. Without this the plan executes TWICE — once for the
+    totals, once for the returned join — and the two executions' range
+    boundaries / partition ids need not agree (the exchange is
+    re-sampled and AQE re-sizes it per execution): measured on the 10x
+    replica, ranks came back as a NON-permutation (max 1,013,898 over
+    n=1,000,000; 980,948 distinct) while every small-SF run was clean —
+    the base offsets described partitions the second execution didn't
+    reproduce. A persist() instead of staging fixes the two executions
+    but silently re-breaks if the cache is evicted and the returned
+    lineage re-executes; the parquet snapshot is the airtight form
+    (``name`` scopes the staging per call site; the keep-window
+    retention contract applies).
     """
     from pyspark.sql import Window
+
+    from ..sources.tables import materialize_scan
 
     orders = [order_col] if isinstance(order_col, str) else list(order_col)
     groups = list(group_cols)
@@ -215,7 +239,9 @@ def global_prefix_sum(
         "__pid", F.spark_partition_id()
     )
     w = Window.partitionBy(*(groups + ["__pid"])).orderBy(*orders)
-    local = parts.withColumn("__local_end", F.sum(weight_col).over(w))
+    local = materialize_scan(
+        spark, parts.withColumn("__local_end", F.sum(weight_col).over(w)), name
+    )
     totals = sorted(
         (tuple(r[g] for g in groups), r["__pid"], r["t"])
         for r in local.groupBy(*(groups + ["__pid"]))
@@ -223,11 +249,13 @@ def global_prefix_sum(
         .collect()
     )
     offsets, base, cur_group = [], 0, None
+    group_totals: dict[tuple, int] = {}
     for gkey, pid, t in totals:
         if gkey != cur_group:
             cur_group, base = gkey, 0
         offsets.append((*gkey, pid, base))
         base += t
+        group_totals[gkey] = base
     off_df = F.broadcast(
         spark.createDataFrame(
             offsets,
@@ -237,7 +265,12 @@ def global_prefix_sum(
             ),
         )
     )
-    return local.join(off_df, groups + ["__pid"])
+    out = local.join(off_df, groups + ["__pid"])
+    if not return_total:
+        return out
+    if groups:
+        return out, {k: v for k, v in group_totals.items()}
+    return out, group_totals.get((), 0)
 
 
 def pack_token_chunks(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
@@ -267,7 +300,7 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) 
         "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens"
     )
     return (
-        global_prefix_sum(spark, docs, "doc_id", "n_tokens")
+        global_prefix_sum(spark, docs, "doc_id", "n_tokens", name="pack_rank")
         .selectExpr(
             "doc_id",
             "n_tokens",
@@ -525,7 +558,8 @@ def interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     ranked = global_prefix_sum(
-        spark, docs.withColumn("__one", F.lit(1)), "doc_id", "__one", ("lang",)
+        spark, docs.withColumn("__one", F.lit(1)), "doc_id", "__one", ("lang",),
+        name="imix_rank",
     ).selectExpr("doc_id", "lang", "__base + __local_end AS r")
     keyed = ranked.selectExpr(
         "doc_id",
@@ -533,7 +567,7 @@ def interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(2 * r - 1) * {MIX_SCALE} div (2 * ({_mix_weight_sql('lang')})) AS sched_key",
     ).withColumn("__one", F.lit(1))
     return (
-        global_prefix_sum(spark, keyed, ("sched_key", "lang", "doc_id"), "__one")
+        global_prefix_sum(spark, keyed, ("sched_key", "lang", "doc_id"), "__one", name="imix_rank")
         .selectExpr("__base + __local_end AS pos", "doc_id", "lang", "sched_key")
         .orderBy("pos")
     )
@@ -609,7 +643,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id").withColumn(
         "__one", F.lit(1)
     )
-    ranked = global_prefix_sum(spark, docs, "doc_id", "__one").selectExpr(
+    ranked = global_prefix_sum(spark, docs, "doc_id", "__one", name="feistel_rank").selectExpr(
         "doc_id", "__base + __local_end - 1 AS idx"
     )
     epochs = None
@@ -621,7 +655,12 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         epochs = permed if epochs is None else epochs.unionAll(permed)
     pos = global_prefix_sum(
-        spark, epochs.withColumn("__one", F.lit(1)), ("perm_val", "doc_id"), "__one", ("epoch",)
+        spark,
+        epochs.withColumn("__one", F.lit(1)),
+        ("perm_val", "doc_id"),
+        "__one",
+        ("epoch",),
+        name="feistel_rank",
     ).selectExpr("epoch", "doc_id", "perm_val", "__base + __local_end AS pos")
     cert = pos.groupBy("epoch").agg(
         (F.countDistinct("perm_val") == F.count(F.lit(1))).alias("bijective")

@@ -1165,12 +1165,21 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.sql(
         f"SELECT doc_id, {_bucket2_sql('doc_id', LEHMER_P)} AS __k FROM documents"
     )
-    ranked = global_prefix_sum(
-        spark, docs.withColumn("__one", F.lit(1)), ("__k", "doc_id"), "__one"
+    ranked, n = global_prefix_sum(
+        spark,
+        docs.withColumn("__one", F.lit(1)),
+        ("__k", "doc_id"),
+        "__one",
+        return_total=True,
+        name="vg_rank",
     )
+    # n comes free from the prefix sum's driver offset pass; the SQL
+    # form's count(*) OVER () column becomes a literal (review finding)
     ordered_df = ranked.select(
-        "doc_id", (F.col("__base") + F.col("__local_end")).alias("pos")
-    ).crossJoin(F.broadcast(docs.groupBy().agg(F.count(F.lit(1)).alias("n"))))
+        "doc_id",
+        (F.col("__base") + F.col("__local_end")).alias("pos"),
+        F.lit(n).cast("bigint").alias("n"),
+    )
     materialize_scan(spark, ordered_df, "vg_ordered").createOrReplaceTempView(
         "__vg_ordered"
     )
@@ -1740,40 +1749,60 @@ ORDER BY l.doc_id
 """
 
 
-def _rank_element(spark: SparkSession, df: DataFrame, key: str, rank: int):
-    """The ``key`` value at nearest-rank ``rank`` in (key, doc_id) order,
-    via the distributed prefix-sum rank (one 1-row bounded collect)."""
+def _rank_median(spark: SparkSession, df: DataFrame, key: str):
+    """(value at nearest-rank (n+1)//2 in (key, doc_id) order, n) via
+    the distributed prefix-sum rank — the rank target comes from the
+    helper's own driver total (no extra counting pass), plus one 1-row
+    bounded collect for the selected element."""
     from .splits import global_prefix_sum
 
-    ranked = global_prefix_sum(
-        spark, df.withColumn("__one", F.lit(1)), (key, "doc_id"), "__one"
+    ranked, n = global_prefix_sum(
+        spark,
+        df.withColumn("__one", F.lit(1)),
+        (key, "doc_id"),
+        "__one",
+        return_total=True,
+        name="mad_rank",
     )
+    if n == 0:
+        return None, 0
     row = (
-        ranked.filter((F.col("__base") + F.col("__local_end")) == rank)
+        ranked.filter((F.col("__base") + F.col("__local_end")) == (n + 1) // 2)
         .select(key)
         .first()
     )
-    return None if row is None else row[0]
+    return (None if row is None else row[0]), n
 
 
 def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD robust token-length outlier flags per document
     (distributed nearest-rank medians — see `_length_outliers_sql` for
     why not unpartitioned windows)."""
+    from ..sources.tables import materialize_scan
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     toks = _toks("spark")
-    lens = spark.sql(
-        f"SELECT doc_id, CAST(size({toks}) AS BIGINT) AS n_tokens FROM documents"
+    # stage the tokenize-every-document projection ONCE: the two rank
+    # passes and the final select would otherwise each re-read and
+    # re-tokenize the documents payload column (review finding)
+    lens = materialize_scan(
+        spark,
+        spark.sql(
+            f"SELECT doc_id, CAST(size({toks}) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "mad_lens",
     )
-    n = lens.count()
-    if n == 0:  # reference form: empty med join -> empty relation
+    med, n = _rank_median(spark, lens, "n_tokens")
+    if n == 0 or med is None:
+        # empty corpus, or the nearest-rank row holds a NULL length
+        # (majority-NULL text): the reference form degrades to the
+        # empty relation / NULL flags — don't build literal SQL from
+        # Python None (review finding)
         return spark.sql(_length_outliers_sql("spark"))
-    target = (n + 1) // 2
-    med = _rank_element(spark, lens, "n_tokens", target)
-    devs = lens.select(
-        "doc_id", F.expr(f"abs(n_tokens - {med}) AS dev")
-    )
-    mad = _rank_element(spark, devs, "dev", target)
+    devs = lens.select("doc_id", F.expr(f"abs(n_tokens - {med}) AS dev"))
+    mad, _ = _rank_median(spark, devs, "dev")
+    if mad is None:
+        return spark.sql(_length_outliers_sql("spark"))
     return lens.select(
         "doc_id",
         "n_tokens",

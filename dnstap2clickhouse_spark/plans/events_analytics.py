@@ -2196,16 +2196,23 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.splits import global_prefix_sum
 
     ev = load_table(spark, sf_dir, "events").select("value", "event_id")
-    ranked = global_prefix_sum(
-        spark, ev.withColumn("__one", F.lit(1)), ("value", "event_id"), "__one"
-    ).withColumn("r", F.col("__base") + F.col("__local_end"))
-    # n via one map-side-combined aggregate on the narrow projection —
-    # the same pass count(*) OVER () needed, without the 1-task window
-    n_df = F.broadcast(ev.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    ranked, n = global_prefix_sum(
+        spark,
+        ev.withColumn("__one", F.lit(1)),
+        ("value", "event_id"),
+        "__one",
+        return_total=True,
+        name="eqd_rank",
+    )
+    if n == 0:  # reference form: empty ranked relation -> empty output
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+        return spark.sql(_equidepth_histogram_sql("spark"))
+    # n comes free from the prefix sum's own driver offset pass — a
+    # count(*) here would be a second full scan (review finding)
     return (
-        ranked.crossJoin(n_df)
+        ranked.withColumn("r", F.col("__base") + F.col("__local_end"))
         .select(
-            F.expr(f"CAST((r - 1) * {EQD_BUCKETS} div n AS BIGINT)").alias("bucket"),
+            F.expr(f"CAST((r - 1) * {EQD_BUCKETS} div {n} AS BIGINT)").alias("bucket"),
             "value",
         )
         .groupBy("bucket")
@@ -3005,11 +3012,18 @@ def _value_drift_sql(dialect: str) -> str:
     training bins. Completes the drift family: `sim_embedding_drift`
     (vectors), `dns_traffic_drift` (categorical), this (numeric).
 
-    Scale shape: one 1-row span broadcast, one global sort of the
-    REFERENCE half for the 9 edge ranks (at 100 TB: sample or use the
-    `events_equidepth_histogram` sketch edges — the documented knob),
-    then a narrow 9-comparison bucket map and one (half, bucket)
-    aggregate onto <= 20 rows; shares are windows over that table.
+    Scale shape: one 1-row span broadcast, nine exact nearest-rank
+    edge selections over the REFERENCE half, then a narrow
+    9-comparison bucket map and one (half, bucket) aggregate onto
+    <= 20 rows; shares are windows over that table. This is the
+    ORACLE/reference form — its ``ranked`` CTE is an unpartitioned
+    ``row_number`` over half the corpus (the `global-window` hazard),
+    so the Spark entry stages ``tagged`` once (`materialize_scan`),
+    ranks the reference half via the distributed prefix sum, collects
+    the <= 9 edge rows (bounded, the query-vector class), and splices
+    both in; the bucket map and shares SQL is shared verbatim.
+    Equality is test-pinned. (At 100 TB the sketch-edge variant
+    remains the documented cheaper knob: `events_equidepth_histogram`.)
     """
     us = "unix_micros(ts)" if dialect == "spark" else "epoch_us(ts)"
     idiv = "div" if dialect == "spark" else "//"
@@ -3059,12 +3073,76 @@ ORDER BY bucket
 """
 
 
+#: anchors splitting ``_value_drift_sql`` into (c/b/tagged corpus pass),
+#: (ref/ranked/n1/edges — the rank machinery the prefix sum replaces),
+#: and the shared bucket/share tail — each must match exactly once.
+_VD_REF_ANCHOR = "\nref AS ("
+_VD_TAIL_ANCHOR = "\nbucketed AS ("
+
+
 def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-decile value-share drift vs the reference-half edges."""
+    """Per-decile value-share drift vs the reference-half edges
+    (staged corpus pass + prefix-sum edge ranks — see
+    `_value_drift_sql` for why not an unpartitioned window)."""
+    from ..functions.splits import global_prefix_sum
     from ..sources.tables import register_views
 
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_value_drift_sql("spark"))
+    sql = _value_drift_sql("spark")
+    i1, i2 = sql.find(_VD_REF_ANCHOR), sql.find(_VD_TAIL_ANCHOR)
+    if (
+        sql.count(_VD_REF_ANCHOR) != 1
+        or sql.count(_VD_TAIL_ANCHOR) != 1
+        or not 0 < i1 < i2
+        or not sql[:i1].rstrip().endswith("CROSS JOIN b),")
+    ):
+        raise RuntimeError("value_drift splice anchor drifted")
+    tagged = materialize_scan(
+        spark,
+        spark.sql(sql[:i1].rstrip().rstrip(",") + "\nSELECT event_id, cents, h FROM tagged"),
+        "vd_tagged",
+    )
+    tagged.createOrReplaceTempView("__vd_tagged")
+    ref = tagged.filter("h = 0").select("cents", "event_id")
+    ranked, n = global_prefix_sum(
+        spark,
+        ref.withColumn("__one", F.lit(1)),
+        ("cents", "event_id"),
+        "__one",
+        return_total=True,
+        name="vd_rank",
+    )
+    # rank (k*n) div 10 per decile k, exactly the SQL join's semantics:
+    # rank 0 (tiny reference half) matches no row, duplicate ranks give
+    # each decile its own row. <= 9 collected rows — bounded.
+    targets = [(k, (k * n) // 10) for k in range(1, 10)]
+    want = {t for _, t in targets if t >= 1}
+    at = {
+        r["rk"]: r["cents"]
+        for r in ranked.withColumn("rk", F.col("__base") + F.col("__local_end"))
+        .filter(F.col("rk").isin(list(want)) if want else F.lit(False))
+        .select("rk", "cents")
+        .collect()
+    }
+    edges = [(k, at[t]) for k, t in targets if t in at]
+    # VALUES literal, not createDataFrame: a LocalTableScan leaf is
+    # plan-visibly bounded under the audit's no-auto-broadcast regime
+    # (the nprobe-ladder precedent); Scan ExistingRDD is not
+    if edges:
+        vals = ", ".join(f"({k}, CAST({e} AS BIGINT))" for k, e in edges)
+        edges_cte = f"edges AS (SELECT k, edge FROM (VALUES {vals}) AS t(k, edge))"
+    else:  # tiny reference half: every decile rank is 0 — no edges
+        edges_cte = (
+            "edges AS (SELECT CAST(NULL AS INT) AS k,"
+            " CAST(NULL AS BIGINT) AS edge WHERE 1 = 0)"
+        )
+    return spark.sql(
+        "WITH tagged AS (SELECT event_id, cents, h FROM __vd_tagged),\n"
+        + edges_cte
+        + ","
+        + _VD_TAIL_ANCHOR
+        + sql.split(_VD_TAIL_ANCHOR)[1]
+    )
 
 
 def value_drift_sql() -> str:

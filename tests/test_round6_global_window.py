@@ -112,6 +112,121 @@ def test_vocab_growth_anchor_present_exactly_once():
     assert ftext._vocab_growth_sql("spark").startswith("\nWITH ordered AS (")
 
 
+MULTI_ARG_ORDER = (
+    "+- Window [row_number() windowspecdefinition(coalesce(a#1, b#2) ASC NULLS FIRST, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS r#9], "
+    "[coalesce(a#1, b#2) ASC NULLS FIRST]"
+)
+MULTI_ARG_PARTITION = (
+    "+- Window [min(x#3) windowspecdefinition(coalesce(a#1, b#2), "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) "
+    "AS m#9], [coalesce(a#1, b#2)]"
+)
+
+
+def test_window_spec_parsing_multi_arg_expressions():
+    """Review finding: a naive comma split classified an ORDER BY over a
+    multi-argument expression as partitioned (first fragment lost its
+    direction marker) — the hazard class silently passed."""
+    assert _window_unpartitioned(MULTI_ARG_ORDER)
+    assert not _window_unpartitioned(MULTI_ARG_PARTITION)
+
+
+def test_global_window_flagged_despite_aggregated_join_side(spark):
+    """Review finding: a reducer ANYWHERE in the subtree used to bound
+    the window, but the window consumes the JOIN OUTPUT — an aggregate
+    on one join side bounds nothing about the fact side's rows."""
+    from dnstap2clickhouse_spark.sources.tables import load_table
+
+    load_table(spark, SF, "events").createOrReplaceTempView("events")
+    bad = spark.sql(
+        "SELECT row_number() OVER (ORDER BY e.value, e.event_id) AS r "
+        "FROM events e JOIN (SELECT user_id, count(*) AS c FROM events "
+        "GROUP BY user_id) u ON e.user_id = u.user_id"
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "global-window" in audit_plan(plan)
+
+
+def test_value_drift_prefix_sum_equals_sql(spark):
+    """The path-aware detector's catch: value_drift ranked the reference
+    half through an unpartitioned window (its aggregated join side used
+    to 'bound' it). The staged + prefix-sum form must be row-exact and
+    audit-clean."""
+    got = _rows(ev.value_drift(spark, SF))
+    ref = _rows(spark.sql(ev._value_drift_sql("spark")))
+    assert got == ref and len(got) > 0
+    plan = ev.value_drift(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert audit_plan(plan) == []
+
+
+def test_value_drift_anchors_present():
+    s = ev._value_drift_sql("spark")
+    assert s.count(ev._VD_REF_ANCHOR) == 1
+    assert s.count(ev._VD_TAIL_ANCHOR) == 1
+
+
+def test_prefix_sum_return_total(spark):
+    from dnstap2clickhouse_spark.functions.splits import global_prefix_sum
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("w")
+    )
+    ranked, total = global_prefix_sum(spark, df, "doc_id", "w", return_total=True)
+    assert total == sum(i % 7 for i in range(100))
+    assert ranked.count() == 100
+    # empty input: total 0, no crash
+    _, zero = global_prefix_sum(
+        spark, df.filter("doc_id < 0"), "doc_id", "w", return_total=True
+    )
+    assert zero == 0
+
+
+def test_prefix_sum_output_reads_staged_snapshot(spark):
+    """10x-replica finding: the helper's plan used to execute TWICE (the
+    totals collect, then the returned join) and the two executions'
+    range boundaries / partition ids diverged — ranks came back as a
+    NON-permutation (max 1,013,898 over n=1,000,000). The returned
+    lineage must therefore read the parquet SNAPSHOT of the partitioned
+    cumsum, never re-run the range exchange."""
+    from dnstap2clickhouse_spark.functions.splits import global_prefix_sum
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("w")
+    )
+    ranked = global_prefix_sum(spark, df, "doc_id", "w")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "materialized/prefix_sum" in plan  # snapshot scan
+    assert "rangepartitioning" not in plan.lower()  # exchange not re-run
+    # and the ranks are an exact permutation
+    rk = ranked.select((F.col("__base") + F.col("__local_end")).alias("r"))
+    agg = rk.agg(F.min("r"), F.max("r"), F.countDistinct("r")).collect()[0]
+    assert tuple(agg) == (1, 1000, 1000)
+
+
+def test_length_outliers_majority_null_text_falls_back(spark):
+    """Review finding: a majority-NULL corpus put Python None into the
+    SQL text ('abs(n_tokens - None)') and crashed where the reference
+    form degrades to NULL flags — now it falls back to the reference."""
+    import unittest.mock as mock
+
+    rows = [(i, None, "en", "s", 0) for i in range(8)] + [
+        (8, "a b c", "en", "s", 5),
+        (9, "a b", "en", "s", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    with mock.patch.object(ftext, "load_table", lambda s, d, n: s.table("documents")):
+        got = sorted(map(tuple, ftext.length_outliers(spark, SF).collect()))
+        ref = sorted(
+            map(tuple, spark.sql(ftext._length_outliers_sql("spark")).collect())
+        )
+        assert got == ref and len(got) == 10
+
+
 def test_length_outliers_empty_corpus_matches_reference(spark):
     import unittest.mock as mock
 

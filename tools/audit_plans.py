@@ -227,6 +227,28 @@ def _bounded(body: str) -> bool:
 def _scans_fact(body: str) -> bool:
     return any(re.search(rf"{t}\.parquet", body) for t in FACT_TABLES)
 
+def _split_top_level(args: str) -> list[str]:
+    """Split a treeString argument list at TOP-LEVEL commas only — a
+    naive split breaks on any multi-argument expression
+    (``coalesce(a#1, b#2) ASC`` would split mid-expression and lose its
+    direction marker; review finding)."""
+    out, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def _window_unpartitioned(line: str) -> bool:
     """True iff a ``Window`` treeString line's spec has NO partition
     columns. In ``windowspecdefinition(args..., specifiedwindowframe(...``
@@ -239,10 +261,42 @@ def _window_unpartitioned(line: str) -> bool:
     args = m.group(1).strip().rstrip(",").strip()
     if not args:
         return True  # e.g. count(1) OVER () — no partition, no order
-    first = args.split(",")[0].strip()
+    parts = _split_top_level(args)
+    if not parts:
+        return True
+    first = parts[0]
     # a partition column is a bare expression; an order column carries
     # a direction marker. Partition columns always precede order ones.
-    return " ASC" in first or " DESC" in first
+    return first.endswith(("ASC", "DESC")) or " ASC NULLS" in first or " DESC NULLS" in first
+
+
+def _unreduced_fact_path(sub: list[str]) -> bool:
+    """True iff some FACT scan in the subtree reaches the root (the
+    window's input) with NO reducer / WindowGroupLimit on its ancestor
+    chain. "Reducer anywhere in the subtree" is wrong for windows: the
+    window consumes the JOIN OUTPUT, so an aggregate on one join side
+    bounds nothing about the other side's rows (review finding)."""
+
+    def depth(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*("))
+
+    bounded_marks = REDUCERS + ("WindowGroupLimit",)
+    for j, line in enumerate(sub):
+        if j == 0 or not _scans_fact(line):
+            continue
+        cur = depth(line)
+        path_bounded = False
+        for k in range(j - 1, 0, -1):  # ancestors strictly below the root
+            if not sub[k].strip():
+                continue
+            if depth(sub[k]) < cur:
+                cur = depth(sub[k])
+                if any(r in sub[k] for r in bounded_marks):
+                    path_bounded = True
+                    break
+        if not path_bounded:
+            return True
+    return False
 
 
 def audit_plan(plan: str) -> list[str]:
@@ -251,13 +305,8 @@ def audit_plan(plan: str) -> list[str]:
     lines = plan.split("\n")
     for i, line in enumerate(lines):
         if re.search(r"\bWindow \[", line) and _window_unpartitioned(line):
-            body = "\n".join(_subtree(lines, i)[1:])
-            if (
-                _scans_fact(body)
-                and not _bounded(body)
-                and "WindowGroupLimit" not in body
-                and "global-window" not in hazards
-            ):
+            sub = _subtree(lines, i)
+            if _unreduced_fact_path(sub) and "global-window" not in hazards:
                 hazards.append("global-window")
         if "CartesianProduct" in line or "BroadcastNestedLoopJoin" in line:
             body = "\n".join(_subtree(lines, i))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -76,15 +77,22 @@ def main() -> None:
         .appName("check-correctness")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
+        # replica-scale sweeps: a handful of entries return corpus-scale
+        # relations (pair verifiers); the COMPARE collects them, and the
+        # default 1g result cap kills the sweep harness, not the engine
+        .config("spark.driver.maxResultSize", "6g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        # replica corpora (tools/make_scale_data.py) are parquet
+        # DIRECTORIES of part files; the driver corpus is single files
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
