@@ -137,31 +137,61 @@ SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+def _value_quantiles_sql(dialect: str) -> str:
+    """Exact interpolated percentiles per event type, as ONE shared
+    SQL text in both dialects: per-type rank + explicit linear
+    interpolation ``v_lo + (v_hi - v_lo) * frac`` with
+    ``frac = p*(n-1) - floor(p*(n-1))``.
+
+    The previous form used each engine's built-in (Spark ``percentile``
+    vs DuckDB ``quantile_cont``): algebraically the same interpolation,
+    but DIFFERENT floating evaluation orders — the 10x-replica sweep
+    caught a last-ulp p99 divergence (230.53 vs 230.53000000000003)
+    that every gate-scale corpus missed by luck. With the interpolation
+    spelled out once and shared, both engines evaluate the identical
+    double expression and the hash is bit-exact at any scale (the
+    module's shared-fold discipline). The rank window is partitioned by
+    event_type (bounded domain — the `events_exact_percentiles`
+    precedent); the 100 TB one-pass flavor remains `approx_percentile`
+    (`events_sketch_stats`).
+    """
+    del dialect  # one shared text — the point
+    sels, outs = [], []
+    for p in (50, 95, 99):
+        f = p / 100.0
+        idx = f"{f} * (n - 1)"
+        lo = f"CAST(floor({idx}) AS BIGINT) + 1"
+        sels.append(f"max(CASE WHEN r = {lo} THEN value END) AS lo{p}")
+        sels.append(f"max(CASE WHEN r = least({lo} + 1, n) THEN value END) AS hi{p}")
+        outs.append(f"lo{p} + (hi{p} - lo{p}) * ({idx} - floor({idx})) AS p{p}")
+    sel = ",\n         ".join(sels)
+    out = ",\n       ".join(outs)
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+sel AS (
+  SELECT event_type, max(n) AS n,
+         {sel},
+         min(value) AS vmin, max(value) AS vmax
+  FROM ranked GROUP BY event_type)
+SELECT event_type,
+       {out},
+       vmin, vmax
+FROM sel ORDER BY event_type
+"""
+
+
 def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per event type (Spark `percentile`
-    == DuckDB `quantile_cont`, bit-identical — verified). At 100 TB the
-    one-pass mergeable flavor is `approx_percentile` (KLL-style sketch);
-    exact `percentile` materializes per-group value lists and is the
-    oracle-comparable form."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    ).orderBy("event_type")
+    """Exact interpolated per-type percentiles (shared-text
+    interpolation — see `_value_quantiles_sql`)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_value_quantiles_sql("spark"))
 
 def value_quantiles_sql() -> str:
-    return """
-SELECT event_type,
-       quantile_cont(value, 0.5) AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       quantile_cont(value, 0.99) AS p99,
-       min(value) AS vmin,
-       max(value) AS vmax
-FROM events GROUP BY event_type ORDER BY event_type
-"""
+    return _value_quantiles_sql("duckdb")
 
 def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-hierarchy rollup: per (day, event_type) counts plus per-day
