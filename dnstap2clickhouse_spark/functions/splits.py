@@ -269,7 +269,7 @@ def global_prefix_sum(
     if not return_total:
         return out
     if groups:
-        return out, {k: v for k, v in group_totals.items()}
+        return out, group_totals
     return out, group_totals.get((), 0)
 
 

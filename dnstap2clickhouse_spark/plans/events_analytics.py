@@ -154,6 +154,15 @@ def _value_quantiles_sql(dialect: str) -> str:
     event_type (bounded domain — the `events_exact_percentiles`
     precedent); the 100 TB one-pass flavor remains `approx_percentile`
     (`events_sketch_stats`).
+
+    NULL handling mirrors the builtins exactly (review finding — the
+    first draft counted NULL values in ``n`` and inherited each
+    engine's DIFFERENT default NULL sort placement): non-null values
+    rank first via the portable ``(value IS NULL)`` boolean sort key,
+    ``n`` counts only non-null values, so an all-NULL type keeps its
+    row with NULL percentiles/min/max (rank targets fall to 0 and
+    select nothing), and a partly-NULL type interpolates over the
+    non-null ranks 1..n — both pinned in tests against the builtin.
     """
     del dialect  # one shared text — the point
     sels, outs = [], []
@@ -169,8 +178,9 @@ def _value_quantiles_sql(dialect: str) -> str:
     return f"""
 WITH ranked AS (
   SELECT event_type, value,
-         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
-         count(*) OVER (PARTITION BY event_type) AS n
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY (value IS NULL), value, event_id) AS r,
+         count(value) OVER (PARTITION BY event_type) AS n
   FROM events),
 sel AS (
   SELECT event_type, max(n) AS n,
@@ -3155,6 +3165,12 @@ def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     }
     edges = [(k, at[t]) for k, t in targets if t in at]
+    if any(v is None for _, v in edges):
+        # a decile rank landed on a NULL-cents row (NULL-heavy value
+        # column): don't build literal SQL from Python None (the
+        # length_outliers review-finding class) — the reference form
+        # degrades gracefully to NULL comparisons instead
+        return spark.sql(sql)
     # VALUES literal, not createDataFrame: a LocalTableScan leaf is
     # plan-visibly bounded under the audit's no-auto-broadcast regime
     # (the nprobe-ladder precedent); Scan ExistingRDD is not

@@ -137,10 +137,7 @@ def scan_census(plan: str) -> dict[str, tuple[int, int]]:
     # pagerank/kcore/farthest forms) READS the cache; counting its
     # rendered lineage would report the opposite of the truth. Skip
     # every line at deeper indentation than an InMemoryRelation root.
-    skip_until: int | None = None
-
-    def _depth(s: str) -> int:
-        return len(s) - len(s.lstrip(" :+-*("))
+    skip_until: int | None = None  # uses the module-level _depth
 
     for line in lines:
         if skip_until is not None:
@@ -206,17 +203,25 @@ def scan_census_df(df) -> dict[str, tuple[int, int]]:
     return scan_census("\n".join(lines))
 
 
+def _depth(s: str) -> int:
+    """Tree depth of a treeString line: the length of its branch-marker
+    prefix (spaces, ``:``, ``+``, ``-``). The whole-stage-codegen label
+    ``*(n)`` that FOLLOWS the marker is part of the node name, NOT
+    indentation — stripping ``*(`` too made a codegen node read 2-3
+    levels deeper than its non-codegen sibling, so an ancestor walk
+    could mistake the OTHER join side's non-codegen aggregate for an
+    ancestor (review finding: a false negative in the global-window
+    path check whenever codegen/non-codegen siblings mix)."""
+    return len(s) - len(s.lstrip(" :+-"))
+
+
 def _subtree(lines: list[str], start: int) -> list[str]:
     """Lines belonging to the operator subtree rooted at ``start`` in a
     treeString (children are more-indented until a sibling at <= depth)."""
-
-    def depth(s: str) -> int:
-        return len(s) - len(s.lstrip(" :+-*("))
-
-    d0 = depth(lines[start])
+    d0 = _depth(lines[start])
     out = [lines[start]]
     for line in lines[start + 1 :]:
-        if line.strip() and depth(line) <= d0:
+        if line.strip() and _depth(line) <= d0:
             break
         out.append(line)
     return out
@@ -276,10 +281,7 @@ def _unreduced_fact_path(sub: list[str]) -> bool:
     chain. "Reducer anywhere in the subtree" is wrong for windows: the
     window consumes the JOIN OUTPUT, so an aggregate on one join side
     bounds nothing about the other side's rows (review finding)."""
-
-    def depth(s: str) -> int:
-        return len(s) - len(s.lstrip(" :+-*("))
-
+    depth = _depth  # codegen-marker-aware shared definition
     bounded_marks = REDUCERS + ("WindowGroupLimit",)
     for j, line in enumerate(sub):
         if j == 0 or not _scans_fact(line):
