@@ -1259,10 +1259,15 @@ def _zorder_layout_sql(dialect: str) -> str:
     ORDER BY-key data skipping generalized to 2 dimensions.
     """
     idiv = "div" if dialect == "spark" else "//"
-    if dialect == "spark":
-        secs = "(unix_micros(e.ts) - unix_micros(b.t0)) div 1000000"
-    else:
-        secs = "CAST(date_diff('second', b.t0, e.ts) AS BIGINT)"
+    # one exact-integer seconds form in BOTH dialects: floor of the
+    # microsecond difference. The first draft used DuckDB
+    # date_diff('second', ...), which counts second-BOUNDARY crossings
+    # — off by one per row whenever t0 carries a fractional second, so
+    # the 10x replica (whose day-shifted copies moved the span) caught
+    # a cross-engine zone-rectangle divergence every gate corpus missed.
+    us = "unix_micros" if dialect == "spark" else "epoch_us"
+    secs = f"({us}(e.ts) - {us}(b.t0)) {idiv} 1000000"
+    span = f"({us}(b.t1) - {us}(b.t0)) {idiv} 1000000"
     top = (1 << ZORDER_BITS) - 1
     z = _zorder_interleave("u16", "h16")
     return f"""
@@ -1277,7 +1282,7 @@ dims AS (
            {idiv} (CASE WHEN b.u_hi > b.u_lo THEN b.u_hi - b.u_lo ELSE 1 END) AS u16,
          (({secs}) * {top})
            {idiv} (CASE WHEN b.t1 > b.t0
-                        THEN CAST(date_diff('second', b.t0, b.t1) AS BIGINT)
+                        THEN {span}
                         ELSE 1 END) AS h16
   FROM events e CROSS JOIN bounds b),
 zvals AS (SELECT user_id, hour_idx, {z} AS zval FROM dims)
@@ -1294,11 +1299,7 @@ ORDER BY z_bucket
 def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map summary of the Z-order layout pass (see builder)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    sql = _zorder_layout_sql("spark").replace(
-        "CAST(date_diff('second', b.t0, b.t1) AS BIGINT)",
-        "(unix_micros(b.t1) - unix_micros(b.t0)) div 1000000",
-    )
-    return spark.sql(sql)
+    return spark.sql(_zorder_layout_sql("spark"))
 
 
 def zorder_layout_sql() -> str:
@@ -3022,11 +3023,7 @@ ORDER BY z.z_bucket
 def zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket scan/skip decision for a mid-quartile 2-D predicate."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    sql = _zonemap_prune_sql("spark").replace(
-        "CAST(date_diff('second', b.t0, b.t1) AS BIGINT)",
-        "(unix_micros(b.t1) - unix_micros(b.t0)) div 1000000",
-    )
-    return spark.sql(sql)
+    return spark.sql(_zonemap_prune_sql("spark"))
 
 
 def zonemap_prune_sql() -> str:

@@ -147,6 +147,45 @@ def test_audit_depth_ignores_codegen_marker():
     assert "global-window" in audit_plan(plan)
 
 
+def test_zorder_seconds_form_shared_and_fraction_safe(spark):
+    """Replica-sweep catch: DuckDB date_diff('second', ...) counts
+    second-BOUNDARY crossings while Spark floors the micros diff — off
+    by one per row whenever t0 carries a fractional second. Both
+    dialects now share the exact floor-of-micros form; pinned on an
+    engineered corpus whose t0 sits at x.9 s (every later event inside
+    0.1 s of a boundary, maximizing the old divergence)."""
+    import unittest.mock as mock
+
+    assert "date_diff('second'" not in ev._zorder_layout_sql("duckdb")
+    assert "date_diff('second'" not in ev._zonemap_prune_sql("duckdb")
+
+    # t0 = 0.9s; events at +0.2s steps — boundary counting and floor
+    # disagree on most rows under the old form
+    rows = [
+        (i, "a", float(i), i % 3, 900_000 + i * 200_000) for i in range(50)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT CAST(event_id AS BIGINT) AS event_id,"
+        " event_type, value, CAST(user_id AS BIGINT) AS user_id,"
+        " make_timestamp(us) AS ts FROM (SELECT * FROM (VALUES "
+        + ", ".join(f"({a}, '{b}', {c}, {d}, {e})" for a, b, c, d, e in rows)
+        + ") t(event_id, event_type, value, user_id, us))"
+    )
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        rows, "event_id BIGINT, event_type STRING, value DOUBLE, user_id BIGINT, us BIGINT"
+    ).withColumn("ts", F.expr("timestamp_micros(us)")).drop("us").createOrReplaceTempView(
+        "events"
+    )
+    with mock.patch.object(ev, "load_table", lambda s, d, n: s.table("events")):
+        got = ev.zorder_layout(spark, SF).toPandas()
+    oracle = con.execute(ev.zorder_layout_sql()).df()
+    assert got.reset_index(drop=True).equals(oracle.reset_index(drop=True))
+    assert len(got) > 0
+
+
 def test_value_quantiles_single_row_group(spark):
     """n=1: idx=0, lo=hi=the value, frac=0 — exact, no NULLs."""
     spark.createDataFrame(
