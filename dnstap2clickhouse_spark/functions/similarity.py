@@ -653,6 +653,31 @@ def kmeans_k(n_vectors: int) -> int:
     """Python mirror of the in-SQL cell-count derivation (for tests and
     sizing tools): ceil(n / KMEANS_TARGET_OCCUPANCY), floor KMEANS_MIN_K."""
     return max(KMEANS_MIN_K, -(-int(n_vectors) // KMEANS_TARGET_OCCUPANCY))
+
+
+#: ``assignment='auto'`` switches to the two-level coarse-pruned form
+#: once the corpus-derived k reaches this bound. SCALING.md round 6
+#: measured the crossover on the 10x replica with the aggregate argmin:
+#: flat still WINS at k=400 (22.43 vs 25.43 s) and loses 3.4x at
+#: k=2,000 (109.45 vs 32.00 s) — the boundary is recorded at the
+#: measured win cell. With k = ceil(n/500) this trips at ~1M vectors,
+#: so a 100 TB caller on 'auto' cannot ship the flat n*k form by
+#: default (r6 verdict item 5).
+KMEANS_AUTO_TWOLEVEL_K = 2_000
+
+
+def resolve_assignment(spark: SparkSession, assignment: str) -> str:
+    """Resolve ``'auto'`` to ``'flat'`` / ``'twolevel'`` from the SAME
+    corpus-derived k the plan itself computes (`kmeans_k` mirrors the
+    in-SQL ``kk`` CTE bit-for-bit): one ``count(*)`` over the registered
+    ``embeddings`` view — parquet footer statistics, no payload scan —
+    then the SCALING.md deployment rule ``KMEANS_AUTO_TWOLEVEL_K``.
+    Explicit ``'flat'``/``'twolevel'`` pass through untouched (the
+    contract entries pin ``'flat'`` for oracle stability)."""
+    if assignment != "auto":
+        return assignment
+    k = kmeans_k(spark.table("embeddings").count())
+    return "twolevel" if k >= KMEANS_AUTO_TWOLEVEL_K else "flat"
 _E9 = 1_000_000_000
 
 def _qarr_sql(dialect: str) -> str:
@@ -839,7 +864,10 @@ a2 AS ({assign("c1")})
 SELECT vec_id, cluster FROM a2 ORDER BY vec_id
 """
     if assignment != "twolevel":
-        raise ValueError(f"assignment must be 'flat' or 'twolevel': {assignment!r}")
+        raise ValueError(
+            "assignment must be 'flat' or 'twolevel' (resolve 'auto' via "
+            f"resolve_assignment before building SQL): {assignment!r}"
+        )
 
     # ---- twolevel: each Lloyd assignment step is coarse-pruned (IVF).
     # Same exact-integer distance folds and lowest-id tie-breaks as the
@@ -925,10 +953,11 @@ def kmeans_assign(
 ) -> DataFrame:
     """Cluster assignment after two Lloyd iterations (corpus-derived k).
     ``assignment='twolevel'`` routes both Lloyd assignment steps through
-    the IVF coarse quantizer (see ``_kmeans_sql``); the contract entry
-    pins the default ``'flat'`` for oracle stability."""
+    the IVF coarse quantizer (see ``_kmeans_sql``); ``'auto'`` derives
+    the choice from the corpus-derived k (`resolve_assignment`); the
+    contract entry pins the default ``'flat'`` for oracle stability."""
     _register(spark, sf_dir)
-    return spark.sql(_kmeans_sql("spark", assignment))
+    return spark.sql(_kmeans_sql("spark", resolve_assignment(spark, assignment)))
 
 def kmeans_assign_sql() -> str:
     return _kmeans_sql("duckdb")
@@ -1361,9 +1390,11 @@ def semantic_dedup(
     """Per-vector SemDeDup verdict: cluster id, kept flag, and the
     lower-id intra-cluster near-duplicate it defers to (or -1).
     ``assignment='twolevel'`` runs the clustering stage coarse-pruned
-    (see ``_kmeans_sql``); the contract entry pins ``'flat'``."""
+    (see ``_kmeans_sql``); ``'auto'`` derives the choice from the
+    corpus-derived k (`resolve_assignment`); the contract entry pins
+    ``'flat'``."""
     _register(spark, sf_dir)
-    return spark.sql(_semantic_dedup_sql("spark", assignment))
+    return spark.sql(_semantic_dedup_sql("spark", resolve_assignment(spark, assignment)))
 
 
 def semantic_dedup_sql() -> str:
@@ -2634,9 +2665,11 @@ def knn_graph(
 ) -> DataFrame:
     """Top-``KNN_K`` same-cell neighbors per vector (exact cosine).
     ``assignment='twolevel'`` runs the clustering stage coarse-pruned
-    (see ``_kmeans_sql``); the contract entry pins ``'flat'``."""
+    (see ``_kmeans_sql``); ``'auto'`` derives the choice from the
+    corpus-derived k (`resolve_assignment`); the contract entry pins
+    ``'flat'``."""
     _register(spark, sf_dir)
-    return spark.sql(_knn_graph_sql("spark", assignment))
+    return spark.sql(_knn_graph_sql("spark", resolve_assignment(spark, assignment)))
 
 
 def knn_graph_sql() -> str:
@@ -2857,9 +2890,11 @@ def hard_negatives(
 ) -> DataFrame:
     """Top cross-label in-cell negatives per anchor (exact cosine).
     ``assignment='twolevel'`` runs the clustering stage coarse-pruned
-    (see ``_kmeans_sql``); the contract entry pins ``'flat'``."""
+    (see ``_kmeans_sql``); ``'auto'`` derives the choice from the
+    corpus-derived k (`resolve_assignment`); the contract entry pins
+    ``'flat'``."""
     _register(spark, sf_dir)
-    return spark.sql(_hard_negatives_sql("spark", assignment))
+    return spark.sql(_hard_negatives_sql("spark", resolve_assignment(spark, assignment)))
 
 
 def hard_negatives_sql() -> str:

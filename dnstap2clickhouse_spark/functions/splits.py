@@ -172,6 +172,12 @@ ORDER BY doc_id
 
 SEQ_LEN = 64  # tokens per training chunk (small so the test corpus spans many)
 
+#: cap on the (group x partition) totals table global_prefix_sum collects
+#: to the driver for its base-offset pass. Generous for every legitimate
+#: caller (bounded groups x O(1000) partitions) yet small enough that the
+#: guarded collect + broadcast stays trivially driver-safe.
+MAX_PREFIX_TOTALS = 1_000_000
+
 def global_prefix_sum(
     spark: SparkSession,
     df: DataFrame,
@@ -208,6 +214,9 @@ def global_prefix_sum(
     (group × partition) total table must stay driver-small — true when
     group cardinality is bounded (languages, domains); an unbounded
     group column calls for a plain window partitioned by it instead.
+    ENFORCED: the totals collect is LIMIT-bounded at
+    ``MAX_PREFIX_TOTALS`` and raises with that guidance rather than
+    melting the driver if a call site ever passes an unbounded group.
 
     ``return_total=True`` additionally returns the GLOBAL weight total
     (ungrouped: one int; grouped: dict of group-key tuple -> total) —
@@ -242,12 +251,24 @@ def global_prefix_sum(
     local = materialize_scan(
         spark, parts.withColumn("__local_end", F.sum(weight_col).over(w)), name
     )
-    totals = sorted(
-        (tuple(r[g] for g in groups), r["__pid"], r["t"])
-        for r in local.groupBy(*(groups + ["__pid"]))
-        .agg(F.max("__local_end").alias("t"))
-        .collect()
+    totals_agg = local.groupBy(*(groups + ["__pid"])).agg(
+        F.max("__local_end").alias("t")
     )
+    # the (group x partition) totals table must stay driver-small (see
+    # docstring); LIMIT the collect so an unbounded group column raises
+    # with guidance instead of melting the driver — the limit sits above
+    # the aggregate, so the driver never receives more than the cap + 1
+    # rows regardless of the true cardinality (r6 verdict item 7)
+    rows = totals_agg.limit(MAX_PREFIX_TOTALS + 1).collect()
+    if len(rows) > MAX_PREFIX_TOTALS:
+        raise ValueError(
+            f"global_prefix_sum: (group x partition) totals exceed "
+            f"{MAX_PREFIX_TOTALS} rows — group_cols={groups!r} is too "
+            "high-cardinality for the driver-side base-offset pass. Use a "
+            "plain window partitioned by the group column instead (each "
+            "group fits one task), or reduce the group cardinality."
+        )
+    totals = sorted((tuple(r[g] for g in groups), r["__pid"], r["t"]) for r in rows)
     offsets, base, cur_group = [], 0, None
     group_totals: dict[tuple, int] = {}
     for gkey, pid, t in totals:
@@ -557,9 +578,13 @@ def interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-loading-order analogue of ``curate_domain_mix``.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # distinct staging names per call site: two prefix sums under ONE
+    # name with keep=2 would consume both retention slots per invocation,
+    # expiring a previously returned handle one re-invocation early
+    # (r6 ADVICE finding)
     ranked = global_prefix_sum(
         spark, docs.withColumn("__one", F.lit(1)), "doc_id", "__one", ("lang",),
-        name="imix_rank",
+        name="imix_rank1",
     ).selectExpr("doc_id", "lang", "__base + __local_end AS r")
     keyed = ranked.selectExpr(
         "doc_id",
@@ -567,7 +592,7 @@ def interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(2 * r - 1) * {MIX_SCALE} div (2 * ({_mix_weight_sql('lang')})) AS sched_key",
     ).withColumn("__one", F.lit(1))
     return (
-        global_prefix_sum(spark, keyed, ("sched_key", "lang", "doc_id"), "__one", name="imix_rank")
+        global_prefix_sum(spark, keyed, ("sched_key", "lang", "doc_id"), "__one", name="imix_rank2")
         .selectExpr("__base + __local_end AS pos", "doc_id", "lang", "sched_key")
         .orderBy("pos")
     )
@@ -643,7 +668,8 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id").withColumn(
         "__one", F.lit(1)
     )
-    ranked = global_prefix_sum(spark, docs, "doc_id", "__one", name="feistel_rank").selectExpr(
+    # distinct staging names: see interleave_mix (r6 ADVICE finding)
+    ranked = global_prefix_sum(spark, docs, "doc_id", "__one", name="feistel_rank1").selectExpr(
         "doc_id", "__base + __local_end - 1 AS idx"
     )
     epochs = None
@@ -660,7 +686,7 @@ def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("perm_val", "doc_id"),
         "__one",
         ("epoch",),
-        name="feistel_rank",
+        name="feistel_rank2",
     ).selectExpr("epoch", "doc_id", "perm_val", "__base + __local_end AS pos")
     cert = pos.groupBy("epoch").agg(
         (F.countDistinct("perm_val") == F.count(F.lit(1))).alias("bijective")

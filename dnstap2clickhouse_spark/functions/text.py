@@ -1728,7 +1728,8 @@ WITH lens AS (
   SELECT doc_id, CAST({size}({toks}) AS BIGINT) AS n_tokens FROM documents),
 ranked AS (
   SELECT n_tokens,
-         row_number() OVER (ORDER BY n_tokens, doc_id) AS rk FROM lens),
+         row_number() OVER (ORDER BY (n_tokens IS NULL), n_tokens, doc_id) AS rk
+  FROM lens),
 n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lens),
 med AS (
   SELECT r.n_tokens AS med FROM ranked r JOIN n
@@ -1737,7 +1738,8 @@ devs AS (
   SELECT l.doc_id, abs(l.n_tokens - m.med) AS dev
   FROM lens l CROSS JOIN med m),
 dranked AS (
-  SELECT dev, row_number() OVER (ORDER BY dev, doc_id) AS rk FROM devs),
+  SELECT dev, row_number() OVER (ORDER BY (dev IS NULL), dev, doc_id) AS rk
+  FROM devs),
 mad AS (
   SELECT d.dev AS mad FROM dranked d JOIN n ON d.rk = (n.n + 1) {idiv} 2)
 SELECT l.doc_id, l.n_tokens,
@@ -1749,20 +1751,27 @@ ORDER BY l.doc_id
 """
 
 
-def _rank_median(spark: SparkSession, df: DataFrame, key: str):
+def _rank_median(spark: SparkSession, df: DataFrame, key: str, name: str = "mad_rank"):
     """(value at nearest-rank (n+1)//2 in (key, doc_id) order, n) via
     the distributed prefix-sum rank — the rank target comes from the
     helper's own driver total (no extra counting pass), plus one 1-row
-    bounded collect for the selected element."""
+    bounded collect for the selected element. ``name`` must be distinct
+    per call site within one entry (two stagings under one name with
+    keep=2 expire a held handle one re-invocation early — r6 ADVICE).
+    The rank order leads with the portable ``(key IS NULL)`` boolean so
+    Spark's nulls-first window default cannot diverge from the DuckDB
+    oracle's nulls-last row_number on a NULL-bearing key (r6 ADVICE)."""
     from .splits import global_prefix_sum
 
     ranked, n = global_prefix_sum(
         spark,
-        df.withColumn("__one", F.lit(1)),
-        (key, "doc_id"),
+        df.withColumn("__one", F.lit(1)).withColumn(
+            "__knull", F.col(key).isNull()
+        ),
+        ("__knull", key, "doc_id"),
         "__one",
         return_total=True,
-        name="mad_rank",
+        name=name,
     )
     if n == 0:
         return None, 0
@@ -1792,7 +1801,7 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "mad_lens",
     )
-    med, n = _rank_median(spark, lens, "n_tokens")
+    med, n = _rank_median(spark, lens, "n_tokens", name="mad_rank_med")
     if n == 0 or med is None:
         # empty corpus, or the nearest-rank row holds a NULL length
         # (majority-NULL text): the reference form degrades to the
@@ -1800,7 +1809,7 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Python None (review finding)
         return spark.sql(_length_outliers_sql("spark"))
     devs = lens.select("doc_id", F.expr(f"abs(n_tokens - {med}) AS dev"))
-    mad, _ = _rank_median(spark, devs, "dev")
+    mad, _ = _rank_median(spark, devs, "dev", name="mad_rank_dev")
     if mad is None:
         return spark.sql(_length_outliers_sql("spark"))
     return lens.select(

@@ -2001,8 +2001,21 @@ AB_WINDOW_H = 24  # attribution window (hours): convert within a day of exposure
 AB_CHI2_NUM = 38_415
 AB_CHI2_DEN = 10_000
 
+#: largest total-N for which the chi-square cross-multiplied compare is
+#: PROVABLY exact in DECIMAL(38,0): the left product is
+#: DEN * nt * diff^2 with |diff| <= n1*n2 <= nt^2/4, i.e.
+#: <= 1e4 * nt^5 / 16 = 625 * nt^5, which stays under 1e38 for
+#: nt <= 1e7 (worst case 6.25e37); the right product tops out at
+#: NUM * nt^4 / 16 ~= 2.4e31 there. Past the bound the unguarded
+#: multiply was engine-divergent: Spark NULLs it under non-ANSI and
+#: raises ArithmeticException under ANSI (the Spark 4 default), DuckDB
+#: always raises — the guard makes BOTH engines emit NULL +
+#: chi2_exact = false instead, under either ANSI setting (r6 verdict
+#: item 6).
+AB_CHI2_SAFE_NT = 10_000_000
 
-def _ab_test_sql(dialect: str) -> str:
+
+def _ab_test_sql(dialect: str, safe_nt: int = AB_CHI2_SAFE_NT) -> str:
     """Experiment (A/B) analysis — the product-analytics readout every
     event pipeline ends in: users are assigned a variant by the
     second-round Lehmer hash (deterministic, uncorrelated with the
@@ -2018,14 +2031,17 @@ def _ab_test_sql(dialect: str) -> str:
     products are accumulated in DECIMAL(38,0) (identical exact semantics
     in both engines; ``diff = c1*n2 - c2*n1`` is computed ONCE in the
     ``test`` CTE so the two squared factors cannot drift apart under
-    either engine's CSE choices). WORST-CASE in-range bound: the left
-    product ``DEN * N * diff^2`` stays under 38 digits for N <= ~1e7,
-    i.e. ~5e6 users PER ARM with a maximal conversion gap (diff tops out
-    at n1*n2 = N^2/4, giving 1e4 * 1e7 * (2.5e13)^2 ~= 6.2e37); realistic
-    rate gaps (diff ~ N^2/40) stretch that to ~1e8/arm. Past the bound
-    Spark's non-ANSI mode silently NULLs ``significant`` while DuckDB
-    raises — the same cross-engine divergence class as the BIGINT wrap
-    this form replaced (which wrapped at ~50k/arm). Plan: two user-keyed
+    either engine's CSE choices). The exact compare is GUARDED at
+    ``AB_CHI2_SAFE_NT`` total users (see the constant's derivation —
+    the proven DECIMAL(38,0) worst-case bound, ~5e6/arm): past it BOTH
+    engines emit NULL ``significant`` with ``chi2_exact = false``
+    instead of Spark NULLing (non-ANSI) or raising (ANSI default)
+    where DuckDB raises (the lazy CASE keeps either engine from ever
+    executing the overflowing multiply — both evaluate CASE branches
+    only for matching rows).
+    The divergence class is thereby closed in-schema rather than
+    documented-away (r6 verdict item 6); the predecessor BIGINT form
+    wrapped at ~50k/arm. Plan: two user-keyed
     equi-joins + O(arms) aggregates; the 2-row arm table self-joins to
     a 1-row test and broadcasts back.
     """
@@ -2055,9 +2071,12 @@ test AS (
   FROM arm a JOIN arm b ON a.variant = 0 AND b.variant = 1)
 SELECT m.variant, m.n_users, m.n_conv,
        (m.n_conv * 1000000) {div} m.n_users AS conv_e6,
-       CAST(CAST({AB_CHI2_DEN} AS DECIMAL(38, 0)) * t.nt * t.diff * t.diff
-            > CAST({AB_CHI2_NUM} AS DECIMAL(38, 0)) * t.n1 * t.n2
-              * CAST(t.ct * (t.nt - t.ct) AS DECIMAL(38, 0)) AS BOOLEAN) AS significant
+       CASE WHEN t.nt <= {safe_nt} THEN
+         CAST(CAST({AB_CHI2_DEN} AS DECIMAL(38, 0)) * t.nt * t.diff * t.diff
+              > CAST({AB_CHI2_NUM} AS DECIMAL(38, 0)) * t.n1 * t.n2
+                * CAST(t.ct * (t.nt - t.ct) AS DECIMAL(38, 0)) AS BOOLEAN)
+       ELSE CAST(NULL AS BOOLEAN) END AS significant,
+       CAST(t.nt <= {safe_nt} AS BOOLEAN) AS chi2_exact
 FROM arm m CROSS JOIN test t
 ORDER BY m.variant
 """
@@ -2217,7 +2236,7 @@ def _equidepth_histogram_sql(dialect: str) -> str:
     return f"""
 WITH ranked AS (
   SELECT value,
-         row_number() OVER (ORDER BY value, event_id) AS r,
+         row_number() OVER (ORDER BY (value IS NULL), value, event_id) AS r,
          count(*) OVER () AS n
   FROM events)
 SELECT CAST((r - 1) * {EQD_BUCKETS} {div} n AS BIGINT) AS bucket,
@@ -2236,11 +2255,17 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpartitioned window)."""
     from ..functions.splits import global_prefix_sum
 
-    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        # portable NULL placement: Spark windows sort NULLs first, the
+        # DuckDB oracle's row_number sorts them last — the boolean
+        # prefix pins nulls-last in BOTH engines, the
+        # _value_quantiles_sql pattern (r6 ADVICE finding)
+        "value", "event_id", "value IS NULL AS __vnull"
+    )
     ranked, n = global_prefix_sum(
         spark,
         ev.withColumn("__one", F.lit(1)),
-        ("value", "event_id"),
+        ("__vnull", "value", "event_id"),
         "__one",
         return_total=True,
         name="eqd_rank",
@@ -3077,7 +3102,8 @@ tagged AS (
   FROM c CROSS JOIN b),
 ref AS (SELECT cents, event_id FROM tagged WHERE h = 0),
 ranked AS (
-  SELECT cents, row_number() OVER (ORDER BY cents, event_id) AS rk FROM ref),
+  SELECT cents, row_number() OVER (ORDER BY (cents IS NULL), cents, event_id) AS rk
+  FROM ref),
 n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
 edges AS (
   SELECT k, r.cents AS edge
@@ -3140,11 +3166,15 @@ def value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vd_tagged",
     )
     tagged.createOrReplaceTempView("__vd_tagged")
-    ref = tagged.filter("h = 0").select("cents", "event_id")
+    ref = tagged.filter("h = 0").selectExpr(
+        # nulls-last boolean prefix, matching the oracle's (cents IS
+        # NULL) rank key — see equidepth_histogram (r6 ADVICE finding)
+        "cents", "event_id", "cents IS NULL AS __cnull"
+    )
     ranked, n = global_prefix_sum(
         spark,
         ref.withColumn("__one", F.lit(1)),
-        ("cents", "event_id"),
+        ("__cnull", "cents", "event_id"),
         "__one",
         return_total=True,
         name="vd_rank",

@@ -325,16 +325,40 @@ def audit_plan(plan: str) -> list[str]:
     return hazards
 
 
+#: join-strategy hint names — the only hints ResolveJoinStrategyHints
+#: turns into ResolvedHint nodes (REPARTITION/COALESCE/REBALANCE resolve
+#: to Repartition nodes and must not enter the name-vs-ResolvedHint sum)
+_JOIN_HINTS = frozenset({
+    "BROADCAST", "BROADCASTJOIN", "MAPJOIN",
+    "MERGE", "MERGEJOIN", "SHUFFLE_MERGE",
+    "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL",
+})
+
+
 def audit_hints(df) -> int:
-    """Number of DROPPED hints: UnresolvedHint nodes in the parsed
-    logical plan that did not survive analysis as ResolvedHint nodes.
-    Analysis converts each resolvable hint 1:1 (ResolveJoinStrategyHints)
-    and silently discards the rest with a WARN — the only plan-level
-    evidence is this count going negative-sum. 0 = every hint applied."""
+    """Number of DROPPED hint applications: join-strategy relation names
+    in parsed UnresolvedHint nodes that did not survive analysis as
+    ResolvedHint nodes. Analysis applies a hint once PER NAMED RELATION
+    (ResolveJoinStrategyHints) and silently discards unmatched names with
+    a WARN — so the comparison must count NAMES, not nodes: a multi-name
+    /*+ BROADCAST(a, b) */ with one name dropped is 2 names vs 1
+    ResolvedHint = 1 dropped (node-counting read it as 1 vs 1 = 0, the
+    r6 ADVICE false negative). A df.hint(...) resolves EAGERLY — it is
+    already a ResolvedHint in the parsed plan — so pre-resolved nodes
+    are subtracted from the analyzed count, or one of them would mask a
+    dropped named hint elsewhere in the same plan. 0 = every hint
+    applied."""
     qe = df._jdf.queryExecution()
-    parsed = qe.logical().toString().count("UnresolvedHint")
+    logical = qe.logical().toString()
+    hinted = 0
+    for m in re.finditer(r"UnresolvedHint (\w+), \[([^\]]*)\]", logical):
+        if m.group(1).upper() not in _JOIN_HINTS:
+            continue
+        params = m.group(2).strip()
+        hinted += len([p for p in params.split(",") if p.strip()]) if params else 1
     analyzed = qe.analyzed().toString().count("ResolvedHint")
-    return max(parsed - analyzed, 0)
+    resolved_from_named = max(analyzed - logical.count("ResolvedHint"), 0)
+    return max(hinted - resolved_from_named, 0)
 
 def main() -> int:
     sys.path.insert(0, "/root/repo")

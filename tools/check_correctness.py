@@ -112,9 +112,16 @@ def main() -> None:
             continue
         rec: dict = {}
         t0 = time.time()
+        persisted = None
         try:
             sdf_spark = fn(spark, SF_DIR)
-            n_spark = sdf_spark.count()
+            # persist so the count() probe and the value collect observe ONE
+            # execution: a nondeterministic plan (the global_prefix_sum class
+            # round 6 fixed) must not contribute its row count from one run
+            # and its values from another, and the >MAX_COMPARE_ROWS degrade
+            # must compare counts of the same execution the oracle sees
+            persisted = sdf_spark.persist()
+            n_spark = persisted.count()
             if n_spark > MAX_COMPARE_ROWS:
                 # replica-scale sweeps: a data-quadratic verifier output
                 # (10 near-copies per doc family at the 10x replica ->
@@ -135,14 +142,19 @@ def main() -> None:
                         f"{tag} {name}: COUNT-ONLY (> {MAX_COMPARE_ROWS} rows)"
                         f" spark={n_spark} oracle={n_oracle} ({rec['secs']}s)"
                     )
+                    persisted.unpersist()
+                    persisted = None
                     continue
-            sdf = sdf_spark.toPandas()
+            sdf = persisted.toPandas()
             rec["spark_rows"] = len(sdf)
         except Exception as e:  # noqa: BLE001
             rec["err"] = f"spark: {type(e).__name__}: {e}"
             results[name] = rec
             print(f"ERR   {name}: {rec['err'][:200]}")
             continue
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         sql = oracles.get(name)
         if sql is None:
             # rows-only entries still go through the strict canonicalizer:

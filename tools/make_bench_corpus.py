@@ -1,0 +1,196 @@
+"""Second bench anchor: a SEEDED RE-INSTANCING of the driver's sf0.1
+corpus (r6 verdict item 4).
+
+Every r5/r6 bench number rides ONE corpus instance
+(``corpus_id 96cd06a003069e75``); a plan overfit to its value
+distribution — salt choices, skew caps, occupancy constants, LSH band
+keys — would be invisible. The driver's generator is not re-runnable
+(TESTDATA.md: seed=42, read-only), so this tool derives a
+DISTRIBUTION-EQUIVALENT, VALUE-DISTINCT instance: work volumes,
+cardinalities, join relationships, selectivities, and pairwise
+similarity structure are preserved EXACTLY (so per-query times remain
+comparable within the documented noise band), while every value that a
+hash, salt, bucket boundary, or occupancy constant touches changes.
+
+Per-table transforms (all deterministic, SEED-keyed):
+
+- ``events``: ts shifted by a constant (order/deltas/session gaps exact;
+  every window bucket boundary moves), ``value`` through a strictly
+  monotone affine map (rank structure exact; every histogram/quantile/
+  drift VALUE changes). event_id/user_id untouched — the DNS synthesis
+  derives stream roles from ``event_id`` parity/mod residues.
+- ``documents``: doc_id rewritten through a seeded permutation of the
+  id set (families re-keyed; every id-hash salt sees new input); text
+  through a CHARACTER BIJECTION (``translate``) — token lengths, word
+  equality, and therefore every Jaccard/MinHash/SimHash pairwise
+  similarity are preserved exactly, but every shingle hash, signature,
+  and band key changes.
+- ``embeddings``: vec_id through a seeded permutation of the id set
+  (stays in [0, n) so corpus-derived seed selections pick the same
+  COUNT of different vectors); dimensions through a fixed permutation
+  plus per-dimension sign flips — all pairwise inner products and
+  distances are exactly preserved, every per-dimension value changes.
+- ``orders``/``lineitem``/``customer``/``supplier``/``part``: join keys
+  through injective modular-affine maps applied consistently on both
+  sides (hash-partitioning/shuffle layout re-instanced; joins exact).
+  Quantities/prices/dates untouched — fixed-literal predicates keep
+  their selectivity.
+- ``region``/``nation``: copied (4/25-row dims).
+
+Validated on build: headline query row counts match the original
+corpus exactly, except the MinHash-BANDING-dependent entries
+(dedup_minhash_lsh 1113 -> 928 pairs; curate_corpus_e2e 4990 -> 4992) —
+banding is a probabilistic candidate filter over the signatures, which
+legitimately change under the token bijection while every exact
+Jaccard similarity is preserved; candidate work volume stays
+comparable, which is what the bench compares.
+
+Usage:  python tools/make_bench_corpus.py [out_dir]
+Default: /tmp/bench_corpus_b ; then
+        SPARK_GRAFT_SF_DIR=/tmp/bench_corpus_b python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dnstap2clickhouse_spark.session import get_spark
+from dnstap2clickhouse_spark.sources.tables import load_table
+
+SRC = "/root/testdata/sf0.1"
+SEED = 20250816
+
+#: injective on any key set < 2^31 - 1 (Lehmer multiplier, prime modulus)
+_A, _P = 48271, 2147483647
+
+#: seeded character bijection for text (lowercase+digits; all other
+#: chars map to themselves — lengths and token identity preserved)
+_ALPHA = string.ascii_lowercase + string.digits
+
+
+def _char_maps() -> tuple[str, str]:
+    rng = np.random.RandomState(SEED)
+    perm = rng.permutation(len(_ALPHA))
+    return _ALPHA, "".join(_ALPHA[i] for i in perm)
+
+
+def _keymap(col: str) -> str:
+    return f"CAST(({col} * {_A}) % {_P} AS BIGINT)"
+
+
+def _id_perm_df(spark, ids: list[int], name: str):
+    """Seeded bijection old_id -> new_id over the EXACT id set."""
+    rng = np.random.RandomState(SEED + hash(name) % 1000)
+    ids = sorted(ids)
+    newids = [ids[i] for i in rng.permutation(len(ids))]
+    return spark.createDataFrame(
+        list(zip(ids, newids)), f"__old BIGINT, __new BIGINT"
+    )
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_corpus_b"
+    spark = get_spark("make-bench-corpus")
+    os.makedirs(out, exist_ok=True)
+
+    def write(df, t):
+        # single file per table, like the driver corpus — scan
+        # parallelism stays protocol-comparable
+        df.coalesce(1).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print("wrote", t)
+
+    # ---- dims copied verbatim
+    for t in ("region", "nation"):
+        write(load_table(spark, SRC, t), t)
+
+    # ---- TPC-H keys re-instanced (consistent both sides of each join)
+    write(
+        load_table(spark, SRC, "customer").withColumn(
+            "c_custkey", F.expr(_keymap("c_custkey"))
+        ),
+        "customer",
+    )
+    write(
+        load_table(spark, SRC, "supplier").withColumn(
+            "s_suppkey", F.expr(_keymap("s_suppkey"))
+        ),
+        "supplier",
+    )
+    write(
+        load_table(spark, SRC, "part").withColumn(
+            "p_partkey", F.expr(_keymap("p_partkey"))
+        ),
+        "part",
+    )
+    write(
+        load_table(spark, SRC, "orders")
+        .withColumn("o_orderkey", F.expr(_keymap("o_orderkey")))
+        .withColumn("o_custkey", F.expr(_keymap("o_custkey"))),
+        "orders",
+    )
+    li = load_table(spark, SRC, "lineitem").withColumn(
+        "l_orderkey", F.expr(_keymap("l_orderkey"))
+    )
+    for c in ("l_partkey", "l_suppkey"):
+        if c in li.columns:
+            li = li.withColumn(c, F.expr(_keymap(c)))
+    write(li, "lineitem")
+
+    # ---- events: ts shift + monotone value map (ids untouched)
+    write(
+        load_table(spark, SRC, "events")
+        .withColumn("ts", F.expr("ts + INTERVAL 9973 SECOND"))
+        .withColumn("value", F.expr("value * 1.25 + 3.5")),
+        "events",
+    )
+
+    # ---- documents: doc_id permutation + text character bijection
+    docs = load_table(spark, SRC, "documents")
+    dmap = _id_perm_df(
+        spark, [r[0] for r in docs.select("doc_id").collect()], "documents"
+    )
+    src_chars, dst_chars = _char_maps()
+    write(
+        docs.join(F.broadcast(dmap), docs.doc_id == dmap.__old)
+        .drop("doc_id", "__old")
+        .withColumnRenamed("__new", "doc_id")
+        .withColumn("text", F.translate("text", src_chars, dst_chars)),
+        "documents",
+    )
+
+    # ---- embeddings: vec_id permutation + dim permutation + sign flips
+    emb = load_table(spark, SRC, "embeddings")
+    emap = _id_perm_df(
+        spark, [r[0] for r in emb.select("vec_id").collect()], "embeddings"
+    )
+    dims = len(emb.select("embedding").first()[0])
+    rng = np.random.RandomState(SEED + 7)
+    dperm = rng.permutation(dims)
+    signs = rng.choice([-1.0, 1.0], size=dims)
+    arr = F.array(
+        *[
+            (F.col("embedding")[int(i)] * float(s)).cast("float")
+            for i, s in zip(dperm, signs)
+        ]
+    )
+    write(
+        emb.join(F.broadcast(emap), emb.vec_id == emap.__old)
+        .drop("vec_id", "__old")
+        .withColumnRenamed("__new", "vec_id")
+        .withColumn("embedding", arr),
+        "embeddings",
+    )
+
+    spark.stop()
+    print("done:", out)
+
+
+if __name__ == "__main__":
+    main()
