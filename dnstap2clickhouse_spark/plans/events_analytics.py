@@ -1916,7 +1916,8 @@ def _exact_percentiles_sql(dialect: str) -> str:
     return f"""
 WITH ranked AS (
   SELECT event_type, value, event_id,
-         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY (value IS NULL), value, event_id) AS r,
          count(*) OVER (PARTITION BY event_type) AS n
   FROM events)
 SELECT event_type, CAST(max(n) AS BIGINT) AS n,
@@ -2835,7 +2836,8 @@ scored AS (
          CAST(ntile({RFM_TILES}) OVER
            (ORDER BY p.n_events, p.user_id) AS BIGINT) AS f_score,
          CAST(ntile({RFM_TILES}) OVER
-           (ORDER BY p.monetary_e2, p.user_id) AS BIGINT) AS m_score
+           (ORDER BY (p.monetary_e2 IS NULL), p.monetary_e2, p.user_id)
+           AS BIGINT) AS m_score
   FROM peruser p CROSS JOIN bounds b)
 SELECT user_id, recency_us, n_events, monetary_e2,
        r_score, f_score, m_score,
@@ -3253,8 +3255,10 @@ WITH peruser AS (
   FROM events GROUP BY user_id),
 ranked AS (
   SELECT user_id, cents,
-         CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rk,
-         CAST(ntile({LORENZ_TILES}) OVER (ORDER BY cents, user_id) AS BIGINT)
+         CAST(row_number() OVER (ORDER BY (cents IS NULL), cents, user_id)
+              AS BIGINT) AS rk,
+         CAST(ntile({LORENZ_TILES})
+              OVER (ORDER BY (cents IS NULL), cents, user_id) AS BIGINT)
            AS tile
   FROM peruser),
 tot AS (
@@ -3330,7 +3334,8 @@ per AS (
 tiled AS (
   SELECT h, user_id,
          CAST(ntile({MIGRATION_TILES})
-              OVER (PARTITION BY h ORDER BY cents, user_id) AS BIGINT) AS tile
+              OVER (PARTITION BY h
+                    ORDER BY (cents IS NULL), cents, user_id) AS BIGINT) AS tile
   FROM per),
 joined AS (
   SELECT coalesce(a.user_id, z.user_id) AS user_id,

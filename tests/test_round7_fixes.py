@@ -118,6 +118,63 @@ def test_equidepth_spark_rank_is_nulls_last(spark):
     assert got == {3: 1, 5: 2, 1: 3, 2: 4, 4: 5, 6: 6}
 
 
+# ---------------- NULL placement: the remaining value-derived rank keys
+
+
+def _events_full_both(spark, rows):
+    """rows: (event_id, event_type, value, user_id, ts)."""
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, event_type STRING, value DOUBLE,"
+        " user_id BIGINT, ts TIMESTAMP",
+    ).createOrReplaceTempView("events")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, event_type VARCHAR,"
+        " value DOUBLE, user_id BIGINT, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO events VALUES (?, ?, ?, ?, ?)", rows)
+    return con
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (ev.exact_percentiles, ev.exact_percentiles_sql),
+        (ev.lorenz_gini, ev.lorenz_gini_sql),
+        (ev.decile_migration, ev.decile_migration_sql),
+        (ev.rfm_segments, ev.rfm_segments_sql),
+    ],
+)
+def test_value_rank_entries_null_values_cross_engine(spark, fn, sql):
+    # the same class as equidepth: every shared-text rank/ntile ordered
+    # by a value-derived key now pins nulls-last in BOTH engines. Users
+    # 91-93 carry ONLY NULL values (their per-user cents sum is NULL);
+    # a third of type-b raw values are NULL.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, "a" if i % 2 else "b", float(i) if i % 3 else None, i % 7,
+         t0 + dt.timedelta(hours=i))
+        for i in range(1, 61)
+    ]
+    rows += [
+        (100 + j, "a", None, 91 + j, t0 + dt.timedelta(days=2, hours=j))
+        for j in range(3)
+    ]
+    con = _events_full_both(spark, rows)
+    with mock.patch.object(ev, "load_table", lambda s, d, n: s.table("events")), \
+         mock.patch(
+             "dnstap2clickhouse_spark.sources.tables.register_views",
+             lambda s, d, t: None,
+         ):
+        got = fn(spark, SF).toPandas()
+    oracle = con.execute(sql()).df()
+    assert _records(got) == _records(oracle)
+    assert len(got) > 0
+
+
 # ------------------------------- NULL placement: value_drift decile edges
 
 
