@@ -230,6 +230,53 @@ def test_length_outliers_null_text_cross_engine(spark):
     assert got["median_tokens"].iloc[0] == 50
 
 
+# ------------------------- empty-corpus consistency of the scalar paths
+
+
+@pytest.mark.parametrize(
+    "fn,sql,table",
+    [
+        (ev.equidepth_histogram, ev.equidepth_histogram_sql, "events"),
+        (ev.value_drift, ev.value_drift_sql, "events"),
+        (ev.exact_percentiles, ev.exact_percentiles_sql, "events"),
+        (ev.lorenz_gini, ev.lorenz_gini_sql, "events"),
+        (ev.decile_migration, ev.decile_migration_sql, "events"),
+        (ev.rfm_segments, ev.rfm_segments_sql, "events"),
+        (ev.ab_test, ev.ab_test_sql, "events"),
+        (ev.value_quantiles, ev.value_quantiles_sql, "events"),
+        (ftext.length_outliers, ftext.length_outliers_sql, "documents"),
+    ],
+)
+def test_scalar_path_entries_empty_corpus_cross_engine(spark, fn, sql, table):
+    # every entry with a driver-scalar fallback (n==0 branches, edge
+    # collects, guard CASEs) must degrade to the SAME empty relation on
+    # both engines — no division-by-zero, no None-built SQL, no raise
+    spark.createDataFrame(
+        [],
+        "event_id BIGINT, event_type STRING, value DOUBLE,"
+        " user_id BIGINT, ts TIMESTAMP",
+    ).createOrReplaceTempView("events")
+    spark.createDataFrame(
+        [], "doc_id BIGINT, text STRING, lang STRING"
+    ).createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, event_type VARCHAR,"
+        " value DOUBLE, user_id BIGINT, ts TIMESTAMP)"
+    )
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    with mock.patch.object(ev, "load_table", lambda s, d, n: s.table(n)), \
+         mock.patch.object(ftext, "load_table", lambda s, d, n: s.table(n)), \
+         mock.patch(
+             "dnstap2clickhouse_spark.sources.tables.register_views",
+             lambda s, d, t: None,
+         ):
+        got = fn(spark, SF).toPandas()
+    oracle = con.execute(sql()).df()
+    assert len(got) == 0 and len(oracle) == 0
+    assert sorted(got.columns) == sorted(oracle.columns)
+
+
 # --------------------------------------- ab_test overflow guard + flag
 
 
