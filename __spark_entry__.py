@@ -74,6 +74,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: records round N, round N+1's import rotates automatically. Local
 #: `tools/check_correctness.py` verifies ALL entries every round
 #: regardless of the window.
+#:
+#: CODE-CHANGE AWARENESS (r7 verdict item 3): driver evidence is only as
+#: fresh as the last adjudication that POST-dates the entry's code. An
+#: entry whose implementing engine module last changed in a git round
+#: AFTER the entry's last adjudicated round has evidence for code that no
+#: longer exists (exactly how `events_sketch_stats`, reworked in r4 right
+#: after its r3 adjudication, waited a full rotation cycle) — such
+#: entries are treated as never-adjudicated and sort to the front. The
+#: change round of a module is derived from git history (round N = the
+#: commits between the driver's 'round N-1:' and 'round N:' boundary
+#: commits; commits after the newest boundary belong to the in-progress
+#: round). Edits made before _EDIT_VOID_FLOOR are grandfathered: the
+#: r6/r7 full 259-entry local sweeps re-verified the whole contract
+#: after those edits, the r7-window catch-up gave every entry driver
+#: evidence, and retro-voiding them would displace the r8 window the r7
+#: verdict pinned (the DNS spine + events_sketch_stats). From r8 edits
+#: onward the rule is live: touch a module, and its entries lead the
+#: next round's window.
+
+_EDIT_VOID_FLOOR = 8
 
 def _last_adjudicated(names: list[str]) -> dict[str, int]:
     import glob
@@ -98,10 +118,114 @@ def _last_adjudicated(names: list[str]) -> dict[str, int]:
                 last[n] = max(last[n], rnd)
     return last
 
-def _rotate(qdict: dict) -> dict:
-    """Reorder least-recently-adjudicated first (see policy above)."""
+_EDIT_ROUNDS_CACHE: dict[str, int] | None = None
+
+def _file_edit_rounds() -> dict[str, int]:
+    """Repo-relative path -> round number of its LAST modifying commit.
+
+    One ``git log --name-only`` pass, newest first: commits newer than
+    the newest 'round N:' driver boundary commit belong to round N+1;
+    each boundary switches the running round down. A file's edit round
+    is recorded at its first (newest) sighting. Returns {} when git is
+    unavailable (fallback: no evidence voiding, plain rotation).
+    """
+    global _EDIT_ROUNDS_CACHE
+    if _EDIT_ROUNDS_CACHE is not None:
+        return _EDIT_ROUNDS_CACHE
+    import os
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        out = subprocess.run(
+            ["git", "log", "--first-parent", "--name-only", "--format=__C__ %s"],
+            capture_output=True, text=True, cwd=here, timeout=30,
+        )
+        lines = out.stdout.splitlines() if out.returncode == 0 else []
+    except Exception:
+        lines = []
+    boundaries = [
+        int(m.group(1))
+        for l in lines
+        if l.startswith("__C__")
+        and (m := re.match(r"__C__ round (\d+):", l))
+    ]
+    edits: dict[str, int] = {}
+    if lines and boundaries:
+        cur = max(boundaries) + 1  # in-progress round
+        for l in lines:
+            if l.startswith("__C__"):
+                m = re.match(r"__C__ round (\d+):", l)
+                if m:
+                    cur = int(m.group(1))
+                continue
+            if l and l not in edits:
+                edits[l] = cur
+    _EDIT_ROUNDS_CACHE = edits
+    return edits
+
+def _entry_module_files(fn) -> set[str]:
+    """Repo-relative engine-module file(s) implementing an entry.
+
+    Direct function refs resolve via ``__module__``; lambdas declared in
+    this file resolve via their code's referenced global names (module
+    aliases like ``stp``/``an`` and directly-imported functions). This
+    file itself is never counted — it changes every round by design.
+    """
+    import inspect
+    import os
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files: set[str] = set()
+
+    def add(mod) -> None:
+        f = getattr(mod, "__file__", None)
+        if f and os.sep + "dnstap2clickhouse_spark" + os.sep in f:
+            files.add(os.path.relpath(f, here))
+
+    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+    if mod is not None and getattr(mod, "__name__", "") != __name__:
+        add(mod)
+        return files
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return files
+    g = globals()
+    for nm in code.co_names:
+        obj = g.get(nm)
+        if obj is None:
+            continue
+        if inspect.ismodule(obj):
+            add(obj)
+        else:
+            m = sys.modules.get(getattr(obj, "__module__", "") or "")
+            if m is not None and getattr(m, "__name__", "") != __name__:
+                add(m)
+    return files
+
+def _evidence_rounds(qdict: dict) -> dict[str, int]:
+    """Effective evidence round per entry: last adjudicated round, voided
+    to -1 (never) when the implementing module changed after it in round
+    >= _EDIT_VOID_FLOOR (policy comment above)."""
     names = list(qdict)
     last = _last_adjudicated(names)
+    edits = _file_edit_rounds()
+    if edits:
+        for n in names:
+            er = max(
+                (edits.get(f, -1) for f in _entry_module_files(qdict[n])),
+                default=-1,
+            )
+            if er >= _EDIT_VOID_FLOOR and er > last[n]:
+                last[n] = -1
+    return last
+
+def _rotate(qdict: dict) -> dict:
+    """Reorder least-recently-evidenced first (see policy above)."""
+    names = list(qdict)
+    last = _evidence_rounds(qdict)
     order = sorted(names, key=lambda n: (last[n], names.index(n)))
     return {n: qdict[n] for n in order}
 

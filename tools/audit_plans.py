@@ -351,10 +351,16 @@ def audit_hints(df) -> int:
     qe = df._jdf.queryExecution()
     logical = qe.logical().toString()
     hinted = 0
-    for m in re.finditer(r"UnresolvedHint (\w+), \[([^\]]*)\]", logical):
+    # the ', [params]' suffix is optional: Spark's treeString omits an
+    # empty arg list, so a no-parameter SQL hint (/*+ BROADCAST */ — one
+    # hint application, resolved against the single join below it) would
+    # otherwise be invisible here while still producing a ResolvedHint,
+    # inflating resolved_from_named and masking one genuinely dropped
+    # named hint elsewhere in the same plan (r7 ADVICE)
+    for m in re.finditer(r"UnresolvedHint (\w+)(?:, \[([^\]]*)\])?", logical):
         if m.group(1).upper() not in _JOIN_HINTS:
             continue
-        params = m.group(2).strip()
+        params = (m.group(2) or "").strip()
         hinted += len([p for p in params.split(",") if p.strip()]) if params else 1
     analyzed = qe.analyzed().toString().count("ResolvedHint")
     resolved_from_named = max(analyzed - logical.count("ResolvedHint"), 0)

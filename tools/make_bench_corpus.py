@@ -55,6 +55,7 @@ from __future__ import annotations
 import os
 import string
 import sys
+import zlib
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -86,8 +87,14 @@ def _keymap(col: str) -> str:
 
 
 def _id_perm_df(spark, ids: list[int], name: str):
-    """Seeded bijection old_id -> new_id over the EXACT id set."""
-    rng = np.random.RandomState(SEED + hash(name) % 1000)
+    """Seeded bijection old_id -> new_id over the EXACT id set.
+
+    The per-table offset must be process-stable: Python's str hash is
+    salted per interpreter (PYTHONHASHSEED), so ``hash(name)`` broke the
+    tool's deterministic contract (r7 ADVICE) — the r7 anchor corpus
+    (50ae64f2fab275dd) is not regenerable. crc32 is content-defined.
+    """
+    rng = np.random.RandomState(SEED + zlib.crc32(name.encode()) % 1000)
     ids = sorted(ids)
     newids = [ids[i] for i in rng.permutation(len(ids))]
     return spark.createDataFrame(
