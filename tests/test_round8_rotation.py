@@ -175,6 +175,23 @@ def test_r8_window_pinned_until_driver_records_r08():
 
 # ----------------------------------------- --sampled replica composition
 
+def test_bench_corpus_seed_is_process_stable():
+    """r7 ADVICE (medium): the per-table permutation offset must not
+    depend on the salted str hash — pin the crc32-derived constants so
+    the corpus B instance is regenerable from any interpreter."""
+    import zlib
+
+    import make_bench_corpus as mbc
+
+    assert mbc.SEED == 20250816
+    assert zlib.crc32(b"documents") % 1000 == 648
+    assert zlib.crc32(b"embeddings") % 1000 == 345
+    src = open(os.path.join(HERE, "tools", "make_bench_corpus.py")).read()
+    # the salted form must never return as CODE (docstring mentions it)
+    assert "SEED + hash(" not in src
+    assert "SEED + zlib.crc32(name.encode()) % 1000" in src
+
+
 def test_sampled_recall_sql_composes_both_dialects():
     import check_correctness as cc
 
