@@ -192,6 +192,37 @@ def test_bench_corpus_seed_is_process_stable():
     assert "SEED + zlib.crc32(name.encode()) % 1000" in src
 
 
+def test_compare_bench_normalization_and_breach(tmp_path):
+    """tools/compare_bench.py: corpus guard, calibration normalization
+    (t_norm = t_raw * calib_ref / calib_new), and the 2x breach exit."""
+    import json
+    import subprocess
+
+    ref = {"corpus_id": "c1", "queries": {"q": 1.0}, "host": {"calib_sec": 1.0}}
+    # raw 2.4x, but the host ran 2x slower -> normalized 1.2x, no breach
+    new = {"corpus_id": "c1", "queries": {"q": 2.4}, "host": {"calib_sec": 2.0}}
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(ref))
+    b.write_text(json.dumps(new))
+    tool = os.path.join(HERE, "tools", "compare_bench.py")
+    r = subprocess.run(
+        [sys.executable, tool, str(a), str(b)], capture_output=True, text=True
+    )
+    assert r.returncode == 1 and "2x BREACH" in r.stdout  # raw judges 2.4x
+    r = subprocess.run(
+        [sys.executable, tool, str(a), str(b), "--normalize"],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0 and "BREACH" not in r.stdout  # normalized 1.2x
+    # corpus mismatch refuses without --force
+    c = tmp_path / "c.json"
+    c.write_text(json.dumps({**new, "corpus_id": "c2"}))
+    r = subprocess.run(
+        [sys.executable, tool, str(a), str(c)], capture_output=True, text=True
+    )
+    assert r.returncode == 2 and "corpus mismatch" in r.stdout
+
+
 def test_sampled_recall_sql_composes_both_dialects():
     import check_correctness as cc
 
