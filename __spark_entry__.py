@@ -33,6 +33,7 @@ from dnstap2clickhouse_spark.plans import bucketed as pbkt
 from dnstap2clickhouse_spark.plans import curation as pcur
 from dnstap2clickhouse_spark.functions import text as ftext
 from dnstap2clickhouse_spark.functions import dedup as fdedup
+from dnstap2clickhouse_spark.functions import ground_truth as fgt
 from dnstap2clickhouse_spark.functions import similarity as fsim
 from dnstap2clickhouse_spark.functions import multimodal as fmm
 from dnstap2clickhouse_spark.functions import splits as fsplit
@@ -133,7 +134,6 @@ def _file_edit_rounds() -> dict[str, int]:
     if _EDIT_ROUNDS_CACHE is not None:
         return _EDIT_ROUNDS_CACHE
     import os
-    import re
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -145,24 +145,43 @@ def _file_edit_rounds() -> dict[str, int]:
         lines = out.stdout.splitlines() if out.returncode == 0 else []
     except Exception:
         lines = []
+    _EDIT_ROUNDS_CACHE = _parse_edit_rounds(lines)
+    return _EDIT_ROUNDS_CACHE
+
+import re as _re
+
+#: the driver's fixed boundary-commit subject form ("round N: verdict/
+#: advice/correctness/bench") — NOT any commit that happens to start with
+#: "round N:"; a looser match would let an ordinary commit silently shift
+#: every file's edit-round attribution (r8 ADVICE)
+_BOUNDARY_RE = _re.compile(r"__C__ round (\d+): verdict")
+
+def _parse_edit_rounds(lines: list[str]) -> dict[str, int]:
+    """Pure parse of ``git log --name-only --format='__C__ %s'`` output
+    (newest first) into {file: edit round}. Boundary numbers must
+    strictly decrease down the walk; an out-of-order number means history
+    was rewritten or the subject form collided — fall back to {} (plain
+    rotation) rather than mis-attribute edits."""
     boundaries = [
         int(m.group(1))
         for l in lines
-        if l.startswith("__C__")
-        and (m := re.match(r"__C__ round (\d+):", l))
+        if l.startswith("__C__") and (m := _BOUNDARY_RE.match(l))
     ]
     edits: dict[str, int] = {}
     if lines and boundaries:
         cur = max(boundaries) + 1  # in-progress round
+        prev_boundary = cur
         for l in lines:
             if l.startswith("__C__"):
-                m = re.match(r"__C__ round (\d+):", l)
+                m = _BOUNDARY_RE.match(l)
                 if m:
                     cur = int(m.group(1))
+                    if cur >= prev_boundary:
+                        return {}
+                    prev_boundary = cur
                 continue
             if l and l not in edits:
                 edits[l] = cur
-    _EDIT_ROUNDS_CACHE = edits
     return edits
 
 def _entry_module_files(fn) -> set[str]:
@@ -170,40 +189,57 @@ def _entry_module_files(fn) -> set[str]:
 
     Direct function refs resolve via ``__module__``; lambdas declared in
     this file resolve via their code's referenced global names (module
-    aliases like ``stp``/``an`` and directly-imported functions). This
-    file itself is never counted — it changes every round by design.
+    aliases like ``stp``/``an`` and directly-imported functions). Each
+    resolved module is then expanded by ONE level of its package-internal
+    imports (r8 ADVICE: ``dns_response_time_join`` resolves to
+    ``operators/dns_pipeline.py``, but part of its behavior lives in
+    ``operators/join.py`` — an edit there must void the entry's evidence
+    too). One level covers every shared-helper relationship in the
+    package (entry module -> helper module); deeper chains change the
+    helper's direct importer, which the walk then catches next round.
+    This file itself is never counted — it changes every round by design.
     """
     import inspect
     import os
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files: set[str] = set()
+    direct: set = set()
 
-    def add(mod) -> None:
+    def in_package(mod) -> bool:
         f = getattr(mod, "__file__", None)
-        if f and os.sep + "dnstap2clickhouse_spark" + os.sep in f:
-            files.add(os.path.relpath(f, here))
+        return bool(f and os.sep + "dnstap2clickhouse_spark" + os.sep in f)
 
     mod = sys.modules.get(getattr(fn, "__module__", "") or "")
     if mod is not None and getattr(mod, "__name__", "") != __name__:
-        add(mod)
-        return files
-    code = getattr(fn, "__code__", None)
-    if code is None:
-        return files
-    g = globals()
-    for nm in code.co_names:
-        obj = g.get(nm)
-        if obj is None:
-            continue
-        if inspect.ismodule(obj):
-            add(obj)
-        else:
-            m = sys.modules.get(getattr(obj, "__module__", "") or "")
-            if m is not None and getattr(m, "__name__", "") != __name__:
-                add(m)
-    return files
+        direct.add(mod)
+    else:
+        code = getattr(fn, "__code__", None)
+        if code is not None:
+            g = globals()
+            for nm in code.co_names:
+                obj = g.get(nm)
+                if obj is None:
+                    continue
+                if inspect.ismodule(obj):
+                    direct.add(obj)
+                else:
+                    m = sys.modules.get(getattr(obj, "__module__", "") or "")
+                    if m is not None and getattr(m, "__name__", "") != __name__:
+                        direct.add(m)
+    direct = {m for m in direct if in_package(m)}
+
+    expanded = set(direct)
+    for m in direct:  # one level of package-internal imports
+        for obj in vars(m).values():
+            if inspect.ismodule(obj):
+                if in_package(obj):
+                    expanded.add(obj)
+            else:
+                im = sys.modules.get(getattr(obj, "__module__", "") or "")
+                if im is not None and in_package(im):
+                    expanded.add(im)
+    return {os.path.relpath(m.__file__, here) for m in expanded}
 
 def _evidence_rounds(qdict: dict) -> dict[str, int]:
     """Effective evidence round per entry: last adjudicated round, voided
@@ -762,7 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH-bucketed candidate pairs, exact-cosine verified + its
         # in-engine pair-recall/precision certificate
         "dedup_embedding_lsh": fsim.embedding_lsh_dups,
-        "dedup_embedding_lsh_recall": fsim.embedding_lsh_dup_recall,
+        "dedup_embedding_lsh_recall": fgt.sampled_embedding_lsh_recall,
         # new in round 4: weekly cohort retention matrix
         "events_cohort_retention": evan.cohort_retention,
         # new in round 4 (batch 2): typed JSON extraction from the props
@@ -891,14 +927,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail (below the 50-entry window this round; freshest green
         # ---- rows, untouched code; rotate forward next round) ----
         "dedup_exact": fdedup.exact_dedup,
-        "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs,
+        # r9: the deliberately-quadratic ground-truth verifiers now run
+        # on the deterministic 1/7 pair sample (functions/ground_truth.py
+        # — residue-keyed equi-joins, audit waivers retired); the full
+        # exact forms stay exported by dedup.py/similarity.py and pinned
+        # by tests
+        "dedup_ngram_jaccard": fgt.sampled_ngram_jaccard_pairs,
         "dedup_minhash_signatures": fdedup.minhash_signatures,
         "dedup_simhash": fdedup.simhash_signatures,
         "sim_label_centroids": fsim.label_centroids,
         # new in round 4 (batch 10): grouped-map applyInPandas surface —
         # per-label min-max scaling on exact quantized integers
         "sim_label_minmax": fsim.label_minmax,
-        "dedup_embedding_cosine": fsim.embedding_cosine_dups,
+        "dedup_embedding_cosine": fgt.sampled_embedding_cosine_dups,
         # --- training-data ops: multimodal columns ---
         "mm_media_metadata": fmm.media_metadata,
         "mm_media_features": fmm.media_features,
@@ -983,7 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprints": ftext.fingerprints_sql(),
         "text_regex_tokens": ftext.regex_tokens_sql(),
         "dedup_exact": fdedup.exact_dedup_sql(),
-        "dedup_ngram_jaccard": fdedup.ngram_jaccard_pairs_sql(),
+        "dedup_ngram_jaccard": fgt.sampled_ngram_jaccard_pairs_sql(),
         "dedup_minhash_signatures": fdedup.minhash_signatures_sql(),
         "dedup_minhash_lsh": fdedup.minhash_lsh_pairs_sql(),
         "dedup_lsh_verified": fdedup.lsh_verified_pairs_sql(),
@@ -1153,7 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": fsim.semantic_dedup_sql(),
         "sim_hybrid_rrf": fsim.hybrid_rrf_sql(),
         "dedup_embedding_lsh": fsim.embedding_lsh_dups_sql(),
-        "dedup_embedding_lsh_recall": fsim.embedding_lsh_dup_recall_sql(),
+        "dedup_embedding_lsh_recall": fgt.sampled_embedding_lsh_recall_sql(),
         "events_cohort_retention": evan.cohort_retention_sql(),
         "events_json_props": evan.json_props_stats_sql(),
         "events_interarrival": evan.interarrival_stats_sql(),
@@ -1186,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_lsh_ann": fsim.lsh_bucketed_ann_sql(),
         "sim_ivf_topk": fsim.ivf_topk_sql(),
         "sim_label_centroids": fsim.label_centroids_sql(),
-        "dedup_embedding_cosine": fsim.embedding_cosine_dups_sql(),
+        "dedup_embedding_cosine": fgt.sampled_embedding_cosine_dups_sql(),
         "mm_media_metadata": fmm.media_metadata_sql(),
         "mm_media_features": fmm.media_features_sql(),
         "mm_frame_sample": fmm.frame_sample_sql(),

@@ -94,6 +94,10 @@ FLAGSHIP = [
     "curate_corpus_e2e",
 ]
 FLAGSHIP_SF_DIR = "/tmp/scale_sf1"
+#: replica recipe fingerprint: flagship values are only comparable across
+#: rounds at the same recipe (the replica corpus is regenerated per round,
+#: so its corpus_id changes while the data-generating recipe does not)
+FLAGSHIP_RECIPE = "make_scale_data.py N=10 from /root/testdata/sf0.1"
 
 #: 3 fresh-session passes: two identical back-to-back runs still showed
 #: ~20% total drift from host noise at sub-second absolutes; a third
@@ -173,25 +177,21 @@ def run_pass(sf_dir: str, names: list[str] | None = None) -> dict[str, float]:
     return timings
 
 
-def main() -> None:
-    flagship = "--flagship" in sys.argv
-    queries_to_run = FLAGSHIP if flagship else HEADLINE
-    default_dir = FLAGSHIP_SF_DIR if flagship else "/root/testdata/sf0.1"
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", default_dir)
+def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+    return float(m.group(1)) if m else -1.0
 
-    if "--worker" in sys.argv:
-        print(json.dumps({"queries": run_pass(sf_dir, queries_to_run)}))
-        return
 
-    load_pre = os.getloadavg()
+def _collect_passes(sf_dir: str, flagship: bool) -> tuple[dict, list[float]]:
+    """N_PASSES fresh-process worker passes over one tier; returns
+    ({query: [pass values]}, [calibration per pass])."""
     calibs: list[float] = []
-    runs: dict[str, list[float]] = {q: [] for q in queries_to_run}
+    runs: dict[str, list[float]] = {q: [] for q in (FLAGSHIP if flagship else HEADLINE)}
     for _ in range(N_PASSES):
         calibs.append(calibrate())
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker"]
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             f"--sf-dir={sf_dir}"]
             + (["--flagship"] if flagship else []),
             capture_output=True,
             text=True,
@@ -205,36 +205,87 @@ def main() -> None:
             raise SystemExit(f"bench worker failed rc={proc.returncode}")
         for q, t in json.loads(lines[-1])["queries"].items():
             runs[q].append(t)
+    return runs, calibs
 
+
+def _flagship_block() -> dict:
+    """Flagship tier as a sub-block of the default bench artifact (r8
+    verdict item 3: the per-round driver JSON must carry the >2 s-absolute
+    series, not only the jittery sub-second sf0.1 tier). Skips with a
+    reason instead of failing when the standing replica corpus is absent."""
+    if not os.path.isdir(FLAGSHIP_SF_DIR):
+        return {
+            "skipped": (
+                f"replica corpus missing at {FLAGSHIP_SF_DIR} — build with "
+                "`python tools/make_scale_data.py 10 /tmp/scale_sf1`"
+            )
+        }
+    runs, calibs = _collect_passes(FLAGSHIP_SF_DIR, flagship=True)
+    timings = {q: min(v) for q, v in runs.items()}
+    return {
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf_dir": FLAGSHIP_SF_DIR,
+        "recipe": FLAGSHIP_RECIPE,
+        "corpus_id": corpus_id(FLAGSHIP_SF_DIR),
+        "calib_sec": min(calibs),
+        "calib_runs": calibs,
+    }
+
+
+def main() -> None:
+    flagship = "--flagship" in sys.argv
+    explicit_dir = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--sf-dir=")), None
+    )
+    default_dir = FLAGSHIP_SF_DIR if flagship else "/root/testdata/sf0.1"
+    # --sf-dir (worker plumbing) wins over the env override: the parent
+    # resolves the env once, and the flagship sub-run must not inherit
+    # the HEADLINE tier's directory from it
+    sf_dir = explicit_dir or os.environ.get("SPARK_GRAFT_SF_DIR", default_dir)
+
+    if "--worker" in sys.argv:
+        print(json.dumps({"queries": run_pass(sf_dir, FLAGSHIP if flagship else HEADLINE)}))
+        return
+
+    load_pre = os.getloadavg()
+    runs, calibs = _collect_passes(sf_dir, flagship)
     timings = {q: min(v) for q, v in runs.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "flagship_total_runtime" if flagship else "headline_total_runtime"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-                "corpus_id": corpus_id(sf_dir),
-                "host": {
-                    "calib_sec": min(calibs),
-                    "calib_runs": calibs,
-                    "loadavg_pre": [round(x, 2) for x in load_pre],
-                    "loadavg_post": [round(x, 2) for x in os.getloadavg()],
-                    "cpus": os.cpu_count(),
-                },
-                "protocol": (
-                    f"min over {N_PASSES} fresh-session passes; per pass one "
-                    "untimed warm run then one timed run per query (noop sink)"
-                    + ("; flagship tier at ~sf0.3" if flagship else "")
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            "flagship_total_runtime" if flagship else "headline_total_runtime"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": _sf_of(sf_dir),
+        "corpus_id": corpus_id(sf_dir),
+        "host": {
+            "calib_sec": min(calibs),
+            "calib_runs": calibs,
+            "loadavg_pre": [round(x, 2) for x in load_pre],
+            "loadavg_post": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+        },
+        "protocol": (
+            f"min over {N_PASSES} fresh-session passes; per pass one "
+            "untimed warm run then one timed run per query (noop sink)"
+            # tier description derived from the directory actually run
+            # (the r8 string hardcoded '~sf0.3', a rejected trial)
+            + (f"; flagship tier at ~sf1 (10x replica: {sf_dir})" if flagship else "")
+        ),
+    }
+    if not flagship:
+        # the default (driver-recorded) artifact carries the flagship
+        # tier as a sub-block so per-round regressions are judged on
+        # >2 s absolutes (BASELINE.md flagship section)
+        out["flagship"] = _flagship_block()
+        out["host"]["loadavg_post"] = [round(x, 2) for x in os.getloadavg()]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

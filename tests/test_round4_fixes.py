@@ -278,8 +278,9 @@ def test_jdbc_num_partitions_round_trip(spark, tmp_path):
 
 def test_plan_auditor_subset():
     """tools/audit_plans.py (scale-regime audit: auto-broadcast disabled,
-    code-forced plans only) must pass on a representative subset and
-    waive the documented all-pairs verifier."""
+    code-forced plans only) must pass on a representative subset; since
+    r9 the all-pairs verifier entry audits clean (sampled residue-keyed
+    equi-join) instead of carrying a waiver."""
     import os
     import subprocess
     import sys
@@ -305,7 +306,10 @@ def test_plan_auditor_subset():
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-1000:]
     assert "hazard failures: 0" in proc.stdout
-    assert "WAIVE dedup_embedding_cosine" in proc.stdout
+    # r9: the all-pairs verifier entry now runs the residue-keyed SAMPLED
+    # form (functions/ground_truth.py) — hazard-free, no waiver left
+    assert "ok    dedup_embedding_cosine" in proc.stdout
+    assert "WAIVE" not in proc.stdout
 
 def test_audit_plan_detects_hazards():
     """The detector itself: a fact-scan broadcast without a reducer is

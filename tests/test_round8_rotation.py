@@ -112,13 +112,15 @@ def test_edit_before_adjudication_does_not_void(monkeypatch):
 def test_module_resolution_real_entries():
     qs = entrymod.queries()
     # lambda declared in the entry file -> its referenced engine module
-    assert entrymod._entry_module_files(qs["dns_stateful_match"]) == {
-        "dnstap2clickhouse_spark/streaming/pipeline.py"
-    }
+    # (plus, since r9, one level of that module's package-internal
+    # imports — see test_round9_fixes.py for the transitive cases)
+    assert "dnstap2clickhouse_spark/streaming/pipeline.py" in (
+        entrymod._entry_module_files(qs["dns_stateful_match"])
+    )
     # direct function ref -> its defining module
-    assert entrymod._entry_module_files(qs["tpch_pricing_summary"]) == {
-        "dnstap2clickhouse_spark/plans/tpch.py"
-    }
+    assert "dnstap2clickhouse_spark/plans/tpch.py" in (
+        entrymod._entry_module_files(qs["tpch_pricing_summary"])
+    )
     # the entry file itself is never an implementing module (it changes
     # every round by design and would void everything)
     for name in ("dns_stateful_match", "dedup_minhash_lsh", "events_funnel"):
@@ -138,39 +140,25 @@ def test_git_edit_rounds_parse():
     edits = entrymod._file_edit_rounds()
     if not edits:
         pytest.skip("git history unavailable")
-    # boundaries through round 7 exist; in-progress round is 8
+    # every edit round lies in [1, newest boundary + 1] — the upper end
+    # is the in-progress round (was hardcoded 8 in r8; generalized so the
+    # test survives every subsequent round's commits)
     rounds = set(edits.values())
-    assert max(rounds) <= 8 and min(rounds) >= 1
+    assert min(rounds) >= 1 and max(rounds) - min(rounds) < 50
     # known ground truth from the git log: similarity.py last changed in
-    # r7 (auto assignment), dedup.py in r6
+    # r7 (auto assignment), dedup.py in r6 (neither has changed since —
+    # the r9 sampled verifiers live in functions/ground_truth.py exactly
+    # so these stay untouched)
     assert edits["dnstap2clickhouse_spark/functions/similarity.py"] == 7
     assert edits["dnstap2clickhouse_spark/functions/dedup.py"] == 6
 
 
-# ------------------------------------------------------ r8 window pin
-
-R8_WINDOW_HEAD = [
-    # the r7 verdict's prescribed r8 adjudication window leads with the
-    # 9 r2-stale entries then the 41 r3-stale (DNS spine +
-    # events_sketch_stats among them)
-    "dedup_simhash", "sim_label_centroids", "dedup_embedding_cosine",
-    "mm_media_metadata", "mm_media_features", "mm_frame_sample",
-    "events_pivot_counts", "events_distinct_users", "events_user_set_ops",
-]
-R8_WINDOW_MUST_CONTAIN = {
-    "events_sketch_stats", "dns_query_stream", "dns_response_stream",
-    "dns_decode_queries", "dns_decode_responses", "dns_response_time_join",
-    "dns_match_once", "dns_q4_latency_series", "dns_pipeline_e2e",
-    "dns_stateful_match",
-}
-
-
-def test_r8_window_pinned_until_driver_records_r08():
-    if os.path.exists(os.path.join(HERE, "CORRECTNESS_r08.json")):
-        pytest.skip("driver already recorded r8; window has moved on")
-    names = list(entrymod.queries())
-    assert names[:9] == R8_WINDOW_HEAD
-    assert R8_WINDOW_MUST_CONTAIN <= set(names[:50])
+# The r8 window pin test (R8_WINDOW_HEAD / test_r8_window_pinned_until_
+# driver_records_r08) retired once CORRECTNESS_r08 landed — it had become
+# a permanent skip (r8 verdict item 6). Its generalized successor,
+# test_window_is_least_recently_evidenced_prefix in test_round9_fixes.py,
+# re-derives the expected window from the evidence files every round
+# instead of pinning one round's names.
 
 
 # ----------------------------------------- --sampled replica composition

@@ -85,27 +85,30 @@ REDUCERS = (
     "LocalTableScan",
 )
 
-#: (query, hazard) pairs that are by-design, with the reason — these are
-#: the documented quadratic GROUND-TRUTH verifiers, quarantined from the
-#: production chain (see SCALING.md "weak-at-scale by design").
-WAIVED: dict[tuple[str, str], str] = {
-    ("dedup_ngram_jaccard", "nested-loop"): "exact-Jaccard ground-truth verifier, never the scale path",
-    ("dedup_embedding_cosine", "nested-loop"): "all-pairs cosine ground-truth verifier, never the scale path",
-    ("dedup_embedding_lsh_recall", "nested-loop"): "recall metric definitionally embeds the exact all-pairs ground truth (same quarantined relation as dedup_embedding_cosine); the measured path (dedup_embedding_lsh) audits clean",
-}
+#: (query, hazard) pairs that are by-design, with the reason. EMPTY since
+#: r9: the three quadratic ground-truth verifiers
+#: (dedup_ngram_jaccard / dedup_embedding_cosine /
+#: dedup_embedding_lsh_recall) now run on the deterministic 1/7 pair
+#: sample via residue-keyed EQUI-joins (functions/ground_truth.py) — the
+#: nested-loop plans the waivers excused no longer exist; the full exact
+#: forms remain in dedup.py/similarity.py for the test suite only.
+WAIVED: dict[tuple[str, str], str] = {}
 
 #: Known scale risks the plan STRING cannot reveal (equi-joins whose
 #: quadratic blowup lives in the DATA's key-frequency distribution, not
-#: the operator tree). Printed as a WAIVE line on every run so the risk
-#: is named explicitly in the audit output (r5 verdict item 4) rather
-#: than silently passing shape checks.
+#: the operator tree). Printed as an informational "note" line on every
+#: run so the risk is named explicitly in the audit output (r5 verdict
+#: item 4) rather than silently passing shape checks — these are NOT
+#: excused hazards (the hazard list for these plans is empty).
 DECLARED: dict[str, str] = {
     "dedup_ngram_jaccard": (
-        "hot-shingle skew: the exact verifier self-joins on raw shingles "
-        "(O(freq^2) rows per hot shingle) — ground-truth only; the "
-        "deployment form caps shingle document frequency via "
-        "ngram_jaccard_pairs(max_shingle_freq=F), pinned by "
-        "tests/test_round6_fixes.py"
+        "hot-shingle skew, bounded since r9: the sampled verifier joins "
+        "on (shingle, pair-residue), spreading a hot shingle of document "
+        "frequency f over GT_SAMPLE_MOD tasks of (f/M)^2 rows each "
+        "(49x smaller stragglers, 7x less total pair state) — still a "
+        "verifier, not the scale path; the deployment form caps shingle "
+        "document frequency via ngram_jaccard_pairs(max_shingle_freq=F), "
+        "pinned by tests/test_round6_fixes.py"
     ),
 }
 
@@ -409,8 +412,7 @@ def main() -> int:
             pass
         flagged = [h for h in hazards if (name, h) not in WAIVED]
         waived = [h for h in hazards if (name, h) in WAIVED]
-        if name in DECLARED:
-            waived = waived + [f"declared[{DECLARED[name]}]"]
+        notes = [f"declared[{DECLARED[name]}]"] if name in DECLARED else []
         try:
             # info-only: a census failure (py4j reflection on an
             # unexpected plan node under a different Spark minor) must
@@ -432,11 +434,13 @@ def main() -> int:
             failures += 1
             print(f"FAIL  {name}: {', '.join(flagged)}")
         elif waived:
-            reasons = "; ".join(
-                h if h.startswith("declared[") else f"{h}: {WAIVED[(name, h)]}"
-                for h in waived
-            )
+            # an excused DETECTED hazard — distinct from an informational
+            # note: a WAIVE line means the plan still carries the hazard
+            reasons = "; ".join(f"{h}: {WAIVED[(name, h)]}" for h in waived)
             print(f"WAIVE {name}: {reasons}{tag}")
+        elif notes:
+            # hazard-free plan with a declared data-distribution caveat
+            print(f"note  {name}: {'; '.join(notes)}{tag}")
         else:
             print(f"ok    {name}{tag}")
     print(f"\nhazard failures: {failures}")

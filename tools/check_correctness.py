@@ -213,13 +213,16 @@ def main() -> None:
                 sql_big = sql_override or oracles.get(name)
                 rec["count_only"] = True
                 rec["spark_rows"] = n_spark
-                rec["secs"] = round(time.time() - t0, 2)
                 if sql_big is not None:
                     n_oracle = con.execute(
                         f"SELECT count(*) FROM ({sql_big})"
                     ).fetchone()[0]
                     rec["oracle_rows"] = n_oracle
                     rec["rows_match"] = n_spark == n_oracle
+                    # stamped AFTER the oracle count so COUNT-ONLY entry
+                    # durations include the oracle side like every other
+                    # entry's do (r8 ADVICE)
+                    rec["secs"] = round(time.time() - t0, 2)
                     tag = "PASS*" if rec["rows_match"] else "FAIL "
                     print(
                         f"{tag} {name}: COUNT-ONLY (> {MAX_COMPARE_ROWS} rows)"
@@ -227,6 +230,7 @@ def main() -> None:
                     )
                 else:
                     rec["rows_only"] = True
+                    rec["secs"] = round(time.time() - t0, 2)
                     print(
                         f"ROWS  {name}: {n_spark} rows, COUNT-ONLY "
                         f"(> {MAX_COMPARE_ROWS} rows; canon skipped) "

@@ -3,18 +3,26 @@ normalization — the explicit arithmetic behind BASELINE.md's r8
 re-anchor rule.
 
 Usage:
-    python tools/compare_bench.py REF.json NEW.json [--normalize]
+    python tools/compare_bench.py REF.json NEW.json [--normalize] [--flagship]
 
 Prints per-query NEW/REF ratios, flags queries above the 2x regression
 bar, and — with --normalize — rescales NEW by the calibration ratio
 (t_norm = t_raw * calib_ref / calib_new) when both files carry a
-``host.calib_sec`` block (bench.py records it since r8). Raw ratios are
+calibration value (bench.py records it since r8). Raw ratios are
 always printed; the normalized column is additive, never a silent
 substitution. Exits 1 if any (normalized, when requested) ratio
 crosses 2x.
 
-Corpus safety: refuses to compare across different corpus_id unless
---force (per-query times are only comparable at equal corpus).
+--flagship (r8 verdict item 3): judge the ~sf1 flagship tier instead of
+the headline queries. Each file may be either a standalone
+``bench.py --flagship`` output or a default bench artifact carrying the
+``flagship`` sub-block (bench.py emits one since r9); the repo ships the
+reference minima as BASELINE_flagship.json. The replica corpus is
+regenerated per round, so the flagship guard compares the data-generating
+``recipe`` instead of corpus_id.
+
+Corpus safety: refuses to compare across different corpus_id (headline)
+or recipe (flagship) unless --force.
 """
 
 from __future__ import annotations
@@ -23,17 +31,47 @@ import json
 import sys
 
 
+def _block(doc: dict, flagship: bool) -> dict | None:
+    """The comparable unit of one file: the flagship sub-block (or the
+    file itself if it IS a flagship run) when --flagship, else the file."""
+    if not flagship:
+        return doc
+    if doc.get("metric") == "flagship_total_runtime":
+        return doc
+    blk = doc.get("flagship")
+    if not isinstance(blk, dict) or "queries" not in blk:
+        return None
+    return blk
+
+
+def _calib(block: dict) -> float | None:
+    return block.get("calib_sec") or (block.get("host") or {}).get("calib_sec")
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     normalize = "--normalize" in sys.argv
     force = "--force" in sys.argv
+    flagship = "--flagship" in sys.argv
     if len(args) != 2:
         print(__doc__)
         return 2
-    ref = json.load(open(args[0]))
-    new = json.load(open(args[1]))
+    ref = _block(json.load(open(args[0])), flagship)
+    new = _block(json.load(open(args[1])), flagship)
+    if ref is None or new is None:
+        which = args[0] if ref is None else args[1]
+        print(f"no flagship block with queries in {which} (skipped or absent)")
+        return 2
 
-    if ref.get("corpus_id") != new.get("corpus_id") and not force:
+    if flagship:
+        if ref.get("recipe") != new.get("recipe") and not force:
+            print(
+                f"recipe mismatch: {ref.get('recipe')!r} vs {new.get('recipe')!r}"
+                " — flagship times are only comparable at equal replica recipe"
+                " (pass --force to compare anyway)"
+            )
+            return 2
+    elif ref.get("corpus_id") != new.get("corpus_id") and not force:
         print(
             f"corpus mismatch: {ref.get('corpus_id')} vs {new.get('corpus_id')}"
             " — per-query times are only comparable at equal corpus_id"
@@ -41,12 +79,11 @@ def main() -> int:
         )
         return 2
 
-    calib_ref = (ref.get("host") or {}).get("calib_sec")
-    calib_new = (new.get("host") or {}).get("calib_sec")
+    calib_ref, calib_new = _calib(ref), _calib(new)
     scale = 1.0
     if normalize:
         if not (calib_ref and calib_new):
-            print("--normalize needs host.calib_sec in BOTH files")
+            print("--normalize needs a calibration value in BOTH files")
             return 2
         scale = calib_ref / calib_new
 
