@@ -794,25 +794,19 @@ except ImportError:  # pragma: no cover
 # ------------------------------------------------- adjudication rotation
 
 def test_rotation_orders_least_recently_adjudicated_first():
-    """queries() must lead with entries whose newest CORRECTNESS_r*.json
-    evidence is oldest (never-adjudicated first), so the driver's
-    50-entry window always re-checks the stalest entries."""
-    import glob
-    import json
-    import os
-
+    """queries() must lead with entries whose EFFECTIVE evidence is
+    oldest: newest CORRECTNESS_r*.json round, voided to never-adjudicated
+    when the implementing module changed after it (the r8 code-change
+    rule — this test originally read the CORRECTNESS files alone, which
+    r9's first voided entries made stale), so the driver's 50-entry
+    window always re-checks the stalest entries."""
     import __spark_entry__ as e
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    qs = list(e.queries().keys())
-    last: dict[str, int] = {n: -1 for n in qs}
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
-        for n in json.load(open(path)):
-            if n in last:
-                last[n] = max(last[n], rnd)
+    qdict = e.queries()
+    qs = list(qdict.keys())
+    last = e._evidence_rounds(qdict)
     ages = [last[n] for n in qs]
-    assert ages == sorted(ages), "entries must be in ascending adjudication age"
+    assert ages == sorted(ages), "entries must be in ascending evidence age"
     # oracle coverage stays total
     assert set(qs) == set(e.oracle_sql().keys())
 
