@@ -242,6 +242,26 @@ def test_flagship_protocol_string_names_actual_tier():
     assert "~sf1 (10x replica" in src
 
 
+def test_compare_bench_unwraps_driver_artifact(tmp_path):
+    """Driver-recorded BENCH_r*.json wraps the bench line under 'parsed'
+    — compare_bench must unwrap it so rounds compare directly."""
+    tool = os.path.join(HERE, "tools", "compare_bench.py")
+    inner = {
+        "corpus_id": "c1",
+        "queries": {"q": 1.0},
+        "host": {"calib_sec": 1.0},
+    }
+    wrapped = {"n": 8, "rc": 0, "tail": "...", "parsed": inner}
+    plain = {"corpus_id": "c1", "queries": {"q": 1.2}, "host": {"calib_sec": 1.0}}
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps(wrapped))
+    b.write_text(json.dumps(plain))
+    r = subprocess.run(
+        [sys.executable, tool, str(a), str(b)], capture_output=True, text=True
+    )
+    assert r.returncode == 0 and "1.20" in r.stdout, r.stdout + r.stderr
+
+
 def test_compare_bench_flagship_block_and_recipe_guard(tmp_path):
     tool = os.path.join(HERE, "tools", "compare_bench.py")
     ref = json.load(open(os.path.join(HERE, "BASELINE_flagship.json")))

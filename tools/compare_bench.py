@@ -33,7 +33,11 @@ import sys
 
 def _block(doc: dict, flagship: bool) -> dict | None:
     """The comparable unit of one file: the flagship sub-block (or the
-    file itself if it IS a flagship run) when --flagship, else the file."""
+    file itself if it IS a flagship run) when --flagship, else the file.
+    Driver-recorded BENCH_r*.json files wrap the bench line under a
+    'parsed' key — unwrap so they compare directly."""
+    if "queries" not in doc and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
     if not flagship:
         return doc
     if doc.get("metric") == "flagship_total_runtime":
