@@ -234,6 +234,19 @@ def test_flagship_block_skips_cleanly_without_replica(monkeypatch):
     assert "skipped" in blk and "make_scale_data" in blk["skipped"]
 
 
+def test_flagship_block_degrades_on_worker_failure(monkeypatch, tmp_path):
+    """A flagship worker failure degrades the sub-block to skipped-with-
+    reason instead of sinking the headline artifact the driver records."""
+    import bench
+
+    monkeypatch.setattr(bench, "FLAGSHIP_SF_DIR", str(tmp_path))  # exists
+    def boom(sf_dir, flagship):
+        raise SystemExit("bench worker failed rc=1")
+    monkeypatch.setattr(bench, "_collect_passes", boom)
+    blk = bench._flagship_block()
+    assert "skipped" in blk and "failed" in blk["skipped"]
+
+
 def test_flagship_protocol_string_names_actual_tier():
     """r8 ADVICE low: the --flagship protocol suffix must describe the
     tier actually run (~sf1 replica), not the rejected sf0.3 trial."""
