@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
-sec), "sf", "corpus_id", "protocol", "runs"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Output (r10):
+the FULL artifact {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf", "corpus_id", "protocol", "runs", "host",
+"flagship"} is printed first and written to bench_full.json; the FINAL
+stdout line is a compact <=1500-char summary (metric, per-query mins,
+calib_sec, corpus_id, flagship mins + recipe) sized to survive the
+driver's ~2,000-char tail capture (r9 verdict item 1: BENCH_r09.json
+went parsed:null when the single full line outgrew the window).
 
 Each query executes end-to-end via the `noop` sink — the full physical
 plan runs (scan -> shuffle -> agg/join) without driver-side collection,
@@ -103,6 +108,16 @@ FLAGSHIP_RECIPE = "make_scale_data.py N=10 from /root/testdata/sf0.1"
 #: ~20% total drift from host noise at sub-second absolutes; a third
 #: pass tightens the min at +~2 min wall
 N_PASSES = 3
+
+#: The driver records only the LAST ~2,000 chars of stdout and parses the
+#: last JSON line within them (BENCH_r09.json went parsed:null when the
+#: flagship block pushed the single output line past that window — r9
+#: verdict item 1). The FINAL printed line is therefore a compact summary
+#: bounded well under the capture window; the full artifact (runs arrays,
+#: host block, protocol) is printed on an EARLIER line and also written to
+#: FULL_ARTIFACT_PATH for post-hoc tooling.
+MAX_FINAL_LINE = 1500
+FULL_ARTIFACT_PATH = os.path.join(HERE, "bench_full.json")
 
 
 def calibrate() -> float:
@@ -240,6 +255,47 @@ def _flagship_block() -> dict:
     }
 
 
+def _compact(out: dict) -> dict:
+    """Driver-facing summary of a full artifact: metric, per-query MINS,
+    calibration, corpus fingerprint, and the flagship tier's mins +
+    recipe — everything compare_bench needs to judge a round — with the
+    bulky evidence (runs arrays, host block, protocol prose) left to the
+    full artifact. Deterministically trimmed if it would ever exceed
+    MAX_FINAL_LINE (it does not at the current 18+5 query census)."""
+    c = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "corpus_id": out["corpus_id"],
+        "calib_sec": out["host"]["calib_sec"],
+        "full": os.path.basename(FULL_ARTIFACT_PATH),
+    }
+    if "recipe" in out:  # standalone --flagship run
+        c["recipe"] = out["recipe"]
+    fb = out.get("flagship")
+    if isinstance(fb, dict):
+        if "skipped" in fb:
+            c["flagship"] = {"skipped": fb["skipped"][:200]}
+        else:
+            c["flagship"] = {
+                "value": fb["value"],
+                "unit": fb["unit"],
+                "queries": fb["queries"],
+                "recipe": fb["recipe"],
+                "corpus_id": fb["corpus_id"],
+                "calib_sec": fb["calib_sec"],
+            }
+    # defensive trim cascade — never emit a final line the driver's tail
+    # capture could clip mid-JSON
+    for drop in ("full", "flagship", "queries"):
+        if len(json.dumps(c)) <= MAX_FINAL_LINE:
+            break
+        c.pop(drop, None)
+    return c
+
+
 def main() -> None:
     flagship = "--flagship" in sys.argv
     explicit_dir = next(
@@ -284,13 +340,28 @@ def main() -> None:
             + (f"; flagship tier at ~sf1 (10x replica: {sf_dir})" if flagship else "")
         ),
     }
-    if not flagship:
+    if flagship:
+        # replica-recipe fingerprint on the standalone artifact too, so
+        # compare_bench's --flagship recipe guard never sees None == None
+        # as a vacuous match (r9 ADVICE medium)
+        out["recipe"] = FLAGSHIP_RECIPE
+    else:
         # the default (driver-recorded) artifact carries the flagship
         # tier as a sub-block so per-round regressions are judged on
         # >2 s absolutes (BASELINE.md flagship section)
         out["flagship"] = _flagship_block()
         out["host"]["loadavg_post"] = [round(x, 2) for x in os.getloadavg()]
+    # full artifact: an EARLIER stdout line + a file; the driver's tail
+    # capture may clip it — the compact FINAL line is what it parses
+    try:
+        with open(FULL_ARTIFACT_PATH, "w") as f:
+            json.dump(out, f, indent=2)
+    except OSError:
+        pass  # read-only checkout: stdout still carries the full line
     print(json.dumps(out))
+    line = json.dumps(_compact(out))
+    assert len(line) <= MAX_FINAL_LINE, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -208,20 +208,33 @@ def test_window_is_least_recently_evidenced_prefix():
     assert real == expect
 
 
-def test_edited_ground_truth_entries_lead_window_once_committed():
-    """Once functions/ground_truth.py is in git history (edit round >=
-    the void floor), the three re-pointed entries void to the front of
-    the window; before that commit the rotation is unchanged."""
+def test_edited_ground_truth_entries_void_until_readjudicated():
+    """The ground_truth.py edit voids the three re-pointed entries ONLY
+    while no driver adjudication post-dates the edit; once the driver
+    records a later (or equal) round for them, the void RESOLVES and
+    their evidence is that adjudicated round. Both evidence states are
+    asserted — the r9 flavor of this test asserted the pre-adjudication
+    state unconditionally and turned every post-CORRECTNESS_r09 tree
+    red (r9 verdict item 2: evidence-state-dependent tests are the
+    failure class, not the rotation)."""
     edits = entrymod._file_edit_rounds()
     if not edits:
         pytest.skip("git history unavailable")
     gt_file = "dnstap2clickhouse_spark/functions/ground_truth.py"
-    names = list(entrymod.queries())
     trio = {"dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_embedding_lsh_recall"}
-    if gt_file in edits and edits[gt_file] >= entrymod._EDIT_VOID_FLOOR:
-        last = entrymod._evidence_rounds(entrymod.queries())
-        assert all(last[n] == -1 for n in trio)
-        assert trio <= set(names[:3])
+    if gt_file not in edits or edits[gt_file] < entrymod._EDIT_VOID_FLOOR:
+        pytest.skip("ground_truth.py edit grandfathered or not in history")
+    names = list(entrymod.queries())
+    adjudicated = entrymod._last_adjudicated(list(trio))
+    last = entrymod._evidence_rounds(entrymod.queries())
+    for n in trio:
+        if edits[gt_file] > adjudicated[n]:
+            # void active: edit post-dates the newest driver evidence
+            assert last[n] == -1, (n, edits[gt_file], adjudicated[n])
+            assert names.index(n) < 50, n  # leads into the window
+        else:
+            # void resolved: an adjudication post-dates the edit
+            assert last[n] == adjudicated[n], (n, edits[gt_file], adjudicated[n])
 
 
 # ------------------------------------------------- bench flagship block

@@ -31,6 +31,25 @@ import json
 import sys
 
 
+def _load(path: str) -> dict:
+    """One bench JSON document. Accepts a plain single-document file, a
+    driver-recorded BENCH_r*.json, or a redirected ``bench.py > f`` log
+    (since r10 bench prints the full artifact on an earlier line and the
+    compact summary last — take the LAST parseable JSON line)."""
+    text = open(path).read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        for line in reversed(text.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+        raise
+
+
 def _block(doc: dict, flagship: bool) -> dict | None:
     """The comparable unit of one file: the flagship sub-block (or the
     file itself if it IS a flagship run) when --flagship, else the file.
@@ -49,7 +68,15 @@ def _block(doc: dict, flagship: bool) -> dict | None:
 
 
 def _calib(block: dict) -> float | None:
-    return block.get("calib_sec") or (block.get("host") or {}).get("calib_sec")
+    # explicit presence checks, not truthiness: a recorded 0.0 must be
+    # rejected as INVALID later, never silently fall through to host
+    # (r9 ADVICE low)
+    if block.get("calib_sec") is not None:
+        return block["calib_sec"]
+    host = block.get("host") or {}
+    if host.get("calib_sec") is not None:
+        return host["calib_sec"]
+    return None
 
 
 def main() -> int:
@@ -60,14 +87,24 @@ def main() -> int:
     if len(args) != 2:
         print(__doc__)
         return 2
-    ref = _block(json.load(open(args[0])), flagship)
-    new = _block(json.load(open(args[1])), flagship)
+    ref = _block(_load(args[0]), flagship)
+    new = _block(_load(args[1]), flagship)
     if ref is None or new is None:
         which = args[0] if ref is None else args[1]
         print(f"no flagship block with queries in {which} (skipped or absent)")
         return 2
 
     if flagship:
+        if (ref.get("recipe") is None or new.get("recipe") is None) and not force:
+            # a missing recipe must REFUSE, not vacuously match another
+            # missing recipe (r9 ADVICE medium)
+            which = args[0] if ref.get("recipe") is None else args[1]
+            print(
+                f"recipe missing in {which} — flagship times are only"
+                " comparable at a recorded replica recipe (pass --force"
+                " to compare anyway)"
+            )
+            return 2
         if ref.get("recipe") != new.get("recipe") and not force:
             print(
                 f"recipe mismatch: {ref.get('recipe')!r} vs {new.get('recipe')!r}"
@@ -86,8 +123,11 @@ def main() -> int:
     calib_ref, calib_new = _calib(ref), _calib(new)
     scale = 1.0
     if normalize:
-        if not (calib_ref and calib_new):
+        if calib_ref is None or calib_new is None:
             print("--normalize needs a calibration value in BOTH files")
+            return 2
+        if not calib_ref or not calib_new:
+            print(f"invalid calibration value (ref {calib_ref}, new {calib_new})")
             return 2
         scale = calib_ref / calib_new
 
