@@ -394,25 +394,34 @@ def _kcore_sql(dialect: str) -> str:
     Output: every k-core member with its in-core degree + the
     convergence certificate. Scale: each round's work is O(E) with
     map-side partials; the vertex sets only shrink.
+
+    DuckDB dialect: every CTE is MATERIALIZED. DuckDB 1.0 inlines CTEs
+    per reference, so the unrolled peel re-evaluated the lineitem
+    self-join + DISTINCT edge build once per round — the r9 sf1 replica
+    sweep's 778 s tail entry; materializing collapses it to ~0.8 s with
+    bit-identical output (r9 verdict item 4). The Spark dialect is
+    untouched (no MATERIALIZED keyword; the DataFrame form in kcore()
+    persists the edges explicitly for the same reason).
     """
+    mat = "MATERIALIZED " if dialect == "duckdb" else ""
     rounds = [
         f"""
-n0 AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
-k0 AS (SELECT u FROM n0 WHERE deg >= {KCORE_K})"""
+n0 AS {mat}(SELECT u, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+k0 AS {mat}(SELECT u FROM n0 WHERE deg >= {KCORE_K})"""
     ]
     for r in range(1, KCORE_ROUNDS + 1):
         p = r - 1
         rounds.append(
             f"""
-e{r} AS (SELECT s.u, s.v FROM sym s
+e{r} AS {mat}(SELECT s.u, s.v FROM sym s
         JOIN k{p} x ON s.u = x.u JOIN k{p} y ON s.v = y.u),
-n{r} AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e{r} GROUP BY u),
-k{r} AS (SELECT u FROM n{r} WHERE deg >= {KCORE_K})"""
+n{r} AS {mat}(SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e{r} GROUP BY u),
+k{r} AS {mat}(SELECT u FROM n{r} WHERE deg >= {KCORE_K})"""
         )
     last, prev = KCORE_ROUNDS, KCORE_ROUNDS - 1
     return f"""
-WITH copurchase AS ({_copurchase_cte()}),
-sym AS (SELECT a AS u, b AS v FROM copurchase
+WITH copurchase AS {mat}({_copurchase_cte()}),
+sym AS {mat}(SELECT a AS u, b AS v FROM copurchase
         UNION ALL SELECT b AS u, a AS v FROM copurchase),
 {",".join(rounds)},
 conv AS (SELECT (SELECT count(*) FROM k{last}) = (SELECT count(*) FROM k{prev})
