@@ -141,6 +141,31 @@ def test_standalone_flagship_carries_recipe(monkeypatch, capsys, tmp_path):
     assert len(lines[-1]) <= bench.MAX_FINAL_LINE
 
 
+def test_driver_tail_capture_parses_final_line(monkeypatch, capsys, tmp_path):
+    """The driver keeps the LAST ~2,000 chars of stdout and parses the
+    last JSON line within them. Model that capture exactly over main()'s
+    real output: the truncated tail must still contain one complete,
+    parseable JSON line carrying both tiers (the r9 failure mode was the
+    full line being clipped MID-JSON)."""
+    runs = {q: [1.234, 1.456, 1.345] for q in bench.HEADLINE}
+    monkeypatch.setattr(bench, "_collect_passes", lambda sf, fl: (runs, [0.852, 0.876, 0.891]))
+    monkeypatch.setattr(bench, "corpus_id", lambda d: "96cd06a003069e75")
+    monkeypatch.setattr(
+        bench, "_flagship_block",
+        lambda: {k: v for k, v in _fake_full_artifact()["flagship"].items()},
+    )
+    monkeypatch.setattr(bench, "FULL_ARTIFACT_PATH", str(tmp_path / "bench_full.json"))
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr().out
+    tail = out[-2000:]
+    lines = [l for l in tail.splitlines() if l.strip().startswith("{")]
+    parsed = json.loads(lines[-1])  # raises on a clipped line
+    assert parsed["metric"] == "headline_total_runtime"
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
+    assert set(parsed["flagship"]["queries"]) == set(bench.FLAGSHIP)
+
+
 # ------------------------------------------------------- compare_bench
 
 def _run_compare(*argv: str) -> subprocess.CompletedProcess:
