@@ -235,6 +235,34 @@ def test_compare_bench_rejects_zero_calibration(tmp_path):
     assert r.returncode == 2 and "invalid calibration" in r.stdout, r.stdout
 
 
+# -------------------------------- corpus-B byte-regenerability contract
+
+def test_bench_corpus_regeneration_is_byte_stable(tmp_path):
+    """BASELINE.md's r8 'this id IS regenerable' claim was false: the
+    anchor fingerprinted a Spark part directory whose filename UUID,
+    coalesce(1) row order, and parquet-mr footer (JVM-hash-ordered
+    encodings set) change per run. The r10 writer (full-row sort +
+    single plain file + parquet-cpp canonicalization, timestamps
+    coerced to micros) must produce the IDENTICAL fingerprint on two
+    independent regenerations — pinned here at sf0.001 so the contract
+    can never silently regress again."""
+    tool = os.path.join(HERE, "tools", "make_bench_corpus.py")
+    src = "/root/testdata/sf0.001"
+    ids = []
+    for d in ("b1", "b2"):
+        out = tmp_path / d
+        r = subprocess.run(
+            [sys.executable, tool, str(out), src],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-1000:]
+        assert not any(os.path.isdir(out / f) for f in os.listdir(out)), (
+            "every table must be a single plain file, not a part directory"
+        )
+        ids.append(bench.corpus_id(str(out)))
+    assert ids[0] == ids[1], ids
+
+
 # ------------------------------------- ground-truth id precondition
 
 def test_ground_truth_ids_nonnegative():

@@ -45,7 +45,7 @@ legitimately change under the token bijection while every exact
 Jaccard similarity is preserved; candidate work volume stays
 comparable, which is what the bench compares.
 
-Usage:  python tools/make_bench_corpus.py [out_dir]
+Usage:  python tools/make_bench_corpus.py [out_dir] [src_dir]
 Default: /tmp/bench_corpus_b ; then
         SPARK_GRAFT_SF_DIR=/tmp/bench_corpus_b python bench.py
 """
@@ -65,6 +65,8 @@ from pyspark.sql import functions as F
 from dnstap2clickhouse_spark.session import get_spark
 from dnstap2clickhouse_spark.sources.tables import load_table
 
+#: source corpus; overridable so the byte-regenerability contract can be
+#: pinned fast in tests against sf0.001 (second positional arg)
 SRC = "/root/testdata/sf0.1"
 SEED = 20250816
 
@@ -103,7 +105,10 @@ def _id_perm_df(spark, ids: list[int], name: str):
 
 
 def main() -> None:
+    global SRC
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_corpus_b"
+    if len(sys.argv) > 2:
+        SRC = sys.argv[2]
     spark = get_spark("make-bench-corpus")
     os.makedirs(out, exist_ok=True)
 
