@@ -224,6 +224,18 @@ def test_compare_bench_refuses_missing_recipe(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_compare_bench_refuses_parsed_null_wrapper(tmp_path):
+    """A driver BENCH_r*.json whose parsed is null (the r9 clipped-line
+    artifact) refuses with a message — even under --force — instead of
+    a KeyError."""
+    a, b = tmp_path / "a.json", tmp_path / "b.json"
+    a.write_text(json.dumps({"n": 9, "rc": 0, "tail": "...", "parsed": None}))
+    b.write_text(json.dumps({"corpus_id": "c", "queries": {"q": 1.0}}))
+    for extra in ([], ["--force"]):
+        r = _run_compare(str(a), str(b), *extra)
+        assert r.returncode == 2 and "no per-query data" in r.stdout, r.stdout + r.stderr
+
+
 def test_compare_bench_rejects_zero_calibration(tmp_path):
     """r9 ADVICE low: calib_sec 0.0 is INVALID (division guard), not
     absent — and presence is tested explicitly, never by truthiness."""

@@ -93,6 +93,13 @@ def main() -> int:
         which = args[0] if ref is None else args[1]
         print(f"no flagship block with queries in {which} (skipped or absent)")
         return 2
+    if "queries" not in ref or "queries" not in new:
+        # e.g. a driver wrapper whose 'parsed' is null (the clipped-line
+        # failure bench now prevents) — refuse with a message, even
+        # under --force, instead of a KeyError
+        which = args[0] if "queries" not in ref else args[1]
+        print(f"no per-query data in {which} (parsed:null driver artifact?)")
+        return 2
 
     if flagship:
         if (ref.get("recipe") is None or new.get("recipe") is None) and not force:
