@@ -270,6 +270,19 @@ def _lsh_pairs_sql(dialect: str, bands: int = BANDS) -> str:
         # previous per-(doc,band) collect_list groupBy — a full shuffle of
         # 16 rows/doc — disappears: the first shuffle in the plan is the
         # candidate join itself. At 100 TB that's one wide stage, not two.
+        #
+        # SHUFFLE_HASH on the self-join (r10): Catalyst inlines the
+        # ``bands`` CTE into BOTH join sides, so with the size-triggered
+        # BroadcastHashJoin the whole shingle+md5+minhash subtree was
+        # EXECUTED TWICE (once per side) and one full corpus-derived copy
+        # was collected through the driver per action (measured at the
+        # 10x replica: warm 2.2 s, with 5-8.5 s broadcast-build spikes).
+        # Hinted, both sides shuffle on (band, sig); the two exchange
+        # subtrees canonicalize identically, so AQE computes the map
+        # stage ONCE and feeds both sides (final plan: ReusedExchange)
+        # — 1.69 s stable, and the local plan now matches the 100 TB
+        # plan (no corpus-derived broadcast exists to outgrow a
+        # threshold). Identical output: join strategy only.
         sh = _shingle_arrays("spark")
         base = "transform(sh, s -> " + _hash_tok("spark", "s") + ")"
         return f"""
@@ -279,7 +292,7 @@ sigs AS (SELECT doc_id, {_minhash_vec_expr()} AS mh FROM hb),
 bands AS (
   SELECT doc_id, b AS band, slice(mh, b * {rows_per_band} + 1, {rows_per_band}) AS sig
   FROM sigs LATERAL VIEW explode(sequence(0, {bands - 1})) t AS b)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 """
@@ -638,6 +651,12 @@ def _simhash_pairs_sql(dialect: str) -> str:
     Verification is exact: bit_count(xor) <= 3 on the 60-bit signatures,
     per candidate. At 100 TB the band value is the natural bucket/
     partition key for the signature table.
+
+    SHUFFLE_HASH on the self-join (r10, same reasoning as
+    ``_lsh_pairs_sql``): both sides shuffle on (band, bval) with
+    canonically identical subtrees, so AQE computes the SimHash
+    signature map stage once (ReusedExchange) instead of once per join
+    side, and no corpus-derived broadcast exists at any scale.
     """
     sigs = _simhash_sql(dialect).replace("ORDER BY doc_id", "")
     if dialect == "spark":
@@ -654,7 +673,7 @@ bands AS (
   SELECT doc_id, simhash, band, {bval} AS bval
   FROM (SELECT doc_id, simhash, {series} AS band FROM sigs)),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT {"/*+ SHUFFLE_HASH(a, b) */ " if dialect == "spark" else ""}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sig_a, b.simhash AS sig_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
@@ -702,8 +721,10 @@ def _incremental_ingest_sql(dialect: str) -> str:
     pairs = _lsh_pairs_sql(dialect)
     # reuse the banded CTE bodies, re-sided: swap the self-join tail for a
     # new-vs-existing join (string surgery on the shared prefix keeps the
-    # band/signature construction literally identical to the audited path)
-    prefix = pairs[: pairs.index("SELECT DISTINCT")].rstrip() + ","
+    # band/signature construction literally identical to the audited path;
+    # the tail marker tolerates the Spark dialect's SHUFFLE_HASH hint)
+    tail = pairs.index("SELECT /*+") if "SELECT /*+" in pairs else pairs.index("SELECT DISTINCT")
+    prefix = pairs[:tail].rstrip() + ","
     sh = _shingle_arrays(dialect)
     size = "size" if dialect == "spark" else "len"
     inter = "array_intersect" if dialect == "spark" else "list_intersect"
@@ -986,7 +1007,8 @@ def _online_dedup_sql(dialect: str) -> str:
     admitted sets fold left-to-right (reject iff a verified partner sits
     in the PREVIOUS batches' admitted set)."""
     pairs = _lsh_pairs_sql(dialect)
-    prefix = pairs[: pairs.index("SELECT DISTINCT")].rstrip() + ","
+    tail = pairs.index("SELECT /*+") if "SELECT /*+" in pairs else pairs.index("SELECT DISTINCT")
+    prefix = pairs[:tail].rstrip() + ","
     sh = _shingle_arrays(dialect)
     size = "size" if dialect == "spark" else "len"
     inter = "array_intersect" if dialect == "spark" else "list_intersect"
@@ -1376,7 +1398,7 @@ bands{b} AS (
   SELECT doc_id, hidx {div} {rpb} AS band, {agg} AS sig
   FROM mh GROUP BY doc_id, hidx {div} {rpb}),
 cand{b} AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands{b} a JOIN bands{b} b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
 ver{b} AS (

@@ -448,11 +448,11 @@ bands AS (
   FROM (SELECT doc_id, pos, b FROM bits) s
   GROUP BY doc_id, {band_of}),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT {"/*+ SHUFFLE_HASH(a, b) */ " if dialect == "spark" else ""}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
 ham AS (
-  SELECT c.doc_a, c.doc_b, CAST(sum({ham}) AS BIGINT) AS hamming
+  SELECT {"/*+ SHUFFLE_HASH(x, y) */ " if dialect == "spark" else ""}c.doc_a, c.doc_b, CAST(sum({ham}) AS BIGINT) AS hamming
   FROM cand c
   JOIN bands x ON x.doc_id = c.doc_a
   JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band

@@ -68,17 +68,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # a non-UTC zone with DST mangles wall times inside a
             # transition window (a spring-forward gap time doesn't exist,
             # so the cast shifts it before any compensating offset is
-            # applied). Extracting the wall FIELDS (pure NTZ arithmetic,
-            # zone-free) and rebuilding with make_timestamp(..., 'UTC') is
-            # exact under ANY session zone, DST included; microseconds ride
-            # date_part('SECOND') which keeps the fraction.
-            df = df.withColumn(
-                c,
-                F.expr(
-                    f"make_timestamp(year(`{c}`), month(`{c}`), day(`{c}`), "
-                    f"hour(`{c}`), minute(`{c}`), date_part('SECOND', `{c}`), 'UTC')"
-                ),
-            )
+            # applied). Two exact routes, picked by the session zone the
+            # ``_ensure_session_confs`` pin just (re)established:
+            #
+            # - zone == UTC (the engine/bench/driver norm): a plain CAST.
+            #   Catalyst resolves the Cast's zoneId at ANALYSIS time (the
+            #   eager ``withColumn`` below), and under UTC the NTZ->LTZ
+            #   cast is a micros-value reinterpretation — zero per-row
+            #   work at the scan, where the old field-rebuild cost ~0.14 s
+            #   per 1M rows on EVERY events-reading query (r10 measure:
+            #   window-agg over 1M rows 0.66 s -> 0.42 s).
+            # - zone != UTC (locked-down session where the pin failed):
+            #   keep the field rebuild — extracting the wall FIELDS (pure
+            #   NTZ arithmetic, zone-free) and rebuilding with
+            #   make_timestamp(..., 'UTC') is exact under ANY session
+            #   zone, DST included; microseconds ride date_part('SECOND').
+            try:
+                tz = spark.conf.get("spark.sql.session.timeZone")
+            except Exception:
+                tz = None
+            if tz == "UTC":
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
+            else:
+                df = df.withColumn(
+                    c,
+                    F.expr(
+                        f"make_timestamp(year(`{c}`), month(`{c}`), day(`{c}`), "
+                        f"hour(`{c}`), minute(`{c}`), date_part('SECOND', `{c}`), 'UTC')"
+                    ),
+                )
     return df
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
