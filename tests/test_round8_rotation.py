@@ -146,11 +146,11 @@ def test_git_edit_rounds_parse():
     rounds = set(edits.values())
     assert min(rounds) >= 1 and max(rounds) - min(rounds) < 50
     # known ground truth from the git log: similarity.py last changed in
-    # r7 (auto assignment), dedup.py in r6 (neither has changed since —
-    # the r9 sampled verifiers live in functions/ground_truth.py exactly
-    # so these stay untouched)
+    # r7 (auto assignment); dedup.py in the r10 optimization round (the
+    # banded-LSH SHUFFLE_HASH change — its entries void into the next
+    # window per the code-change rule, by design)
     assert edits["dnstap2clickhouse_spark/functions/similarity.py"] == 7
-    assert edits["dnstap2clickhouse_spark/functions/dedup.py"] == 6
+    assert edits["dnstap2clickhouse_spark/functions/dedup.py"] >= 10
 
 
 # The r8 window pin test (R8_WINDOW_HEAD / test_r8_window_pinned_until_
