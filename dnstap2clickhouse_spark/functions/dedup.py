@@ -1098,13 +1098,106 @@ def _containment_sql(dialect: str) -> str:
     corpus sizes the oracle certifies. Reference scope: beyond
     dnstap2clickhouse's surface; complements minhash_lsh (symmetric
     Jaccard) on the asymmetric axis.
+
+    r11 restructure (measured first, guide §1/§2.3/§8): at the 10x
+    replica the cost was NOT the signature chain (srows 0.98 s, df
+    1.1 s, ranked 2.5 s — the r10 verdict's "ranked computes twice"
+    hypothesis was a minor term) but the CANDIDATE EXPLOSION: the
+    prefix join emitted 21.07M DISTINCT candidates (28.7 s for the
+    join+distinct) of which only 501,200 verify, then paid an
+    array_intersect per candidate (~15.6 s). Three changes, all
+    output-preserving, Spark dialect only:
+
+    - **Exact-set grouping (the §8 move: decide on proxies, expand to
+      members).** Containment is a function of the two shingle SETS
+      alone, and a replica-heavy corpus (like any real crawl at 100 TB
+      — that is why ``exact_dedup`` exists) has many docs per distinct
+      set; the candidate join is QUADRATIC in group size. One window
+      pass groups docs by their sorted shingle array (exact set
+      identity — no hash key, no collision risk), the whole
+      prefix/candidate/verify machinery runs once per DISTINCT set,
+      equal-set pairs short-circuit to cont = 1e6 (>= tau always since
+      tau <= 1), and two rep_id joins expand verified set pairs back
+      to doc pairs.
+    - ``n`` comes from ``size(key)`` before the explode instead of a
+      ``count(*) OVER (PARTITION BY doc_id)`` window (arrays are
+      distinct, so the per-set row count IS the array size).
+    - the PPJoin POSITIONAL filter (Xiao et al. 2008, the standard
+      companion of the prefix filter): a generating match on shingle s
+      can only come from a true pair if the overlap still achievable
+      at and after s reaches t = ceil(tau*n_a), i.e.
+      ``least(n_a - rk_a, n_b - rk_b) + 1 >= t``. Completeness: for a
+      true pair let s* be the first common shingle in the global
+      (df, s) order; all >= t common shingles sit at rank >= rk(s*) in
+      BOTH sets, so rk_a(s*) <= n_a-t+1 (s* is in a's prefix) and both
+      ``n - rk`` terms are >= t-1 — the s* match row always survives.
+      Soundness: candidates stay a superset; exact verification
+      decides. (df now counts distinct SETS, not docs — the prefix
+      theory only needs a consistent total order, and set-level df is
+      the better rarity signal anyway.)
+
+    Equivalence for the grouping: set(a)=S_x, set(b)=S_y => cont(a,b)
+    = |S_x ∩ S_y|*1e6 div |S_x| depends only on (S_x, S_y); same-set
+    pairs score exactly 1e6; docs with EMPTY shingle sets produce no
+    srows rows in the old form (never paired) and are excluded from
+    groups here (``size(key) > 0``). Measured at the 10x replica:
+    50,120 docs -> 4,992 distinct sets, candidates 21.07M -> 173,733,
+    runtime 26.4 s -> 5.0 s warm / 71 -> 12.5 s cold, output
+    byte-identical (oracle-exact at sf0.001/sf0.01; exceptAll vs the
+    old Spark form = 0 rows both ways on the replica's 501,200 pairs).
+    The DuckDB oracle keeps the r10 form byte-for-byte (its CTEs
+    materialize, so it was single-pass already) — the referee stays
+    independent of the Spark rewrite it certifies.
     """
     arrays = _shingle_arrays(dialect)
     flat = "explode" if dialect == "spark" else "unnest"
     idiv = "div" if dialect == "spark" else "//"
     size = "size" if dialect == "spark" else "len"
     inter = "array_intersect" if dialect == "spark" else "list_intersect"
-    return f"""
+    if dialect == "spark":
+        # t = ceil(n_a * tau) as exact integers (tau carried e6-scaled)
+        t_a = f"(p.n * {CONT_TAU_E6} + 999999) {idiv} 1000000"
+        return f"""
+WITH sh AS ({arrays}),
+keyed AS (
+  SELECT doc_id, key,
+         min(doc_id) OVER (PARTITION BY key) AS rep_id,
+         count(*) OVER (PARTITION BY key) AS sz
+  FROM (SELECT doc_id, sort_array(sh) AS key FROM sh WHERE {size}(sh) > 0)),
+reps AS (SELECT doc_id AS rep_id, key, sz FROM keyed WHERE doc_id = rep_id),
+srows AS (SELECT rep_id, {flat}(key) AS s, {size}(key) AS n FROM reps),
+df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM srows GROUP BY s),
+ranked AS (
+  SELECT r.rep_id, r.s, r.n,
+         row_number() OVER (PARTITION BY r.rep_id ORDER BY d.df, r.s) AS rk
+  FROM srows r JOIN df d ON r.s = d.s),
+prefix AS (
+  SELECT rep_id, s, n, rk FROM ranked
+  WHERE rk <= (n * {1_000_000 - CONT_TAU_E6}) {idiv} 1000000 + 1),
+cand AS (
+  SELECT DISTINCT p.rep_id AS rep_a, r.rep_id AS rep_b
+  FROM prefix p JOIN ranked r
+    ON p.s = r.s AND p.rep_id <> r.rep_id
+   AND r.n * 1000000 >= p.n * {CONT_TAU_E6}
+   AND least(p.n - p.rk, r.n - r.rk) + 1 >= {t_a}),
+verified AS (
+  SELECT rep_a, rep_b, cont_e6 FROM (
+    SELECT c.rep_a, c.rep_b,
+           (CAST({size}({inter}(a.key, b.key)) AS BIGINT) * 1000000)
+             {idiv} {size}(a.key) AS cont_e6
+    FROM cand c
+    JOIN reps a ON c.rep_a = a.rep_id
+    JOIN reps b ON c.rep_b = b.rep_id) s
+  WHERE cont_e6 >= {CONT_TAU_E6}
+  UNION ALL
+  SELECT rep_id, rep_id, CAST(1000000 AS BIGINT) FROM reps WHERE sz >= 2)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, v.cont_e6
+FROM verified v
+JOIN keyed x ON x.rep_id = v.rep_a
+JOIN keyed y ON y.rep_id = v.rep_b AND y.doc_id <> x.doc_id
+ORDER BY doc_a, doc_b
+"""
+    head = f"""
 WITH sh AS ({arrays}),
 srows AS (SELECT doc_id, {flat}(sh) AS s FROM sh),
 df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM srows GROUP BY s),
@@ -1120,7 +1213,8 @@ cand AS (
   SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b
   FROM prefix p JOIN ranked r
     ON p.s = r.s AND p.doc_id <> r.doc_id
-   AND r.n * 1000000 >= p.n * {CONT_TAU_E6}),
+   AND r.n * 1000000 >= p.n * {CONT_TAU_E6}),"""
+    return f"""{head}
 scored AS (
   SELECT c.doc_a, c.doc_b,
          (CAST({size}({inter}(a.sh, b.sh)) AS BIGINT) * 1000000) {idiv} {size}(a.sh) AS cont_e6
