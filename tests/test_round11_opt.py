@@ -145,3 +145,91 @@ def test_ivf_assign_fold_matches_window_form_on_all_ties(spark):
     assert got == ranked
     # the tie actually bound: every assignment must be label 0
     assert {r.cell for r in got} == {0}
+
+
+# --------------------------------------------- tz-gate aliases (r11 ADVICE)
+
+
+def test_ntz_cast_fast_path_covers_utc_aliases(spark, tmp_path):
+    """Equivalent zero-offset zone ids must take the cast fast path (and
+    stay exact); a non-zero offset must NOT (r10 ADVICE item 3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dnstap2clickhouse_spark.sources import tables as t
+
+    table = pa.table(
+        {
+            "event_id": pa.array([0], pa.int64()),
+            "ts": pa.array([1751371200000000], pa.timestamp("us")),  # NTZ
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    orig = t._ensure_session_confs
+    try:
+        t._ensure_session_confs = lambda s: None  # keep our zone pin
+        for tz, fast in (("Etc/UTC", True), ("GMT", True), ("+00:00", True),
+                         ("+05:30", False), ("America/New_York", False)):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = t.load_table(spark, str(tmp_path), "events")
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            assert ("make_timestamp" not in plan) == fast, tz
+            got = df.selectExpr("unix_micros(ts) AS us").collect()[0].us
+            assert got == 1751371200000000, tz  # exact under every zone
+    finally:
+        t._ensure_session_confs = orig
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+# ------------------------------------ SHJ skew-split proof (VERDICT item 4)
+
+
+def test_aqe_skew_split_applies_to_hinted_shuffle_hash(spark, tmp_path):
+    """AQE skew-join splitting must engage on the hinted SHUFFLE_HASH
+    banded self-join (including with both sides reading the one
+    ReusedExchange) when a (band, sig) bucket is hot. The skew
+    thresholds are runtime confs, lowered here to test scale —
+    production keeps the 256MB/5x defaults, which a test corpus cannot
+    reach; what this pins is that the MECHANISM applies to the hinted
+    SHJ shape at all in this Spark version."""
+    from pyspark.sql import functions as F
+
+    skew_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in skew_confs}
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    hot_text = docs.filter("doc_id = 1").select("text").collect()[0][0]
+    hot = spark.range(300).select(
+        (F.col("id") + mx + 1).alias("doc_id"),
+        F.lit("hotsrc").alias("source"),
+        F.lit(hot_text).alias("text"),
+    )
+    dtypes = dict(docs.dtypes)
+    for c in docs.columns:
+        if c not in ("doc_id", "source", "text"):
+            hot = hot.withColumn(c, F.lit(None).cast(dtypes[c]))
+    skew_dir = str(tmp_path / "skew")
+    docs.unionByName(hot.select(*docs.columns)).repartition(4).write.parquet(
+        skew_dir + "/documents.parquet"
+    )
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        fd._register(spark, skew_dir)
+        df = spark.sql(fd._lsh_pairs_sql("spark"))
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "ShuffledHashJoin(skew=true)" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -228,6 +228,17 @@ def test_edited_ground_truth_entries_void_until_readjudicated():
     names = list(qs)
     adjudicated = entrymod._last_adjudicated(list(trio))
     last = entrymod._evidence_rounds(qs)
+    # literal ground truth (r10 ADVICE: recomputing entry_edit through
+    # the same production helper made the assertion tautological — a
+    # shared _entry_module_files bug would pass unnoticed). The trio's
+    # module set is pinned here BY HAND from the import graph:
+    # ground_truth.py re-points the three entries, and ground_truth.py's
+    # one-level package imports are dedup.py and similarity.py.
+    assert entrymod._entry_module_files(qs["dedup_ngram_jaccard"]) == {
+        "dnstap2clickhouse_spark/functions/ground_truth.py",
+        "dnstap2clickhouse_spark/functions/dedup.py",
+        "dnstap2clickhouse_spark/functions/similarity.py",
+    }
     for n in trio:
         # the entry's effective edit round is the max over ALL modules it
         # resolves to (one-level import expansion), not ground_truth.py
