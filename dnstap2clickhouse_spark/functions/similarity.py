@@ -447,30 +447,22 @@ def _ivf_cell_ctes(dialect: str) -> str:
     the recall lower-bound theorem (test_ivfpq_recall_bounded_by_
     ivf_recall) is true by construction, not by parallel editing.
 
-    Spark dialect (r11): ``assign`` is a NARROW per-row argmax — the k
-    centroids are collected into ONE array row (``centarr``, a 1-row
-    reducer-bounded broadcast) and each corpus vector folds over it,
-    keeping the best (ccos, label) as it goes. The r10 form was a
-    ``max_by(label, struct(ccos, -label))`` aggregate over the
-    n-times-k ``cell_scored`` rows; a struct ordering key is not
-    hash-aggregable, so it planned as a SortAggregate PAIR — a
-    per-partition sort of n*k rows plus a vec_id exchange (the r10
-    verdict's item 5). The fold does the same k dot products per row
-    (identical expression text and fold order, so the doubles stay
-    bit-identical) but materializes NO n*k row set, NO sort and NO
-    shuffle: assignment becomes a projection fused into the corpus
-    scan. Tie-break: ``cents`` is sorted by label (struct field order)
-    and the fold replaces only on strictly-greater ccos, so equal
-    scores keep the LOWEST label — exactly the old struct(ccos,
-    -label) max (and the window's ORDER BY ccos DESC, label). NaN
-    cannot arise: embeddings are unit-normed (min self-dot 0.99999976
-    measured) and centroid norms are positive. The only remaining
-    ``cell_ranked`` consumer is ``probes``, whose ``vec_id <
-    N_QUERIES`` predicate Catalyst pushes below the window down to the
-    corpus scan, so that branch ranks N_QUERIES-times-k rows. DuckDB
-    keeps the window form byte-for-byte: the oracle runs at sf0.01
-    where the sort is irrelevant — both dialects compute the same
-    argmin."""
+    Spark dialect computes ``assign`` as a ``max_by`` HASH AGGREGATE
+    over ``cell_scored`` (map-side partial combine, no sort) instead of
+    the ``rn = 1`` sort-window: the full-corpus argmin is the n-times-k
+    row pass, and a window there costs a per-partition sort plus — when
+    ``cell_ranked`` also feeds ``probes`` — a physically duplicated
+    corpus subtree (measured: 0 ReusedExchange, two full corpus passes).
+    With the aggregate, the only remaining ``cell_ranked`` consumer is
+    ``probes``, whose ``vec_id < N_QUERIES`` predicate Catalyst pushes
+    below the window (partition-key filter) down to the corpus scan, so
+    that branch ranks ``N_QUERIES``-times-k rows, not n-times-k. The
+    ``struct(ccos, -label)`` ordering key reproduces the window's exact
+    tie-break (max ccos, then min label) and is duplicate-free within a
+    group (label is unique), so the aggregate is deterministic. DuckDB
+    keeps the window form byte-for-byte: its ``arg_max`` rejects
+    composite ordering keys, and the oracle runs at sf0.01 where the
+    sort is irrelevant — both dialects compute the same argmin."""
     cent_inner = _centroid_sql(dialect).replace(" ORDER BY label, dim", "")
     if dialect == "spark":
         cvec = (
@@ -483,24 +475,10 @@ def _ivf_cell_ctes(dialect: str) -> str:
         )
         cnorm_expr = "aggregate(cvec, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)"
         h_cent = "/*+ BROADCAST(c) */ "
-        # the same dot/cosine text as cell_scored's, re-aliased for the
-        # fold (c -> ct): identical ops in identical order = identical
-        # doubles, so the fold's comparisons reproduce max_by's exactly
-        fold_cos = (
-            "aggregate(zip_with(ct.cvec, e.embedding, (x, y) -> x * CAST(y AS DOUBLE)), "
-            "CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v) / sqrt(ct.cnrm * e.nrm)"
-        )
         assign_cte = (
-            "centarr AS (\n"
-            "  SELECT sort_array(collect_list(struct(label, cvec, cnrm))) AS cents\n"
-            "  FROM centv),\n"
             "assign AS (\n"
-            "  SELECT vec_id,\n"
-            "         aggregate(cents, CAST(NULL AS STRUCT<c: DOUBLE, l: BIGINT>),\n"
-            f"                   (acc, ct) -> CASE WHEN acc.l IS NULL OR {fold_cos} > acc.c\n"
-            f"                                THEN named_struct('c', {fold_cos}, 'l', ct.label)\n"
-            "                                ELSE acc END).l AS cell\n"
-            "  FROM e CROSS JOIN centarr)"
+            "  SELECT vec_id, max_by(label, struct(ccos, -label)) AS cell\n"
+            "  FROM cell_scored GROUP BY vec_id)"
         )
     else:
         cvec = "SELECT label, list(centroid ORDER BY dim) AS cvec FROM cent GROUP BY label"

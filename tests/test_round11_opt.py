@@ -91,60 +91,12 @@ def test_containment_oracle_sql_unchanged_r10_form():
     assert "least(" not in sql
 
 
-# --------------------------------------------- sim IVF assign fold (r11)
-
-
-def test_ivf_assign_runs_no_sort_aggregate(spark):
-    """The r10 max_by(struct) argmax planned as a SortAggregate PAIR
-    (per-partition sort of n*k rows); the r11 per-row fold must leave
-    NO SortAggregate anywhere in the executed sim_ivf_topk plan."""
-    from dnstap2clickhouse_spark.functions import similarity as fsim
-
-    fsim._register(spark, SF)
-    df = spark.sql(fsim._ivf_sql("spark"))
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortAggregate" not in plan
-    assert "max_by" not in plan
-
-
-def test_ivf_assign_fold_matches_window_form_on_all_ties(spark):
-    """Engineered all-tie corpus: every label's centroid is identical,
-    so every cell affinity ties exactly and the tie-break (lowest
-    label) decides every assignment — the fold must reproduce the
-    window/max_by semantics bit-for-bit."""
-    from dnstap2clickhouse_spark.functions import similarity as fsim
-
-    # 12 vectors, 3 labels; vectors WITHIN a label differ but the
-    # label centroids are all equal by construction: label l gets
-    # vectors v and (1 - v) pairwise, so every label mean is exactly
-    # (0.5, ...). Components are multiples of 0.25 so the centroid
-    # pipeline's round(x * 1e9) scaled-integer sums are EXACT and the
-    # per-label means match bit-for-bit (arbitrary components leave
-    # +-1 rounding residue that silently unties the centroids)
-    dims = 4
-    rows = []
-    vid = 0
-    for lab in range(3):
-        for _ in range(2):
-            v = [0.25 if (vid + d) % 2 else 0.75 for d in range(dims)]
-            comp = [1.0 - x for x in v]
-            rows.append((vid, v, lab))
-            rows.append((vid + 1, comp, lab))
-            vid += 2
-    spark.createDataFrame(
-        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
-    ).createOrReplaceTempView("embeddings")
-    frag = fsim._ivf_cell_ctes("spark")
-    got = spark.sql(
-        f"WITH {frag} SELECT vec_id, cell FROM assign ORDER BY vec_id"
-    ).collect()
-    ranked = spark.sql(
-        f"WITH {frag} SELECT vec_id, label AS cell FROM cell_ranked "
-        "WHERE rn = 1 ORDER BY vec_id"
-    ).collect()
-    assert got == ranked
-    # the tie actually bound: every assignment must be label 0
-    assert {r.cell for r in got} == {0}
+# The r11 IVF assign-fold experiment (replace max_by(struct) with a
+# per-row fold over collected centroids) was committed in 4ab9ddb and
+# REVERTED after the final bench measured it +30% at sf0.1 (stage-count
+# overhead of the extra centroid-collection aggregate dominates small
+# corpora) while flat at sf1/sf3 — see OPTIMIZATION_r11.md "Measured and
+# REJECTED". The max_by pins in test_round6_argmin_agg.py are restored.
 
 
 # --------------------------------------------- tz-gate aliases (r11 ADVICE)

@@ -47,12 +47,7 @@ def test_spark_argmin_is_aggregate_duckdb_is_window():
         assert "min_by" not in k and "FILTER (WHERE d = md)" in k
     frag_s = fsim._ivf_cell_ctes("spark")
     frag_d = fsim._ivf_cell_ctes("duckdb")
-    # r11: the cell assignment is a narrow per-row fold over the
-    # collected centroid array — no aggregation over the n*k scored
-    # rows at all (the r10 max_by(struct) planned as a SortAggregate
-    # pair; see tests/test_round11_opt.py for the plan + tie pins)
-    assert "max_by" not in frag_s
-    assert "centarr AS (" in frag_s and "acc.l IS NULL OR" in frag_s
+    assert "max_by(label, struct(ccos, -label))" in frag_s
     assert "max_by" not in frag_d and "WHERE rn = 1" in frag_d
 
 

@@ -146,10 +146,12 @@ def test_git_edit_rounds_parse():
     rounds = set(edits.values())
     assert min(rounds) >= 1 and max(rounds) - min(rounds) < 50
     # known ground truth from the git log: similarity.py last changed in
-    # r7 (auto assignment); dedup.py in the r10 optimization round (the
-    # banded-LSH SHUFFLE_HASH change — its entries void into the next
-    # window per the code-change rule, by design)
-    assert edits["dnstap2clickhouse_spark/functions/similarity.py"] == 7
+    # the r11 optimization round (the IVF assignment fold; previously r7's
+    # auto assignment); dedup.py in the r10/r11 optimization rounds (the
+    # banded-LSH SHUFFLE_HASH change, then the containment set-grouping) —
+    # their entries void into the next window per the code-change rule,
+    # by design
+    assert edits["dnstap2clickhouse_spark/functions/similarity.py"] >= 11
     assert edits["dnstap2clickhouse_spark/functions/dedup.py"] >= 10
 
 
